@@ -1,0 +1,22 @@
+"""Query registry — one named query per operator in SURVEY.md §2.
+
+Each registered query is a (spark_fn, oracle_sql) pair:
+  spark_fn(spark, sf_dir) -> DataFrame    — the engine's DataFrame plan
+  oracle_sql                              — equivalent ANSI SQL for DuckDB
+
+The driver harness compares both at sf=0.01 (row count + schema +
+order-insensitive value-hash), so every aggregate/computed column is
+aliased identically on both sides, floats that accumulate (sum/avg) are
+rounded on both sides, and any LIMIT is preceded by a total order.
+"""
+
+from tvbigdataproject_spark.queries.registry import REGISTRY, oracle_sql_map, query, spark_queries_map  # noqa: F401
+
+# Importing the modules registers their queries.
+from tvbigdataproject_spark.queries import relational  # noqa: F401,E402
+from tvbigdataproject_spark.queries import windows  # noqa: F401,E402
+from tvbigdataproject_spark.queries import temporal  # noqa: F401,E402
+from tvbigdataproject_spark.queries import graph  # noqa: F401,E402
+from tvbigdataproject_spark.queries import dedup  # noqa: F401,E402
+from tvbigdataproject_spark.queries import textstats  # noqa: F401,E402
+from tvbigdataproject_spark.queries import embeddings  # noqa: F401,E402

@@ -1,0 +1,175 @@
+"""Similarity search over the embeddings table (north-star surface):
+brute-force cosine top-k, IVF-style partition-pruned top-k, and
+cosine near-duplicate pairs.
+
+Vector math is zip_with/aggregate over array<double> (functions/vectors)
+— JVM-side, no Python. The brute-force path broadcasts the (small) query
+set against the candidate corpus: at 100 TB the corpus side stays
+partitioned and the per-partition work is a dense dot-product sweep,
+which is the correct baseline. The IVF variant prunes candidates to the
+query's coarse cell (here: the `label` column as the cell assignment) —
+the same plan shape as a real IVF index where the cell id comes from a
+centroid assignment pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.functions import cosine_similarity
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+# Explicit per-index dot product so the oracle's floating-point sum order
+# (left-to-right over 64 terms) matches Spark's aggregate() left fold
+# bit-for-bit; results are additionally rounded.
+_DIM = 64
+_DOT = " + ".join(
+    f"a.embedding[{i}]::DOUBLE * b.embedding[{i}]::DOUBLE" for i in range(1, _DIM + 1)
+)
+_NORM_A = "sqrt(" + " + ".join(
+    f"a.embedding[{i}]::DOUBLE * a.embedding[{i}]::DOUBLE" for i in range(1, _DIM + 1)
+) + ")"
+_NORM_B = "sqrt(" + " + ".join(
+    f"b.embedding[{i}]::DOUBLE * b.embedding[{i}]::DOUBLE" for i in range(1, _DIM + 1)
+) + ")"
+
+
+@query(
+    "embed_norms",
+    sql="""
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))
+               AS l2_norm
+    FROM embeddings
+    """,
+    tags=("embeddings",),
+)
+def embed_norms(spark, sf_dir):
+    """Vector length + L2 norm — the sanity primitive for the vector lib."""
+    from tvbigdataproject_spark.functions import l2_norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        l2_norm(F.col("embedding")).alias("l2_norm"),
+    )
+
+
+@query(
+    "embed_cosine_topk",
+    sql=f"""
+    SELECT q_vec_id, vec_id, cos, rn FROM (
+        SELECT a.vec_id AS q_vec_id, b.vec_id AS vec_id,
+               ({_DOT}) / ({_NORM_A} * {_NORM_B}) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ({_DOT}) / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id
+               ) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10
+    ) WHERE rn <= 5
+    """,
+    tags=("embeddings", "ann"),
+)
+def embed_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors — the exact baseline
+    every ANN variant is measured against.
+
+    The query set is broadcast; the corpus side streams partition-local.
+    Ranking is on the rounded score with vec_id tiebreak so top-k is
+    deterministic.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "vec_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.select("q_vec_id", "vec_id", "cos", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") <= 5
+    )
+
+
+@query(
+    "embed_ivf_topk",
+    sql=f"""
+    SELECT q_vec_id, vec_id, cos, rn FROM (
+        SELECT a.vec_id AS q_vec_id, b.vec_id AS vec_id,
+               ({_DOT}) / ({_NORM_A} * {_NORM_B}) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ({_DOT}) / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id
+               ) AS rn
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10
+    ) WHERE rn <= 3
+    """,
+    tags=("embeddings", "ann"),
+)
+def embed_ivf_topk(spark, sf_dir):
+    """IVF-style pruned top-3: candidates restricted to the query's coarse
+    cell (label). Equi-join on the cell id replaces the cross join — this
+    is the scale path: cells partition the corpus, each query probes one
+    (or nprobe) cells."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        emb.join(F.broadcast(queries), (F.col("label") == F.col("q_label")))
+        .where(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "vec_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.select("q_vec_id", "vec_id", "cos", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") <= 3
+    )
+
+
+@query(
+    "embed_neardup_pairs",
+    sql=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ({_DOT}) / ({_NORM_A} * {_NORM_B}) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ({_DOT}) / ({_NORM_A} * {_NORM_B}) >= 0.99
+    """,
+    tags=("embeddings", "dedup"),
+)
+def embed_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.99), blocked by the
+    coarse cell so the pair space is per-cell, not global — the
+    embedding-space analogue of LSH-bucketed dedup."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return pairs.where(cos >= 0.99).select(
+        "vec_a", "vec_b", cos.alias("cos")
+    )

@@ -1,0 +1,185 @@
+"""Graph operator queries (SURVEY.md §2.9) re-expressed on the TESTDATA
+star schema so the DuckDB oracle can check them.
+
+The graph here is the bipartite user→event_type graph from ``events``
+(analogous to the reference's user→hashtag HT graph) and the
+co-purchase graph from orders⋈lineitem (analogous to the motif-derived
+user-pair candidates). The tweet-native versions of these operators live
+in tvbigdataproject_spark/operators/graph.py and plans/pipelines.py and
+are exercised by the golden-fixture tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.functions import jaccard
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+
+@query(
+    "graph_edges_weighted",
+    sql="""
+    SELECT user_id AS src, event_type AS dst, COUNT(*) AS w
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("graph",),
+)
+def graph_edges_weighted(spark, sf_dir):
+    """Weighted edge construction (G1/A2 — reference builds HT edges the
+    same way: RetweetTagsJaccardGraph.py:123-127)."""
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+@query(
+    "graph_degrees",
+    sql="""
+    SELECT user_id AS id,
+           COUNT(DISTINCT event_type) AS out_degree,
+           COUNT(*) AS out_weight
+    FROM events GROUP BY 1
+    """,
+    tags=("graph",),
+)
+def graph_degrees(spark, sf_dir):
+    """Vertex degree / strength from the edge list."""
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("id"))
+        .agg(
+            F.countDistinct("event_type").alias("out_degree"),
+            F.count(F.lit(1)).alias("out_weight"),
+        )
+    )
+
+
+@query(
+    "pair_candidates_shared_parts",
+    sql="""
+    WITH cp AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS shared_parts
+    FROM cp a JOIN cp b ON a.part = b.part AND a.cust < b.cust
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("graph", "motif"),
+)
+def pair_candidates_shared_parts(spark, sf_dir):
+    """Motif-as-join (J6/G2): pairs of customers sharing ≥2 distinct parts.
+
+    This is the reference's 4-way GraphFrames motif
+    (RetweetTagsJaccardGraph.py:158-165) rewritten as a self-equi-join on
+    the shared item + count-distinct gate — same candidate set, hash
+    joins instead of motif expansion. At 100 TB the hub-item skew is the
+    hazard: AQE skew-join handles moderate skew; a frequency cap on
+    ultra-hub items is the documented mitigation (operators/graph.py).
+    """
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a = cp.alias("a")
+    b = cp.alias("b")
+    return (
+        a.join(b, (F.col("a.part") == F.col("b.part")) & (F.col("a.cust") < F.col("b.cust")))
+        .groupBy(F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b"))
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+        .where(F.col("shared_parts") >= 2)
+    )
+
+
+@query(
+    "two_hop_neighborhood",
+    sql="""
+    WITH seed_types AS (
+        SELECT DISTINCT event_type FROM events WHERE user_id = 7
+    )
+    SELECT e.user_id, COUNT(DISTINCT e.event_type) AS n_shared_types
+    FROM events e JOIN seed_types s ON e.event_type = s.event_type
+    WHERE e.user_id <> 7
+    GROUP BY e.user_id
+    """,
+    tags=("graph", "bfs"),
+)
+def two_hop_neighborhood(spark, sf_dir):
+    """Distributed 2-hop neighborhood expansion (G3/G4).
+
+    The reference collects hop-1 edges to the driver and string-builds an
+    IN-list for hop 2 (RetweetTagsJaccardGraph.py:265-272). Here the
+    frontier stays a DataFrame: hop-1 = seed's neighbors, hop-2 = join
+    edges against the frontier — no collect, works at any frontier size.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    frontier = ev.where(F.col("user_id") == 7).select("event_type").distinct()
+    return (
+        ev.join(F.broadcast(frontier), "event_type")
+        .where(F.col("user_id") != 7)
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_shared_types"))
+    )
+
+
+@query(
+    "jaccard_user_similarity",
+    sql="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (SELECT user_id, COUNT(*) AS n FROM ut GROUP BY 1),
+    inter AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS i
+        FROM ut a JOIN ut b ON a.event_type = b.event_type AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    )
+    SELECT user_a, user_b,
+           i * 1.0 / (sa.n + sb.n - i) AS jacc
+    FROM inter
+    JOIN sizes sa ON sa.user_id = user_a
+    JOIN sizes sb ON sb.user_id = user_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """,
+    tags=("graph", "similarity"),
+)
+def jaccard_user_similarity(spark, sf_dir):
+    """Jaccard similarity edges (Q3/D3) over users' event-type sets.
+
+    Candidate pairs come from a shared-element join (never a cross join),
+    then the native array jaccard (functions/core.py — the rewrite of the
+    reference's string-returning UDF, bigdata/__init__.py:25) scores each
+    pair. Same candidate-gate-then-score shape as the reference's motif →
+    jaccard pipeline (RetweetTagsJaccardGraph.py:158-183).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sets = ut.groupBy("user_id").agg(F.collect_set("event_type").alias("types"))
+    pairs = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b"))
+        .distinct()
+    )
+    scored = (
+        pairs.join(sets.alias("sa"), F.col("user_a") == F.col("sa.user_id"))
+        .join(sets.alias("sb"), F.col("user_b") == F.col("sb.user_id"))
+        .select(
+            "user_a",
+            "user_b",
+            jaccard(F.col("sa.types"), F.col("sb.types")).alias("jacc_raw"),
+        )
+    )
+    return scored.where(F.col("jacc_raw") >= 0.5).select(
+        "user_a", "user_b", F.col("jacc_raw").alias("jacc")
+    )

@@ -1,0 +1,97 @@
+"""Sources and sinks.
+
+Reference sinks force a single output file via ``repartition(1)`` before
+every CSV write (reference: RetweetTagsJaccardGraph.py:242,
+bigdata/__init__.py:91,107,111) — a one-task stage that serializes the
+whole dataset through one core. At scale that is the single worst plan
+node in the reference, so sinks here default to the natural output
+parallelism; callers that truly want few files pass ``coalesce_to`` and
+it is applied as ``coalesce`` (no extra shuffle), never ``repartition(1)``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.schemas import TESTDATA_SCHEMAS, TWEET_SCHEMA
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one TESTDATA parquet table with its registered schema."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    reader = spark.read
+    schema = TESTDATA_SCHEMAS.get(name)
+    if schema is not None:
+        # Binding the schema skips footer-merge surprises; column pruning
+        # and predicate pushdown still reach the parquet scan.
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    if name == "events":
+        # Parquet TIMESTAMP(NANOS) has no Spark timestamp decoding; the
+        # scan reads raw nanos (legacy.parquet.nanosAsLong, set by the
+        # session factory / tune_for_session) and this converts to
+        # wall-clock micros. Integer `div` — a double division would lose
+        # precision (nanos exceed 2^53) and round the last microsecond.
+        micros = F.expr("ts div 1000")
+        df = df.withColumn(
+            "ts", F.timestamp_micros(micros).cast("timestamp_ntz")
+        )
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(read_table(spark, sf_dir, n) for n in names)
+
+
+def read_tweets(spark: SparkSession, path: str) -> DataFrame:
+    """Tweet JSON-lines scan with the explicit schema (no inference job).
+
+    Reference: ``spark.read.json(path)`` with inference at
+    RetweetTagsJaccardGraph.py:33 and bigdata/__init__.py:85.
+    """
+    return spark.read.schema(TWEET_SCHEMA).json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    sep: str = ";",
+    header: bool = True,
+    coalesce_to: int | None = None,
+) -> None:
+    """CSV sink (reference S2/S3: RetweetTagsJaccardGraph.py:242-243)."""
+    if coalesce_to is not None:
+        df = df.coalesce(coalesce_to)
+    df.write.mode("overwrite").option("header", str(header).lower()).option("sep", sep).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def save_graph(
+    vertices: DataFrame,
+    edges: DataFrame,
+    path: str,
+    prefix: str = "g",
+    fmt: str = "csv",
+    coalesce_to: int | None = None,
+) -> None:
+    """Graph sink: edges + vertices as two datasets (reference S4:
+    bigdata/__init__.py:96-114 writes ``prefix.edges.csv`` /
+    ``prefix.vertices.csv`` via repartition(1); here both stay parallel,
+    CSV kept for Gephi compatibility, parquet for everything else)."""
+    e_path = os.path.join(path, f"{prefix}.edges.{fmt}")
+    v_path = os.path.join(path, f"{prefix}.vertices.{fmt}")
+    if fmt == "csv":
+        write_csv(edges, e_path, sep=";", coalesce_to=coalesce_to)
+        write_csv(vertices, v_path, sep=";", coalesce_to=coalesce_to)
+    else:
+        write_parquet(edges, e_path)
+        write_parquet(vertices, v_path)
