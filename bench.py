@@ -1,0 +1,90 @@
+"""Benchmark runner — prints ONE JSON line with per-query wall times.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query executes
+fully (noop sink — no driver collect cost, no output I/O) and is timed
+end-to-end including planning.
+
+    python bench.py            # all headline queries
+    python bench.py name ...   # subset
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# One query per operator family — the set the 2x-of-baseline gate watches.
+HEADLINE = [
+    "pricing_summary",          # scan + filter + hash agg
+    "agg_stats_per_part",       # wide-key hash agg
+    "count_distinct_suppliers", # distinct agg
+    "join_inner_agg",           # broadcast dim join + agg
+    "top_orders_by_revenue",    # fact-fact shuffle join + agg + topk
+    "join_left_count",          # outer join
+    "agg_cube",                 # grouping sets
+    "window_topk_per_group",    # window rank
+    "window_running_sum",       # window frame agg
+    "tumbling_window_agg",      # time windows
+    "sessionize_events",        # session windows
+    "asof_join_latest_order",   # as-of join
+    "pair_candidates_shared_parts",  # motif-as-join self-join
+    "jaccard_user_similarity",  # similarity join
+    "dedup_exact_hash",         # exact dedup
+    "dedup_ngram_jaccard",      # shingle-join near-dup
+    "dedup_minhash_lsh",        # minhash LSH
+    "dedup_simhash",            # simhash banding
+    "text_token_stats",         # text map pass
+    "text_langid",              # text scoring
+    "embed_cosine_topk",        # brute-force ANN baseline
+    "embed_ivf_topk",           # pruned ANN
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = sys.argv[1:] or HEADLINE
+
+    from tvbigdataproject_spark.queries import REGISTRY
+    from tvbigdataproject_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    # JVM/codegen warmup on a trivial action so query 1 isn't charged for it.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,30 +34,58 @@ def hex_bits_hash(value: Column, hex_chars: int = 8) -> Column:
     return F.conv(F.substring(F.md5(value), 1, hex_chars), 16, 10).cast("long")
 
 
+_COMP_HEX = 8  # hex chars per signature component (32-bit)
+_COMPS_PER_DIGEST = 32 // _COMP_HEX  # 4 components carved from one md5
+
+
 def minhash_signature(shingle_array: Column, num_hashes: int = 8) -> Column:
     """MinHash signature as array<string> of length ``num_hashes``.
 
-    Each component is the lexicographic minimum of the seeded md5 digests
-    of the shingles — min over hex strings is a valid minwise hash family
-    and is bit-identical in any engine with md5. Empty shingle sets yield
-    nulls (callers filter those out before LSH banding).
+    Component i is the lexicographic minimum over shingles of an 8-hex-char
+    slice of a seeded md5: digest d = md5(d ":" shingle), component =
+    min(substr(digest, (i%4)*8+1, 8)). Carving 4 components per digest
+    costs one md5 per shingle per 4 components (the different digest bytes
+    are independent enough for a minwise family), and min over hex strings
+    is bit-identical in any engine with md5 — which is what lets the
+    DuckDB oracle replay the sketch exactly.
 
-    Computed with array_min over transform — no explode, no shuffle; the
-    signature is born in the same codegen stage as the shingling.
+    Empty shingle sets yield nulls (callers filter before LSH banding).
+    Computed with array_min over transform — no explode, no shuffle; both
+    the shingle input and each digest array are let-bound so they are
+    evaluated once, not once per component (HOF lambdas re-evaluate
+    referenced subtrees per element).
 
-    NB: the per-seed lambda must stay unary — Spark's higher-order
-    functions dispatch on lambda arity (a second parameter would receive
-    the element index), so the seed is bound via a closure factory.
+    NB: lambdas passed to Spark HOFs must stay unary — arity dispatch
+    means a second parameter receives the element index — so seeds and
+    offsets are bound via closure factories.
     """
+    from tvbigdataproject_spark.functions.text import _bind
 
     def seeded(prefix: str):
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
-    comps = [
-        F.array_min(F.transform(shingle_array, seeded(f"{i}:")))
-        for i in range(num_hashes)
-    ]
-    return F.array(*comps)
+    def slice_mins(offsets: list[int]):
+        def body(digests: Column) -> Column:
+            def at(off: int):
+                return lambda h: h.substr(F.lit(off), F.lit(_COMP_HEX))
+
+            return F.array(
+                *[F.array_min(F.transform(digests, at(off))) for off in offsets]
+            )
+
+        return body
+
+    def outer(shs: Column) -> Column:
+        groups = []
+        n_digests = -(-num_hashes // _COMPS_PER_DIGEST)
+        for d in range(n_digests):
+            k = min(_COMPS_PER_DIGEST, num_hashes - d * _COMPS_PER_DIGEST)
+            offsets = [i * _COMP_HEX + 1 for i in range(k)]
+            digests = F.transform(shs, seeded(f"{d}:"))
+            groups.append(_bind(digests, slice_mins(offsets)))
+        return F.concat(*groups) if len(groups) > 1 else groups[0]
+
+    return _bind(shingle_array, outer)
 
 
 def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:

@@ -116,8 +116,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _minhash_sql(num_hashes: int = 8, bands: int = 4, rows: int = 2, threshold: float = 0.4) -> str:
+    # mirrors functions.hashing.minhash_signature: component i is the min
+    # over shingles of hex slice (i%4)*8+1..+8 of digest md5((i//4) ':' s)
     sig_cols = ",\n               ".join(
-        f"MIN(md5('{i}:' || s)) AS h{i}" for i in range(num_hashes)
+        f"MIN(substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(num_hashes)
     )
     band_selects = "\n        UNION ALL\n        ".join(
         "SELECT doc_id, '{b}|' || h{lo} || '|' || h{hi} AS bk FROM sig".format(
@@ -162,8 +165,13 @@ def dedup_minhash_lsh(spark, sf_dir):
 
     The signature is built with array_min over transform — the whole
     sketch is computed in the scan stage with zero shuffles; only the 4
-    band keys per doc are exploded for the bucket join. Verification
-    joins back through the shingle table only for candidate pairs.
+    band keys per doc are exploded for the bucket join. Verification is
+    candidate-local: each candidate pair pulls the two shingle *arrays*
+    and scores exact Jaccard with array_intersect — no shingle explode,
+    no self-join. At 100 TB this is the difference between LSH working
+    and the verify step re-doing the all-pairs job the sketch avoids.
+    (A band match implies ≥1 shared shingle, so no qualifying pair is
+    lost by scoring candidates only.)
     """
     docs = read_table(spark, sf_dir, "documents")
     with_sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("shs")).where(
@@ -186,26 +194,13 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = with_sh.select("doc_id", F.explode("shs").alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        sh.alias("x")
-        .join(
-            sh.alias("y"),
-            (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    scored = (
-        cand.join(inter, ["doc_a", "doc_b"])
-        .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))).alias("jacc_raw"),
-        )
+    shs_a = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    shs_b = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    attached = cand.join(shs_a, "doc_a").join(shs_b, "doc_b")
+    i = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
+    union_size = F.size("shs_a") + F.size("shs_b") - i
+    scored = attached.select(
+        "doc_a", "doc_b", (i.cast("double") / union_size).alias("jacc_raw")
     )
     return scored.where(F.col("jacc_raw") >= 0.4).select(
         "doc_a", "doc_b", F.col("jacc_raw").alias("jacc")

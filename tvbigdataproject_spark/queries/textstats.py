@@ -173,8 +173,10 @@ def text_langid(spark, sf_dir):
     ),
     sig AS (
         SELECT doc_id,
-               MIN(md5('0:' || s)) AS h0, MIN(md5('1:' || s)) AS h1,
-               MIN(md5('2:' || s)) AS h2, MIN(md5('3:' || s)) AS h3
+               MIN(substr(md5('0:' || s), 1, 8))  AS h0,
+               MIN(substr(md5('0:' || s), 9, 8))  AS h1,
+               MIN(substr(md5('0:' || s), 17, 8)) AS h2,
+               MIN(substr(md5('0:' || s), 25, 8)) AS h3
         FROM sh GROUP BY doc_id
     )
     SELECT doc_id, md5(h0 || h1 || h2 || h3) AS fingerprint FROM sig
