@@ -1,0 +1,74 @@
+"""Structured Streaming tests: bounded availableNow runs over the events
+parquet, checked against the batch twins (same window semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.queries import REGISTRY
+from tvbigdataproject_spark.sources import read_table
+from tvbigdataproject_spark.streaming import (
+    read_event_stream,
+    run_to_memory_sink,
+    streaming_dedup,
+    streaming_session_agg,
+    streaming_tumbling_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    return read_event_stream(spark, EVENTS)
+
+
+def _table(spark, name):
+    return {tuple(r) for r in spark.table(name).collect()}
+
+
+def test_streaming_tumbling_matches_batch(spark, stream):
+    run_to_memory_sink(
+        streaming_tumbling_agg(stream), "t_tumble", output_mode="complete"
+    )
+    got = _table(spark, "t_tumble")
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_sessions_match_batch(spark, stream):
+    run_to_memory_sink(
+        streaming_session_agg(stream), "t_sess", output_mode="complete"
+    )
+    got = _table(spark, "t_sess")
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+    )
+    assert got == {tuple(r) for r in batch.collect()}
+
+
+def test_streaming_dedup_bounded_state(spark, stream):
+    # event_id is unique in the fixture → dedup is a pass-through; the
+    # point is the operator runs with watermarked (bounded) state.
+    run_to_memory_sink(
+        streaming_dedup(stream, keys=["event_id"]), "t_dedup", output_mode="append"
+    )
+    n = spark.table("t_dedup").count()
+    assert n == read_table(spark, SF_DIR, "events").count()
+
+
+def test_streaming_batch_twin_is_oracle_checked(spark):
+    # the batch twins of these streaming ops are part of the oracle suite
+    for name in ("tumbling_window_agg", "sliding_window_agg", "sessionize_events"):
+        assert REGISTRY[name].sql is not None

@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched pandas iterators (north-star surface).
+
+Pattern: image/audio/video bytes travel as a ``binary`` column next to
+typed metadata; decode / feature-extract / resize / frame-sample run as
+``mapInPandas`` stages — Arrow moves each partition to Python in
+columnar batches (no per-row pickling), and the output schema is
+declared up front so Catalyst can keep planning around the stage.
+
+The actual media decoding is STUBBED here (no image/audio libs in this
+environment): ``extract_features`` computes real, deterministic
+byte-level features (size, sha256, a fake width/height derived from the
+digest) through the same batch plumbing a cv2/PIL decoder would use —
+swap `_decode_stub` for a real decoder and nothing else changes.
+``decode_image`` raises NotImplementedError by design.
+
+Scale notes: mapInPandas processes a partition as an iterator of
+batches, so memory is bounded by spark.sql.execution.arrow
+.maxRecordsPerBatch regardless of blob sizes; repartition upstream by a
+size-balancing key when blob sizes are heavily skewed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def attach_fake_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic stand-in payload: the document text as UTF-8 bytes.
+
+    At scale the payload column comes from the lakehouse (parquet binary
+    / object-store pointers); this keeps the downstream plumbing real
+    while the container lacks media files.
+    """
+    return docs.select(
+        "doc_id",
+        F.lit("image/fake").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def decode_image(payload: bytes):
+    """Real decoder slot — intentionally unimplemented in this
+    environment (no PIL/cv2 baked in)."""
+    raise NotImplementedError(
+        "media decoding requires an image library not present in this "
+        "container; extract_features uses _decode_stub instead"
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake of a decoder's (width, height): derived from
+    the payload digest so tests are stable and the oracle can reproduce
+    it (width = first 2 digest bytes mod 640, height = next 2 mod 480)."""
+    d = hashlib.sha256(payload).digest()
+    return (d[0] << 8 | d[1]) % 640, (d[2] << 8 | d[3]) % 480
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Byte + (stub-)decode features via mapInPandas over Arrow batches."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            dims = [_decode_stub(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "sha256": [hashlib.sha256(bytes(p)).hexdigest() for p in payloads],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

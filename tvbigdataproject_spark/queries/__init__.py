@@ -20,3 +20,4 @@ from tvbigdataproject_spark.queries import graph  # noqa: F401,E402
 from tvbigdataproject_spark.queries import dedup  # noqa: F401,E402
 from tvbigdataproject_spark.queries import textstats  # noqa: F401,E402
 from tvbigdataproject_spark.queries import embeddings  # noqa: F401,E402
+from tvbigdataproject_spark.queries import multimodal  # noqa: F401,E402

@@ -1,0 +1,113 @@
+"""Structured Streaming surface over event tables.
+
+The reference is pure batch (SURVEY.md §2.10) — this is the additive
+streaming surface. The aggregation bodies are the same expressions as
+the batch queries (queries/temporal.py), so pipelines move between batch
+and streaming without rewriting: tumbling/sliding via F.window, sessions
+via F.session_window, late data bounded by withWatermark, and streaming
+dedup via dropDuplicatesWithinWatermark — all built-in operators, no
+custom state store.
+
+Scale notes: watermark delay bounds state size (the only unbounded risk
+in streaming aggs); file sources at 100 TB become Kafka sources with the
+same plan bodies; `maxFilesPerTrigger` is the local backpressure knob.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.schemas import TESTDATA_SCHEMAS
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based event stream with the explicit schema (streaming reads
+    never infer). ``ts`` arrives as raw nanos (see sources/io.py) and is
+    converted to TIMESTAMP_NTZ micros here too."""
+    reader = spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        # the file stream source monitors directories; point it at the
+        # parent and glob just this file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    # Watermarks only accept TIMESTAMP (LTZ) event time — with the session
+    # pinned to UTC this carries the same wall-clock instants as the batch
+    # reader's TIMESTAMP_NTZ; window bounds are cast back to NTZ after
+    # aggregation so streaming output lines up with the batch twins.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event type — same body
+    as queries/temporal.py::tumbling_window_agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked session windows per user — same body as
+    queries/temporal.py::sessionize_events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps a key only until the watermark
+    passes it, so state is O(keys per watermark window), not O(stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, output_mode: str = "append", timeout_sec: int = 120
+):
+    """Drain a bounded stream (availableNow) into an in-memory table and
+    return the completed query. Test/dev helper — production sinks are
+    parquet/Kafka writers with checkpointing.
+
+    For windowed aggregations pass output_mode="complete": under
+    availableNow the watermark never passes the final windows, so append
+    mode would hold back the tail forever.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
