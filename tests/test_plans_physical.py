@@ -1,0 +1,93 @@
+"""Physical-plan invariants — the scale contract, asserted.
+
+These tests read explain() output: correctness says what a query
+returns, these say how it may execute. They are the regressions that
+matter at 100 TB (a dropped pushdown or a surprise nested-loop join is
+invisible at sf0.01 and fatal at scale).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from tvbigdataproject_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    plan = _plan(spark, "filter_pushdown_project")
+    assert "PushedFilters: [" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:200]
+    # column pruning: read schema carries only the 5 needed columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_partkey", "l_extendedprice", "l_discount", "l_quantity"):
+        assert col in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_timestamp_filter_pushdown(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_dim_joins_are_broadcast(spark):
+    for name in ("join_inner_agg", "join_broadcast_dims", "two_hop_neighborhood"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_nested_loop_joins_only_where_intended(spark):
+    # two intentional nested-loop shapes: the non-equi range join (no
+    # hash-join form exists) and the brute-force ANN baseline (a cross
+    # join over a broadcast 10-row query set IS the algorithm). Everything
+    # else must never fall back to a nested loop — the reference's
+    # disjunctive-predicate report join did (SURVEY.md J5), and staying
+    # free of accidental ones is part of the rewrite's contract.
+    intended = {"range_join_bands", "embed_cosine_topk"}
+    for name in intended:
+        assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
+    for name in sorted(REGISTRY):
+        if name not in intended:
+            assert "NestedLoopJoin" not in _plan(spark, name), name
+
+
+def test_aggregates_have_partial_phase(spark):
+    # partial (map-side) aggregation before the shuffle — Catalyst plans
+    # HashAggregate(partial) + HashAggregate(final)
+    plan = _plan(spark, "agg_count")
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_python_udf_fences_outside_multimodal(spark, name):
+    # the engine's core promise: everything JVM-side except the declared
+    # Arrow-batched multimodal stage
+    plan = _plan(spark, name)
+    if name == "multimodal_features":
+        assert "MapInPandas" in plan
+        return
+    for fence in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert fence not in plan, f"{name} has a Python fence: {fence}"
+
+
+def test_whole_stage_codegen_covers_scalar_queries(spark):
+    # scalar-expression queries fuse into whole-stage codegen; (array
+    # higher-order functions are CodegenFallback in Spark, so HOF-heavy
+    # queries like text_token_stats legitimately show a plain Project;
+    # shuffle queries print as unexecuted AdaptiveSparkPlan without
+    # codegen markers, so only exchange-free plans are asserted here)
+    for name in ("string_funcs", "filter_pushdown_project"):
+        assert "codegen id" in _plan(spark, name), name

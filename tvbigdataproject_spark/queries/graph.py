@@ -85,7 +85,9 @@ def pair_candidates_shared_parts(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     cp = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # orders is the 10x-smaller side at TPC-H ratios: broadcast it so
+        # the lineitem scan never shuffles before the distinct
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
     )
@@ -172,8 +174,10 @@ def jaccard_user_similarity(spark, sf_dir):
         .distinct()
     )
     scored = (
-        pairs.join(sets.alias("sa"), F.col("user_a") == F.col("sa.user_id"))
-        .join(sets.alias("sb"), F.col("user_b") == F.col("sb.user_id"))
+        # the per-user set table is tiny (one row per user) — broadcast
+        # both attach joins; only the pair-generation join shuffles
+        pairs.join(F.broadcast(sets.alias("sa")), F.col("user_a") == F.col("sa.user_id"))
+        .join(F.broadcast(sets.alias("sb")), F.col("user_b") == F.col("sb.user_id"))
         .select(
             "user_a",
             "user_b",
