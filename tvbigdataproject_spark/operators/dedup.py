@@ -1,0 +1,178 @@
+"""Deduplication operators over document tables (north-star surface).
+
+Four tiers, all pure DataFrame algebra over the md5-portable sketches in
+functions/hashing.py (see queries/dedup.py for the oracle-checked
+instantiations and the per-operator scale notes):
+
+  exact_dedup_groups   one hash-groupBy — O(n) shuffle of digests
+  ngram_jaccard_pairs  exact near-dup via shared-shingle equi-join
+  minhash_lsh_pairs    MinHash+LSH candidates, candidate-local verify
+  simhash_pairs        SimHash + pigeonhole banding (never a cross join)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.functions import lsh_bands, minhash_signature, shingles
+from tvbigdataproject_spark.functions.hashing import hex16_hash
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, keep_doc_id, n_copies): group by content digest, keep
+    the minimum id. Hash before shuffling so the exchange carries 32-byte
+    digests, not document bodies."""
+    return (
+        df.select(F.md5(text_col).alias("text_hash"), F.col(id_col).alias("doc_id"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated rows themselves (first id per content group)."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_doc_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("shs")
+    ).where(F.size("shs") > 0)
+
+
+def _score_pairs(cand: DataFrame, with_sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs via array_intersect on attached
+    shingle arrays — candidate-local, no shingle self-join."""
+    shs_a = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    shs_b = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    attached = cand.join(shs_a, "doc_a").join(shs_b, "doc_b")
+    i = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
+    union_size = F.size("shs_a") + F.size("shs_b") - i
+    return (
+        attached.select("doc_a", "doc_b", (i.cast("double") / union_size).alias("jacc"))
+        .where(F.col("jacc") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact near-dup pairs: candidates from a shared-shingle equi-join
+    (~linear in true near-dups for natural text), scored with exact
+    Jaccard."""
+    with_sh = _shingled(df, text_col, id_col, n)
+    sh = with_sh.select("doc_id", F.explode("shs").alias("s"))
+    cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _score_pairs(cand, with_sh, threshold)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Approximate near-dup pairs: MinHash signatures (computed in the
+    scan stage, zero shuffles), banded LSH bucket join for candidates,
+    candidate-local exact-Jaccard verify."""
+    rows_per_band = num_hashes // bands
+    with_sh = _shingled(df, text_col, id_col, n)
+    sig = with_sh.select(
+        "doc_id", minhash_signature(F.col("shs"), num_hashes=num_hashes).alias("sig")
+    )
+    band_df = sig.select(
+        "doc_id",
+        F.explode(lsh_bands(F.col("sig"), bands=bands, rows_per_band=rows_per_band)).alias("bk"),
+    )
+    cand = (
+        band_df.alias("a")
+        .join(
+            band_df.alias("b"),
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _score_pairs(cand, with_sh, threshold)
+
+
+def simhash_values(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash over distinct whitespace tokens."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.lower(text_col), " "))).alias("tok"),
+    )
+    hashed = tok.select("doc_id", hex16_hash(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum((F.shiftright(F.col("h"), j).bitwiseAND(1) * 2 - 1)).alias(f"s{j}")
+        for j in range(16)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    sim_expr = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, 1).otherwise(0) * (1 << j)
+        sim_expr = term if sim_expr is None else sim_expr + term
+    return sums.select("doc_id", sim_expr.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max_hamming) via pigeonhole banding: the
+    16-bit sketch splits into 3 chunks (6/5/5); hamming ≤ 2 ⇒ at least
+    one chunk matches exactly, so candidates come from 3 equi-joins —
+    never an O(n²) cross join. (For max_hamming k, use k+1 chunks.)"""
+    sim = simhash_values(df, text_col, id_col)
+    chunked = sim.select(
+        "doc_id",
+        "simhash",
+        F.col("simhash").bitwiseAND(0x3F).alias("c0"),
+        F.shiftright("simhash", 6).bitwiseAND(0x1F).alias("c1"),
+        F.shiftright("simhash", 11).bitwiseAND(0x1F).alias("c2"),
+    )
+    cands = None
+    for c in ("c0", "c1", "c2"):
+        pair = (
+            chunked.alias("a")
+            .join(
+                chunked.alias("b"),
+                (F.col(f"a.{c}") == F.col(f"b.{c}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sim_a"),
+                F.col("b.simhash").alias("sim_b"),
+            )
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.distinct()
+        .select("doc_a", "doc_b", dist.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

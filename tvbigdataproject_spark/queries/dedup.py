@@ -22,13 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tvbigdataproject_spark.functions import (
-    lsh_bands,
-    md5_seeded,
-    minhash_signature,
-    shingles,
+from tvbigdataproject_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
 )
-from tvbigdataproject_spark.functions.hashing import hex16_hash
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
 
@@ -56,12 +55,7 @@ def dedup_exact_hash(spark, sf_dir):
     One shuffle on the digest; at 100 TB hash first (digest is 32 bytes
     vs arbitrarily long text) so the shuffle carries digests, not bodies.
     """
-    docs = read_table(spark, sf_dir, "documents")
-    return (
-        docs.select(F.md5("text").alias("text_hash"), "doc_id")
-        .groupBy("text_hash")
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-    )
+    return exact_dedup_groups(read_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -90,29 +84,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     true near-dups); the exact Jaccard then scores candidates from
     intersection/size counts. No cross join anywhere.
     """
-    docs = read_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    scored = (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))).alias("jacc_raw"),
-        )
-    )
-    return scored.where(F.col("jacc_raw") >= 0.4).select(
-        "doc_a", "doc_b", F.col("jacc_raw").alias("jacc")
-    )
+    return ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), n=3, threshold=0.4
+    ).select("doc_a", "doc_b", F.col("jacc"))
 
 
 def _minhash_sql(num_hashes: int = 8, bands: int = 4, rows: int = 2, threshold: float = 0.4) -> str:
@@ -173,37 +147,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     (A band match implies ≥1 shared shingle, so no qualifying pair is
     lost by scoring candidates only.)
     """
-    docs = read_table(spark, sf_dir, "documents")
-    with_sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("shs")).where(
-        F.size("shs") > 0
-    )
-    sig = with_sh.select(
-        "doc_id",
-        "shs",
-        minhash_signature(F.col("shs"), num_hashes=8).alias("sig"),
-    )
-    band_df = sig.select(
-        "doc_id", F.explode(lsh_bands(F.col("sig"), bands=4, rows_per_band=2)).alias("bk")
-    )
-    cand = (
-        band_df.alias("a")
-        .join(
-            band_df.alias("b"),
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    shs_a = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
-    shs_b = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
-    attached = cand.join(shs_a, "doc_a").join(shs_b, "doc_b")
-    i = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
-    union_size = F.size("shs_a") + F.size("shs_b") - i
-    scored = attached.select(
-        "doc_a", "doc_b", (i.cast("double") / union_size).alias("jacc_raw")
-    )
-    return scored.where(F.col("jacc_raw") >= 0.4).select(
-        "doc_a", "doc_b", F.col("jacc_raw").alias("jacc")
+    return minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=8,
+        bands=4,
+        threshold=0.4,
     )
 
 
@@ -244,48 +193,4 @@ def dedup_simhash(spark, sf_dir):
     values instead of an O(n²) cross join. The oracle brute-forces the
     same predicate, which is exact at sf=0.01.
     """
-    docs = read_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok")
-    )
-    hashed = tok.select("doc_id", hex16_hash(F.col("tok")).alias("h"))
-    bit_sums = [
-        F.sum((F.shiftright(F.col("h"), j).bitwiseAND(1) * 2 - 1)).alias(f"s{j}")
-        for j in range(16)
-    ]
-    sums = hashed.groupBy("doc_id").agg(*bit_sums)
-    sim_expr = None
-    for j in range(16):
-        term = F.when(F.col(f"s{j}") > 0, 1).otherwise(0) * (1 << j)
-        sim_expr = term if sim_expr is None else sim_expr + term
-    sim = sums.select("doc_id", sim_expr.alias("simhash"))
-    # Pigeonhole chunks: bits [0,6), [6,11), [11,16).
-    chunked = sim.select(
-        "doc_id",
-        "simhash",
-        F.col("simhash").bitwiseAND(0x3F).alias("c0"),
-        F.shiftright("simhash", 6).bitwiseAND(0x1F).alias("c1"),
-        F.shiftright("simhash", 11).bitwiseAND(0x1F).alias("c2"),
-    )
-    cands = None
-    for c in ("c0", "c1", "c2"):
-        pair = (
-            chunked.alias("a")
-            .join(
-                chunked.alias("b"),
-                (F.col(f"a.{c}") == F.col(f"b.{c}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("sim_a"),
-                F.col("b.simhash").alias("sim_b"),
-            )
-        )
-        cands = pair if cands is None else cands.unionByName(pair)
-    dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cands.distinct()
-        .select("doc_a", "doc_b", dist.alias("hamming"))
-        .where(F.col("hamming") <= 2)
-    )
+    return simhash_pairs(read_table(spark, sf_dir, "documents"), max_hamming=2)

@@ -18,6 +18,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tvbigdataproject_spark.functions import cosine_similarity
+from tvbigdataproject_spark.operators.similarity import (
+    cell_pruned_topk,
+    cosine_neardup_pairs,
+    cosine_topk,
+)
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
 
@@ -85,22 +90,7 @@ def embed_cosine_topk(spark, sf_dir):
     deterministic.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(queries))
-        .where(F.col("vec_id") != F.col("q_vec_id"))
-        .select(
-            "q_vec_id",
-            "vec_id",
-            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.select("q_vec_id", "vec_id", "cos", F.row_number().over(w).alias("rn")).where(
-        F.col("rn") <= 5
-    )
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
 @query(
@@ -126,24 +116,7 @@ def embed_ivf_topk(spark, sf_dir):
     is the scale path: cells partition the corpus, each query probes one
     (or nprobe) cells."""
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_vec_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_emb"),
-    )
-    scored = (
-        emb.join(F.broadcast(queries), (F.col("label") == F.col("q_label")))
-        .where(F.col("vec_id") != F.col("q_vec_id"))
-        .select(
-            "q_vec_id",
-            "vec_id",
-            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.select("q_vec_id", "vec_id", "cos", F.row_number().over(w).alias("rn")).where(
-        F.col("rn") <= 3
-    )
+    return cell_pruned_topk(emb, emb.where(F.col("vec_id") < 10), k=3)
 
 
 @query(
@@ -161,15 +134,6 @@ def embed_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.99), blocked by the
     coarse cell so the pair space is per-cell, not global — the
     embedding-space analogue of LSH-bucketed dedup."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
-    )
-    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-    cos = cosine_similarity(F.col("ea"), F.col("eb"))
-    return pairs.where(cos >= 0.99).select(
-        "vec_a", "vec_b", cos.alias("cos")
+    return cosine_neardup_pairs(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.99
     )
