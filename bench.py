@@ -28,6 +28,9 @@ HEADLINE = [
     "join_inner_agg",           # broadcast dim join + agg
     "top_orders_by_revenue",    # fact-fact shuffle join + agg + topk
     "join_left_count",          # outer join
+    "regional_revenue",         # 5-way join chain (TPC-H Q5 shape)
+    "small_quantity_parts",     # decorrelated scalar subquery (Q17 shape)
+    "salted_type_counts",       # two-phase salted aggregation
     "agg_cube",                 # grouping sets
     "window_topk_per_group",    # window rank
     "window_running_sum",       # window frame agg

@@ -12,11 +12,11 @@ instantiations and the per-operator scale notes):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tvbigdataproject_spark.functions import lsh_bands, minhash_signature, shingles
-from tvbigdataproject_spark.functions.hashing import hex16_hash
+from tvbigdataproject_spark.functions.hashing import hex_bits_hash
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -115,25 +115,50 @@ def minhash_lsh_pairs(
     return _score_pairs(cand, with_sh, threshold)
 
 
+SIMHASH_BITS = 32
+
+
 def simhash_values(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, simhash): 16-bit SimHash over distinct whitespace tokens."""
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.split(F.lower(text_col), " "))).alias("tok"),
+    """(doc_id, simhash): 32-bit SimHash over whitespace tokens,
+    frequency-weighted (standard SimHash: a token voting k times moves
+    the majority by k — on corpora with a small shared vocabulary,
+    distinct-token sketches collapse to near-identical values and the
+    hamming graph degenerates; weighting by occurrence restores
+    discrimination).
+
+    Computed entirely row-locally: the token hashes are a let-bound array
+    and each bit's majority vote is a filter-count over it — no explode,
+    no shuffle, the sketch is born in the scan stage. (An explode +
+    32-way SUM groupBy computes the same thing with a full shuffle of
+    every token.)
+
+    32 bits (vs a narrower sketch) keeps hamming ≤ 2 meaningful at
+    corpus scale: random doc pairs collide with probability ~(1+32+496)/2³²
+    ≈ 1e-7, so candidate volume tracks true near-dups, not noise.
+    """
+    from tvbigdataproject_spark.functions.text import _bind
+
+    toks = F.split(F.lower(text_col), " ")
+
+    def body(hs: Column) -> Column:
+        n = F.size(hs)
+        sim = None
+        for j in range(SIMHASH_BITS):
+            def bit_set(shift: int):
+                return lambda h: F.shiftright(h, shift).bitwiseAND(1) == 1
+
+            n_set = F.size(F.filter(hs, bit_set(j)))
+            # majority vote: sum of (2*bit-1) > 0  ⇔  2*n_set - n > 0
+            term = F.when(2 * n_set - n > 0, F.lit(1).cast("long")).otherwise(0) * (1 << j)
+            sim = term if sim is None else sim + term
+        return sim
+
+    hashes = F.transform(toks, lambda t: hex_bits_hash(t, 8))
+    return df.select(
+        F.col(id_col).alias("doc_id"), _bind(hashes, body).alias("simhash")
     )
-    hashed = tok.select("doc_id", hex16_hash(F.col("tok")).alias("h"))
-    bit_sums = [
-        F.sum((F.shiftright(F.col("h"), j).bitwiseAND(1) * 2 - 1)).alias(f"s{j}")
-        for j in range(16)
-    ]
-    sums = hashed.groupBy("doc_id").agg(*bit_sums)
-    sim_expr = None
-    for j in range(16):
-        term = F.when(F.col(f"s{j}") > 0, 1).otherwise(0) * (1 << j)
-        sim_expr = term if sim_expr is None else sim_expr + term
-    return sums.select("doc_id", sim_expr.alias("simhash"))
 
 
 def simhash_pairs(
@@ -143,16 +168,16 @@ def simhash_pairs(
     max_hamming: int = 2,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming ≤ max_hamming) via pigeonhole banding: the
-    16-bit sketch splits into 3 chunks (6/5/5); hamming ≤ 2 ⇒ at least
-    one chunk matches exactly, so candidates come from 3 equi-joins —
-    never an O(n²) cross join. (For max_hamming k, use k+1 chunks.)"""
+    32-bit sketch splits into 3 chunks (11/11/10 bits); hamming ≤ 2 ⇒ at
+    least one chunk matches exactly, so candidates come from 3 equi-joins
+    — never an O(n²) cross join. (For max_hamming k, use k+1 chunks.)"""
     sim = simhash_values(df, text_col, id_col)
     chunked = sim.select(
         "doc_id",
         "simhash",
-        F.col("simhash").bitwiseAND(0x3F).alias("c0"),
-        F.shiftright("simhash", 6).bitwiseAND(0x1F).alias("c1"),
-        F.shiftright("simhash", 11).bitwiseAND(0x1F).alias("c2"),
+        F.col("simhash").bitwiseAND(0x7FF).alias("c0"),
+        F.shiftright("simhash", 11).bitwiseAND(0x7FF).alias("c1"),
+        F.shiftright("simhash", 22).bitwiseAND(0x3FF).alias("c2"),
     )
     cands = None
     for c in ("c0", "c1", "c2"):

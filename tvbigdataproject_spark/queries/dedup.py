@@ -8,7 +8,7 @@ Design for 100 TB:
 - MinHash computes signatures with array expressions (no explode, no
   shuffle) and only explodes the B band keys per doc; candidate volume
   is controlled by band width;
-- SimHash candidates come from pigeonhole banding (3 chunks of a 16-bit
+- SimHash candidates come from pigeonhole banding (3 chunks of a 32-bit
   sketch: hamming ≤ 2 ⇒ some chunk matches exactly), so the verify join
   is equi, never a cross join. The DuckDB oracles brute-force the same
   definitions, which is fine at sf=0.01 and exactly what the Spark side
@@ -157,18 +157,18 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def _simhash_sql() -> str:
-    # 16-bit simhash over distinct tokens; brute-force verify (oracle only).
+    # 32-bit frequency-weighted simhash; brute-force verify (oracle only).
     bit_sums = ",\n               ".join(
-        f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(16)
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(32)
     )
-    sim_expr = " + ".join(f"(CASE WHEN s{j} > 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(16))
+    sim_expr = " + ".join(f"(CASE WHEN s{j} > 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(32))
     return f"""
     WITH toks AS (
-        SELECT DISTINCT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+        SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
         FROM documents
     ),
     hashed AS (
-        SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM toks
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
     ),
     bitsums AS (
         SELECT doc_id,
@@ -185,12 +185,13 @@ def _simhash_sql() -> str:
 
 @query("dedup_simhash", sql=_simhash_sql(), tags=("dedup", "simhash"))
 def dedup_simhash(spark, sf_dir):
-    """SimHash(16-bit) near-dup pairs at hamming distance ≤ 2.
+    """SimHash(32-bit, frequency-weighted) near-dup pairs at hamming ≤ 2.
 
-    Spark side finds candidates by pigeonhole banding — the 16-bit sketch
-    splits into 3 chunks (6/5/5 bits); hamming ≤ 2 implies at least one
-    chunk is identical, so candidates come from 3 equi-joins on chunk
-    values instead of an O(n²) cross join. The oracle brute-forces the
-    same predicate, which is exact at sf=0.01.
+    Spark side computes the sketch row-locally (no shuffle) and finds
+    candidates by pigeonhole banding — the 32-bit sketch splits into 3
+    chunks (11/11/10 bits); hamming ≤ 2 implies at least one chunk is
+    identical, so candidates come from 3 equi-joins on chunk values
+    instead of an O(n²) cross join. The oracle brute-forces the same
+    predicate, which is exact at sf=0.01.
     """
     return simhash_pairs(read_table(spark, sf_dir, "documents"), max_hamming=2)

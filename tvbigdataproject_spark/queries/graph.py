@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tvbigdataproject_spark.functions import jaccard
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
 
@@ -162,26 +161,29 @@ def jaccard_user_similarity(spark, sf_dir):
     """
     ev = read_table(spark, sf_dir, "events")
     ut = ev.select("user_id", "event_type").distinct()
-    sets = ut.groupBy("user_id").agg(F.collect_set("event_type").alias("types"))
-    pairs = (
+    # count-based set similarity: |A∩B| from the shared-element join's
+    # group counts, |A|,|B| broadcast — one shuffle join + one groupBy,
+    # no arrays materialized. (The array-valued jaccard() Column function
+    # is the same formula and is exercised by the Q3 tweet pipeline and
+    # its golden/property tests.)
+    sizes = ut.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
         ut.alias("a")
         .join(
             ut.alias("b"),
             (F.col("a.event_type") == F.col("b.event_type"))
             & (F.col("a.user_id") < F.col("b.user_id")),
         )
-        .select(F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b"))
-        .distinct()
+        .groupBy(F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
     )
     scored = (
-        # the per-user set table is tiny (one row per user) — broadcast
-        # both attach joins; only the pair-generation join shuffles
-        pairs.join(F.broadcast(sets.alias("sa")), F.col("user_a") == F.col("sa.user_id"))
-        .join(F.broadcast(sets.alias("sb")), F.col("user_b") == F.col("sb.user_id"))
+        inter.join(F.broadcast(sizes.alias("sa")), F.col("user_a") == F.col("sa.user_id"))
+        .join(F.broadcast(sizes.alias("sb")), F.col("user_b") == F.col("sb.user_id"))
         .select(
             "user_a",
             "user_b",
-            jaccard(F.col("sa.types"), F.col("sb.types")).alias("jacc_raw"),
+            (F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))).alias("jacc_raw"),
         )
     )
     return scored.where(F.col("jacc_raw") >= 0.5).select(
