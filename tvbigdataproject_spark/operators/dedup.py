@@ -65,21 +65,39 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
 ) -> DataFrame:
-    """Exact near-dup pairs: candidates from a shared-shingle equi-join
-    (~linear in true near-dups for natural text), scored with exact
-    Jaccard."""
+    """Exact near-dup pairs by shingle Jaccard.
+
+    Count-based: the shared-shingle self-join's group counts ARE the
+    intersection sizes, and |A|,|B| broadcast onto the pair table —
+    so each co-occurring pair is scored from three integers, never by
+    materializing shingle arrays per pair. On corpora with colliding
+    shingles (small vocabularies) the candidate table is large and
+    attaching arrays to it dominates; count-based scoring keeps the
+    per-pair cost O(1). Map-side partial aggregation absorbs the
+    co-occurrence fan-out before the shuffle.
+    """
     with_sh = _shingled(df, text_col, id_col, n)
     sh = with_sh.select("doc_id", F.explode("shs").alias("s"))
-    cand = (
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
         sh.alias("a")
         .join(
             sh.alias("b"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
     )
-    return _score_pairs(cand, with_sh, threshold)
+    scored = (
+        inter.join(F.broadcast(sizes.alias("sa")), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sizes.alias("sb")), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("i"))).alias("jacc"),
+        )
+    )
+    return scored.where(F.col("jacc") >= threshold)
 
 
 def minhash_lsh_pairs(
