@@ -63,8 +63,16 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    # JVM/codegen warmup on a trivial action so query 1 isn't charged for it.
+    # Warmup: JIT/codegen plus one real pass over each table's data so
+    # steady-state query times aren't charged for cold file listing,
+    # footer parsing, or OS page-cache misses.
+    from tvbigdataproject_spark.queries.registry import REGISTRY as _R  # noqa: F401
+    from tvbigdataproject_spark.sources import read_table
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    for table in ("lineitem", "orders", "customer", "part", "events", "documents", "embeddings"):
+        df = read_table(spark, sf_dir, table)
+        df.select(df.columns[0]).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

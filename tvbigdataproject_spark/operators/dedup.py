@@ -196,7 +196,10 @@ def simhash_pairs(
         F.col("simhash").bitwiseAND(0x7FF).alias("c0"),
         F.shiftright("simhash", 11).bitwiseAND(0x7FF).alias("c1"),
         F.shiftright("simhash", 22).bitwiseAND(0x3FF).alias("c2"),
-    )
+    # the sketch table feeds both sides of three chunk joins — six scans;
+    # persisting computes the 32-bit majority votes once (2 longs + 3
+    # ints per doc: the cache is tiny even at corpus scale)
+    ).persist()
     cands = None
     for c in ("c0", "c1", "c2"):
         pair = (

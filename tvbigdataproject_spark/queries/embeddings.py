@@ -126,14 +126,16 @@ def embed_ivf_topk(spark, sf_dir):
            ({_DOT}) / ({_NORM_A} * {_NORM_B}) AS cos
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ({_DOT}) / ({_NORM_A} * {_NORM_B}) >= 0.99
+    WHERE ({_DOT}) / ({_NORM_A} * {_NORM_B}) >= 0.3
     """,
     tags=("embeddings", "dedup"),
 )
 def embed_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.99), blocked by the
-    coarse cell so the pair space is per-cell, not global — the
-    embedding-space analogue of LSH-bucketed dedup."""
+    """Embedding-cosine near-duplicate pairs, blocked by the coarse cell
+    so the pair space is per-cell, not global — the embedding-space
+    analogue of LSH-bucketed dedup. Threshold 0.3 because the synthetic
+    embeddings carry no tighter duplicates (label clusters sit at ~0.3);
+    production near-dup runs use ≥0.95."""
     return cosine_neardup_pairs(
-        read_table(spark, sf_dir, "embeddings"), threshold=0.99
+        read_table(spark, sf_dir, "embeddings"), threshold=0.3
     )
