@@ -25,3 +25,4 @@ from tvbigdataproject_spark.queries import coverage  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic  # noqa: F401,E402
 from tvbigdataproject_spark.queries import textstats2  # noqa: F401,E402
 from tvbigdataproject_spark.queries import ann_lsh  # noqa: F401,E402
+from tvbigdataproject_spark.queries import reshape  # noqa: F401,E402

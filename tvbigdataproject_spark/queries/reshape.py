@@ -1,0 +1,141 @@
+"""Reshaping + statistical aggregates: pivot, unpivot, posexplode,
+exact percentiles, and correlation from exact component sums."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "pivot_event_counts",
+    sql=f"""
+    SELECT user_id,
+           {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    tags=("reshape", "pivot"),
+)
+def pivot_event_counts(spark, sf_dir):
+    """Pivot (long→wide): one column per event type. The value list is
+    explicit — at scale an unlisted pivot runs an extra distinct-values
+    job and can explode the schema; listing keeps it one pass."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@query(
+    "unpivot_part_metrics",
+    sql="""
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """Unpivot/melt (wide→long) — the inverse reshape, one generator pass."""
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("double").alias("p_size")
+    )
+    return part.unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "value")
+
+
+@query(
+    "posexplode_words",
+    sql="""
+    SELECT p_partkey, i - 1 AS pos, ws[i] AS word
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part),
+         UNNEST(range(1, len(ws) + 1)) AS r(i)
+    """,
+    tags=("generator",),
+)
+def posexplode_words(spark, sf_dir):
+    """posexplode: generator with element position (0-based)."""
+    return read_table(spark, sf_dir, "part").select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    )
+
+
+@query(
+    "percentile_acctbal",
+    sql="""
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.25) AS p25,
+           quantile_cont(c_acctbal, 0.50) AS p50,
+           quantile_cont(c_acctbal, 0.90) AS p90
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg", "percentile"),
+)
+def percentile_acctbal(spark, sf_dir):
+    """Exact interpolated percentiles per group. Both engines sort and
+    linearly interpolate the same way on identical doubles (no
+    accumulation, so no order sensitivity). The approximate sibling at
+    100 TB is percentile_approx (one-pass sketch)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", 0.25).alias("p25"),
+        F.percentile("c_acctbal", 0.50).alias("p50"),
+        F.percentile("c_acctbal", 0.90).alias("p90"),
+    )
+
+
+@query(
+    "corr_qty_price",
+    sql="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT))                                    AS sx,
+               SUM(CAST(ROUND(l_extendedprice) AS BIGINT))                               AS sy,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS sxy,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT))      AS sxx,
+               SUM(CAST(ROUND(l_extendedprice) AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr_qp
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def corr_qty_price(spark, sf_dir):
+    """Pearson correlation from exact integer component sums.
+
+    Built-in corr() accumulates co-moments in floating point (Welford in
+    one engine, naive in another) — unverifiable bitwise. Computing the
+    five component sums exactly (values rounded to ints, BIGINT sums are
+    associative and order-free) and assembling the coefficient in one
+    deterministic double expression gives the same statistic with an
+    engine-independent answer — the same trick _stable.py plays for sums.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - sxd * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - syd * F.col("sy"))
+    )
+    return s.select("l_returnflag", corr.alias("corr_qp"))
