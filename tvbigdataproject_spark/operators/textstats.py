@@ -78,6 +78,40 @@ def clean_text_spacy(text: Column) -> Column:
     return _clean(text)
 
 
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def quality_metrics(text: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> dict[str, Column]:
+    """The engine's document-quality bundle: token count, stopword ratio,
+    lexical diversity, and the composite score
+    0.5·min(n/100,1) + 0.3·(distinct/n) + 0.2·min(stop·5/n,1).
+
+    One definition shared by the oracle-checked query
+    (queries/textstats.py::text_quality_score) and the prep pipeline
+    (plans/llm_prep.py) — the expression shapes must stay identical on
+    both so results remain bitwise engine-portable.
+    """
+    ws = F.split(F.lower(text), " ")
+
+    def member(w):
+        return w.isin(*stopwords)
+
+    n_tokens = F.size(ws).cast("double")
+    n_stop = F.size(F.filter(ws, member)).cast("double")
+    n_distinct = F.size(F.array_distinct(ws)).cast("double")
+    score = (
+        0.5 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * (n_distinct / n_tokens)
+        + 0.2 * F.least(n_stop * 5.0 / n_tokens, F.lit(1.0))
+    )
+    return {
+        "n_tokens": F.size(ws),
+        "stopword_ratio": n_stop / n_tokens,
+        "distinct_ratio": n_distinct / n_tokens,
+        "quality_score": score,
+    }
+
+
 def token_count(text: Column, pattern: str = " ") -> Column:
     """Whitespace token count (see queries/textstats.py::text_token_stats
     for the full stats bundle with its oracle)."""

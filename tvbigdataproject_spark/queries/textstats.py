@@ -84,22 +84,17 @@ def text_token_stats(spark, sf_dir):
 )
 def text_quality_score(spark, sf_dir):
     """Heuristic quality score: length saturation + lexical diversity +
-    stopword presence (the classic cheap pre-filter for training data)."""
+    stopword presence (the classic cheap pre-filter for training data).
+    Definition shared with plans/llm_prep.py via operators.textstats."""
+    from tvbigdataproject_spark.operators.textstats import quality_metrics
+
     docs = read_table(spark, sf_dir, "documents")
-    ws = F.split(F.lower("text"), " ")
-    n_tokens = F.size(ws).cast("double")
-    n_stop = F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).cast("double")
-    n_distinct = F.size(F.array_distinct(ws)).cast("double")
-    score = (
-        0.5 * F.least(n_tokens / 100.0, F.lit(1.0))
-        + 0.3 * (n_distinct / n_tokens)
-        + 0.2 * F.least(n_stop * 5.0 / n_tokens, F.lit(1.0))
-    )
+    m = quality_metrics(F.col("text"), _STOPWORDS)
     return docs.select(
         "doc_id",
-        (n_stop / n_tokens).alias("stopword_ratio"),
-        (n_distinct / n_tokens).alias("distinct_ratio"),
-        score.alias("quality_score"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["distinct_ratio"].alias("distinct_ratio"),
+        m["quality_score"].alias("quality_score"),
     )
 
 
