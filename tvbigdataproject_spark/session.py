@@ -36,9 +36,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+    # In local mode the driver JVM IS the executor; Spark's 1g default
+    # heap causes GC thrash on 32-way shuffles long before real data
+    # sizes. Only effective at JVM launch — the env var lets deployments
+    # size it to the box.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
