@@ -62,6 +62,10 @@ TWEETS = [
     _tweet(5, text="self rt", rt=_rt(5, text="self rt")),
     _tweet(6, tags=["Ümlaut"]),  # null text
     _tweet(6, text="quoting", tags=["omega"], rt=_rt(1, text=None)),
+    # u7/u8: identical own tag sets → Jaccard 1.0 > 0.5 → a JC edge at
+    # the default threshold (FIXTURES.md §A; src = greater id = 8)
+    _tweet(7, text="seven", tags=["kappa", "lambda"]),
+    _tweet(8, text="eight", tags=["Kappa", "Lambda"]),
 ]
 
 

@@ -90,15 +90,18 @@ class TweetGraphPipeline:
         if self.only_tags_from_not_retweeted_posts:
             # reference P4: dynamic predicate, :100-102 applied at :105
             own = own.where(F.col("retweeted_status.user.id").isNull())
-        own = own.select(
+        own = own.where(F.col("user.id").isNotNull()).select(
             F.col("user.id").cast("string").alias("id"),
             F.col("hashtagEntitiesArray").alias("htea"),
         )
+        # tags of retweeted posts belong to the ORIGINAL author
+        # (reference :94: retweeted_status.user.id aliased as id), not to
+        # the retweeter — the retweeter only contributes the RT edge.
         rt = (
             self.tweets.where(F.col("retweeted_status.user.id").isNotNull())
             .where(F.col("retweeted_status.hashtagEntities").isNotNull())
             .select(
-                F.col("user.id").cast("string").alias("id"),
+                F.col("retweeted_status.user.id").cast("string").alias("id"),
                 F.col("retweeted_status.hashtagEntitiesArray").alias("htea"),
             )
         )
@@ -140,12 +143,15 @@ class TweetGraphPipeline:
         cands = pair_candidates(tag_edges, min_shared=2, src_col="id", item_col="tag")
         a = mapping.select(F.col("id").alias("id_a"), F.col("hts").alias("hts_a"))
         b = mapping.select(F.col("id").alias("id_b"), F.col("hts").alias("hts_b"))
+        # pair_candidates emits id_a < id_b; the reference's motif filter
+        # keeps c.id > d.id and exports src=c.id, dst=d.id (:164-185), so
+        # the greater id is the edge source.
         scored = (
             cands.join(a, "id_a")
             .join(b, "id_b")
             .select(
-                F.col("id_a").alias("src"),
-                F.col("id_b").alias("dst"),
+                F.col("id_b").alias("src"),
+                F.col("id_a").alias("dst"),
                 jaccard(F.col("hts_a"), F.col("hts_b")).alias("w"),
             )
         )
@@ -221,17 +227,23 @@ class TweetGraphPipeline:
 
     # --- Q6: word-cloud corpus (reference bigdata/__init__.py:73-94) ------
 
-    def word_cloud_corpus(self) -> DataFrame:
+    def word_cloud_corpus(self, drop_empty: bool = False) -> DataFrame:
         """Cleaned tweet text, preferring the retweeted post's text when
         present (reference P5: when/otherwise at bigdata/__init__.py:87-90;
         cleaning via spaCy UDF D6 — native fallback here; the optional
-        spaCy pandas_udf lives in operators/textstats.py)."""
+        spaCy pandas_udf lives in operators/textstats.py).
+
+        The reference keeps null/empty texts as empty cleaned strings
+        (cleaner(None) -> '', bigdata/__init__.py:40-41), so one output
+        row per tweet is the default; ``drop_empty=True`` opts into
+        filtering them."""
         source_text = F.when(
             F.col("retweeted_status.text").isNull(), F.col("text")
         ).otherwise(F.col("retweeted_status.text"))
-        return self.tweets.select(simple_clean(source_text).alias("text")).where(
-            F.length("text") > 0
-        )
+        out = self.tweets.select(simple_clean(source_text).alias("text"))
+        if drop_empty:
+            out = out.where(F.length("text") > 0)
+        return out
 
     # --- Q7: neighborhood subgraph (reference :252-276) -------------------
 
