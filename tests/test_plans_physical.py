@@ -64,6 +64,34 @@ def test_nested_loop_joins_only_where_intended(spark):
             assert "NestedLoopJoin" not in _plan(spark, name), name
 
 
+def test_no_forced_broadcast_on_per_entity_tables(spark):
+    # the ngram/jaccard scorers join a sizes table with one row per
+    # document/user — unbounded at corpus scale, so a hard F.broadcast
+    # hint would force a driver OOM at 100 TB. With the auto-broadcast
+    # threshold disabled, only a hint can still produce a broadcast
+    # join; these plans must then contain none (AQE remains free to
+    # broadcast at runtime when the table is actually small).
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("dedup_ngram_jaccard", "jaccard_user_similarity"):
+            plan = _plan(spark, name)
+            assert "BroadcastHashJoin" not in plan, name
+            assert "BroadcastExchange" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_simhash_leaves_no_cached_rdds(spark):
+    # round-1 simhash_pairs persisted its chunk table and never released
+    # it — every call leaked cached blocks for the session lifetime. The
+    # banded single-join rewrite needs no cache at all; prove nothing
+    # lingers after materialization.
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    REGISTRY["dedup_simhash"].fn(spark, SF_DIR).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
 def test_aggregates_have_partial_phase(spark):
     # partial (map-side) aggregation before the shuffle — Catalyst plans
     # HashAggregate(partial) + HashAggregate(final)

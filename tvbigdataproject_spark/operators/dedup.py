@@ -68,7 +68,7 @@ def ngram_jaccard_pairs(
     """Exact near-dup pairs by shingle Jaccard.
 
     Count-based: the shared-shingle self-join's group counts ARE the
-    intersection sizes, and |A|,|B| broadcast onto the pair table —
+    intersection sizes, and |A|,|B| equi-join onto the pair table —
     so each co-occurring pair is scored from three integers, never by
     materializing shingle arrays per pair. On corpora with colliding
     shingles (small vocabularies) the candidate table is large and
@@ -88,9 +88,12 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    # no broadcast hint on sizes: it has one row per *document*, so at
+    # corpus scale it is billions of rows and a hard hint would force a
+    # driver OOM. Plain equi-joins let AQE broadcast when actually small.
     scored = (
-        inter.join(F.broadcast(sizes.alias("sa")), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes.alias("sb")), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -187,35 +190,44 @@ def simhash_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, hamming ≤ max_hamming) via pigeonhole banding: the
     32-bit sketch splits into 3 chunks (11/11/10 bits); hamming ≤ 2 ⇒ at
-    least one chunk matches exactly, so candidates come from 3 equi-joins
-    — never an O(n²) cross join. (For max_hamming k, use k+1 chunks.)"""
+    least one chunk matches exactly, so candidates come from a single
+    self-equi-join on (band position, chunk value) over the posexploded
+    chunk table — never an O(n²) cross join. (For max_hamming k, use k+1
+    chunks.)
+
+    One composite-key join replaces the previous three per-chunk joins:
+    one shuffle instead of three, the sketch expression is evaluated
+    twice (once per join side) instead of six times, and there is no
+    persist() to leak — the round-1 version cached the chunk table for
+    the session lifetime on every call.
+    """
     sim = simhash_values(df, text_col, id_col)
-    chunked = sim.select(
+    banded = sim.select(
         "doc_id",
         "simhash",
-        F.col("simhash").bitwiseAND(0x7FF).alias("c0"),
-        F.shiftright("simhash", 11).bitwiseAND(0x7FF).alias("c1"),
-        F.shiftright("simhash", 22).bitwiseAND(0x3FF).alias("c2"),
-    # the sketch table feeds both sides of three chunk joins — six scans;
-    # persisting computes the 32-bit majority votes once (2 longs + 3
-    # ints per doc: the cache is tiny even at corpus scale)
-    ).persist()
-    cands = None
-    for c in ("c0", "c1", "c2"):
-        pair = (
-            chunked.alias("a")
-            .join(
-                chunked.alias("b"),
-                (F.col(f"a.{c}") == F.col(f"b.{c}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        F.posexplode(
+            F.array(
+                F.col("simhash").bitwiseAND(0x7FF),
+                F.shiftright("simhash", 11).bitwiseAND(0x7FF),
+                F.shiftright("simhash", 22).bitwiseAND(0x3FF),
             )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("sim_a"),
-                F.col("b.simhash").alias("sim_b"),
-            )
+        ).alias("band", "chunk"),
+    )
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        cands = pair if cands is None else cands.unionByName(pair)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+    )
     dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cands.distinct()

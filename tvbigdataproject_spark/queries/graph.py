@@ -177,9 +177,11 @@ def jaccard_user_similarity(spark, sf_dir):
         .groupBy(F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    # no broadcast hint: sizes is one row per *user* — unbounded at
+    # corpus scale; AQE broadcasts it at runtime when actually small.
     scored = (
-        inter.join(F.broadcast(sizes.alias("sa")), F.col("user_a") == F.col("sa.user_id"))
-        .join(F.broadcast(sizes.alias("sb")), F.col("user_b") == F.col("sb.user_id"))
+        inter.join(sizes.alias("sa"), F.col("user_a") == F.col("sa.user_id"))
+        .join(sizes.alias("sb"), F.col("user_b") == F.col("sb.user_id"))
         .select(
             "user_a",
             "user_b",
