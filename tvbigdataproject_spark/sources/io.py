@@ -68,6 +68,45 @@ def write_csv(
     df.write.mode("overwrite").option("header", str(header).lower()).option("sep", sep).csv(path)
 
 
+def write_single_csv(
+    df: DataFrame, file_path: str, sep: str = ";", header: bool = True
+) -> None:
+    """Write ``df`` as ONE real CSV file at ``file_path``.
+
+    The reference's Gephi / Power BI workflow expects a single
+    ``prefix.edges.csv`` file (bigdata/__init__.py:107-113 forces it with
+    repartition(1), leaving a one-part directory). This helper closes
+    that compat gap without the one-task-stage plan node: the plan runs
+    at full parallelism and only the final write is coalesce(1), then the
+    part file is renamed over ``file_path``.
+
+    Single-file output is inherently driver-adjacent — use it only for
+    small final artifacts (reports, subgraphs); large datasets belong in
+    the parallel sinks above. Local filesystem only (the rename is an
+    os-level move); on an object store, write parallel and compose
+    downstream instead.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    parent = os.path.dirname(os.path.abspath(file_path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=parent)
+    try:
+        out_dir = os.path.join(tmp, "out")
+        df.coalesce(1).write.mode("overwrite").option(
+            "header", str(header).lower()
+        ).option("sep", sep).csv(out_dir)
+        (part,) = glob.glob(os.path.join(out_dir, "part-*.csv"))
+        os.makedirs(os.path.dirname(os.path.abspath(file_path)), exist_ok=True)
+        if os.path.isdir(file_path):
+            shutil.rmtree(file_path)
+        os.replace(part, file_path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -82,16 +121,24 @@ def save_graph(
     prefix: str = "g",
     fmt: str = "csv",
     coalesce_to: int | None = None,
+    single_file: bool = False,
+    sep: str = ";",
 ) -> None:
     """Graph sink: edges + vertices as two datasets (reference S4:
     bigdata/__init__.py:96-114 writes ``prefix.edges.csv`` /
-    ``prefix.vertices.csv`` via repartition(1); here both stay parallel,
-    CSV kept for Gephi compatibility, parquet for everything else)."""
+    ``prefix.vertices.csv`` via repartition(1); here both stay parallel
+    by default, CSV kept for Gephi compatibility, parquet for everything
+    else; ``single_file=True`` produces the reference's exact one-file
+    layout via write_single_csv for small final graphs)."""
     e_path = os.path.join(path, f"{prefix}.edges.{fmt}")
     v_path = os.path.join(path, f"{prefix}.vertices.{fmt}")
     if fmt == "csv":
-        write_csv(edges, e_path, sep=";", coalesce_to=coalesce_to)
-        write_csv(vertices, v_path, sep=";", coalesce_to=coalesce_to)
+        if single_file:
+            write_single_csv(edges, e_path, sep=sep)
+            write_single_csv(vertices, v_path, sep=sep)
+        else:
+            write_csv(edges, e_path, sep=sep, coalesce_to=coalesce_to)
+            write_csv(vertices, v_path, sep=sep, coalesce_to=coalesce_to)
     else:
         write_parquet(edges, e_path)
         write_parquet(vertices, v_path)
