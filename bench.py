@@ -48,6 +48,7 @@ HEADLINE = [
     "llm_prep_pipeline",        # composed prep pass (gate+dedup+fingerprint)
     "embed_cosine_topk",        # brute-force ANN baseline
     "embed_ivf_topk",           # pruned ANN
+    "embed_ivf_learned_topk",   # learned IVF (KMeans fit + probe)
 ]
 
 
@@ -75,20 +76,23 @@ def main() -> None:
         df = read_table(spark, sf_dir, table)
         df.select(df.columns[0]).write.format("noop").mode("overwrite").save()
 
-    # Each query runs twice and reports the better time: the first
-    # execution of a plan pays one-off JIT compilation of its generated
+    # Each query runs twice and BOTH times are reported: the first
+    # (cold) execution pays one-off JIT compilation of its generated
     # code (measured 2-6x noise on otherwise-stable queries); the second
-    # run is the engine's steady-state throughput, which is the quantity
-    # the 2x-of-baseline gate is about.
+    # (steady) run is the engine's steady-state throughput. Steady is
+    # the gate metric ("queries"/"value"); cold is alongside so variance
+    # stays visible instead of being minimized away.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        timings[name] = round(min(runs[1:]), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -98,6 +102,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold": cold,
+                "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": sf,
                 "n_queries": len(timings),
             }
