@@ -90,7 +90,7 @@ def fit_ivf_centers(
     n_cells: int = 8,
     vec_col: str = "embedding",
     seed: int = 42,
-    max_iter: int = 20,
+    max_iter: int = 10,
 ) -> list[list[float]]:
     """Learn an IVF coarse quantizer: seeded KMeans (public
     pyspark.ml.clustering.KMeans) over the L2-normalized corpus vectors.
