@@ -68,37 +68,40 @@ def ngram_jaccard_pairs(
     """Exact near-dup pairs by shingle Jaccard.
 
     Count-based: the shared-shingle self-join's group counts ARE the
-    intersection sizes, and |A|,|B| equi-join onto the pair table —
-    so each co-occurring pair is scored from three integers, never by
-    materializing shingle arrays per pair. On corpora with colliding
-    shingles (small vocabularies) the candidate table is large and
-    attaching arrays to it dominates; count-based scoring keeps the
-    per-pair cost O(1). Map-side partial aggregation absorbs the
-    co-occurrence fan-out before the shuffle.
+    intersection sizes, and each side's set size |A| rides along with
+    its exploded shingle rows (the shingle array is already distinct,
+    so size(shs) is computed in the scan stage — no separate sizes
+    table, no size-attach joins). Each co-occurring pair is scored from
+    three integers, never by materializing shingle arrays per pair;
+    map-side partial aggregation absorbs the co-occurrence fan-out
+    before the shuffle. Net plan: ONE self-equi-join + one groupBy —
+    at corpus scale that is two fewer full shuffles than the
+    sizes-table formulation.
     """
     with_sh = _shingled(df, text_col, id_col, n)
-    sh = with_sh.select("doc_id", F.explode("shs").alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = with_sh.select(
+        "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("s")
+    )
     inter = (
         sh.alias("a")
         .join(
             sh.alias("b"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        # n_sh is functionally dependent on doc_id — grouping by it is
+        # free and keeps the sizes available without any re-join
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    # no broadcast hint on sizes: it has one row per *document*, so at
-    # corpus scale it is billions of rows and a hard hint would force a
-    # driver OOM. Plain equi-joins let AQE broadcast when actually small.
-    scored = (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("i") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("i"))).alias("jacc"),
-        )
+    scored = inter.select(
+        "doc_a",
+        "doc_b",
+        (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jacc"),
     )
     return scored.where(F.col("jacc") >= threshold)
 

@@ -160,13 +160,24 @@ def jaccard_user_similarity(spark, sf_dir):
     jaccard pipeline (RetweetTagsJaccardGraph.py:158-183).
     """
     ev = read_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    # count-based set similarity: |A∩B| from the shared-element join's
-    # group counts, |A|,|B| broadcast — one shuffle join + one groupBy,
-    # no arrays materialized. (The array-valued jaccard() Column function
-    # is the same formula and is exercised by the Q3 tweet pipeline and
-    # its golden/property tests.)
-    sizes = ut.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # count-based set similarity: one groupBy builds each user's
+    # distinct event-type set (and its size, scan-side from the array);
+    # the set size then rides along with the exploded rows into the
+    # shared-element self-join, so |A∩B| comes from the join's group
+    # counts and |A|,|B| need no sizes table and no re-join — the plan
+    # is one groupBy + one self-equi-join + one groupBy, two fewer
+    # shuffles than the sizes-join formulation at any scale. (The
+    # array-valued jaccard() Column function is the same formula and is
+    # exercised by the Q3 tweet pipeline and its golden/property tests.)
+    ut = (
+        ev.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("types"))
+        .select(
+            "user_id",
+            F.size("types").alias("n"),
+            F.explode("types").alias("event_type"),
+        )
+    )
     inter = (
         ut.alias("a")
         .join(
@@ -174,19 +185,18 @@ def jaccard_user_similarity(spark, sf_dir):
             (F.col("a.event_type") == F.col("b.event_type"))
             & (F.col("a.user_id") < F.col("b.user_id")),
         )
-        .groupBy(F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b"))
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    # no broadcast hint: sizes is one row per *user* — unbounded at
-    # corpus scale; AQE broadcasts it at runtime when actually small.
-    scored = (
-        inter.join(sizes.alias("sa"), F.col("user_a") == F.col("sa.user_id"))
-        .join(sizes.alias("sb"), F.col("user_b") == F.col("sb.user_id"))
-        .select(
-            "user_a",
-            "user_b",
-            (F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))).alias("jacc_raw"),
-        )
+    scored = inter.select(
+        "user_a",
+        "user_b",
+        (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jacc_raw"),
     )
     return scored.where(F.col("jacc_raw") >= 0.5).select(
         "user_a", "user_b", F.col("jacc_raw").alias("jacc")
