@@ -15,6 +15,7 @@ from tvbigdataproject_spark.streaming import (
     streaming_session_agg,
     streaming_tumbling_agg,
 )
+from tvbigdataproject_spark.streaming.events import streaming_view_click_join
 
 SF_DIR = "/root/testdata/sf0.001"
 EVENTS = f"{SF_DIR}/events.parquet"
@@ -72,3 +73,18 @@ def test_streaming_batch_twin_is_oracle_checked(spark):
     # the batch twins of these streaming ops are part of the oracle suite
     for name in ("tumbling_window_agg", "sliding_window_agg", "sessionize_events"):
         assert REGISTRY[name].sql is not None
+
+
+def test_streaming_interval_join_matches_batch(spark, stream):
+    # stream-stream interval join (view -> click attribution) must
+    # produce exactly the batch twin's rows; append mode — joins emit
+    # matches as watermarks allow, availableNow drains them all
+    run_to_memory_sink(
+        streaming_view_click_join(stream), "t_vcj", output_mode="append"
+    )
+    got = _table(spark, "t_vcj")
+    want = {
+        tuple(r)
+        for r in REGISTRY["interval_join_view_click"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want

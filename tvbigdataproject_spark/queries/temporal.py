@@ -166,3 +166,39 @@ def asof_join_latest_order(spark, sf_dir):
     return carried.where(F.col("is_event") == 1).select(
         "event_id", "user_id", "ts", "last_orderkey"
     )
+
+
+@query(
+    "interval_join_view_click",
+    sql="""
+    SELECT v.user_id, v.ts AS view_ts, c.ts AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("temporal", "join"),
+)
+def interval_join_view_click(spark, sf_dir):
+    """Equi + interval join (attribution shape): each view matched to
+    the same user's clicks within the following 30 minutes. The equi
+    key keeps it a hash join with a residual time predicate — unlike
+    the pure range join (range_join_bands) no nested loop is needed.
+    Streaming twin: streaming/events.py::streaming_view_click_join
+    (same body, watermarked state expiry)."""
+    ev = read_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    return (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("user_id", "view_ts", "click_ts")
+    )

@@ -91,6 +91,38 @@ def streaming_dedup(
     )
 
 
+def streaming_view_click_join(
+    events: DataFrame, within: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each view joined to the same user's
+    clicks within ``within`` after it (the attribution shape). Both
+    sides carry watermarks and the join condition bounds both event
+    times, so Spark can expire join state — without the time bound a
+    stream-stream join buffers forever. Same body as the batch twin
+    (queries/temporal.py::interval_join_view_click)."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    )
+    return joined.select(
+        "user_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: str = "append", timeout_sec: int = 120
 ):
