@@ -82,6 +82,29 @@ def test_no_forced_broadcast_on_per_entity_tables(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
 
 
+def test_corpus_self_joins_are_shuffle_hash(spark):
+    # every corpus×corpus pair join (shared-shingle, LSH band, shared
+    # item/part, cell-blocked embeddings) must partition both sides, not
+    # let a size misestimate broadcast a per-document/user/vector table:
+    # at 100 TB the build side is the whole corpus. The SHUFFLE_HASH hint
+    # pins the strategy; assert the planner honored it and no sort-merge
+    # crept in either (the hint also skips two corpus-wide sorts). The
+    # one BroadcastHashJoin allowed in pair_candidates_shared_parts is
+    # the intentional F.broadcast(orders) dimension join — assert the
+    # pair join itself is the shuffle-hash one.
+    for name, n_shj in (
+        ("dedup_ngram_jaccard", 1),
+        ("dedup_minhash_lsh", 3),  # band join + two shingle attaches
+        ("dedup_simhash", 1),
+        ("jaccard_user_similarity", 1),
+        ("embed_neardup_pairs", 1),
+        ("pair_candidates_shared_parts", 1),
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("ShuffledHashJoin") >= n_shj, name
+        assert "SortMergeJoin" not in plan, name
+
+
 def test_simhash_leaves_no_cached_rdds(spark):
     # round-1 simhash_pairs persisted its chunk table and never released
     # it — every call leaked cached blocks for the session lifetime. The

@@ -49,7 +49,14 @@ def _score_pairs(cand: DataFrame, with_sh: DataFrame, threshold: float) -> DataF
     shingle arrays — candidate-local, no shingle self-join."""
     shs_a = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     shs_b = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
-    attached = cand.join(shs_a, "doc_a").join(shs_b, "doc_b")
+    # the attach sides are one-row-per-document (corpus-sized): a size
+    # misestimate must not broadcast them — shuffle-hash on the doc id
+    # is right at every scale
+    attached = (
+        cand.hint("SHUFFLE_HASH")
+        .join(shs_a.hint("SHUFFLE_HASH"), "doc_a")
+        .join(shs_b.hint("SHUFFLE_HASH"), "doc_b")
+    )
     i = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
     union_size = F.size("shs_a") + F.size("shs_b") - i
     return (
@@ -83,9 +90,15 @@ def ngram_jaccard_pairs(
         "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("s")
     )
     inter = (
+        # both sides are the full exploded shingle table: an AQE broadcast
+        # here ships the corpus to the driver (OOM at scale) and defeats
+        # exchange reuse, recomputing the shingle expression twice.
+        # SHUFFLE_HASH partitions both sides by shingle — the identical
+        # exchanges collapse to one via ReusedExchange.
         sh.alias("a")
+        .hint("SHUFFLE_HASH")
         .join(
-            sh.alias("b"),
+            sh.alias("b").hint("SHUFFLE_HASH"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         # n_sh is functionally dependent on doc_id — grouping by it is
@@ -128,9 +141,12 @@ def minhash_lsh_pairs(
         F.explode(lsh_bands(F.col("sig"), bands=bands, rows_per_band=rows_per_band)).alias("bk"),
     )
     cand = (
+        # corpus-sized band table on both sides: never broadcast (see
+        # ngram_jaccard_pairs) — shuffle-hash on the band key
         band_df.alias("a")
+        .hint("SHUFFLE_HASH")
         .join(
-            band_df.alias("b"),
+            band_df.alias("b").hint("SHUFFLE_HASH"),
             (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

@@ -165,7 +165,15 @@ def pair_candidates(
         pairs_src = pairs_src.join(keep, "item", "left_semi")
     a, b = pairs_src.alias("a"), pairs_src.alias("b")
     return (
-        a.join(b, (F.col("a.item") == F.col("b.item")) & (F.col("a.ent") < F.col("b.ent")))
+        # both sides are the full (entity, item) edge table: broadcast
+        # would ship the corpus to every executor (and the driver) —
+        # shuffle-hash on the item key is right at every scale, and the
+        # identical shuffles collapse via ReusedExchange
+        a.hint("SHUFFLE_HASH")
+        .join(
+            b.hint("SHUFFLE_HASH"),
+            (F.col("a.item") == F.col("b.item")) & (F.col("a.ent") < F.col("b.ent")),
+        )
         .groupBy(F.col("a.ent").alias("id_a"), F.col("b.ent").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)

@@ -222,6 +222,11 @@ def cosine_neardup_pairs(
         F.col(cell_col).alias("cell_b"),
         F.col(vec_col).alias("emb_b"),
     )
-    pairs = a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
+    # corpus-sized on both sides: shuffle-hash on the cell key, never a
+    # broadcast of the full embedding table
+    pairs = a.hint("SHUFFLE_HASH").join(
+        b.hint("SHUFFLE_HASH"),
+        (F.col("cell_a") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")),
+    )
     cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
     return pairs.where(cos >= threshold).select("vec_a", "vec_b", cos.alias("cos"))

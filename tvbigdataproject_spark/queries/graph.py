@@ -93,7 +93,13 @@ def pair_candidates_shared_parts(spark, sf_dir):
     a = cp.alias("a")
     b = cp.alias("b")
     return (
-        a.join(b, (F.col("a.part") == F.col("b.part")) & (F.col("a.cust") < F.col("b.cust")))
+        # (cust, part) is corpus-sized on both sides — shuffle-hash, not
+        # an AQE broadcast, and the twin exchanges reuse
+        a.hint("SHUFFLE_HASH")
+        .join(
+            b.hint("SHUFFLE_HASH"),
+            (F.col("a.part") == F.col("b.part")) & (F.col("a.cust") < F.col("b.cust")),
+        )
         .groupBy(F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b"))
         .agg(F.count(F.lit(1)).alias("shared_parts"))
         .where(F.col("shared_parts") >= 2)
@@ -179,9 +185,12 @@ def jaccard_user_similarity(spark, sf_dir):
         )
     )
     inter = (
+        # per-user rows on both sides — shuffle-hash on the shared
+        # element, never a broadcast of a per-entity table
         ut.alias("a")
+        .hint("SHUFFLE_HASH")
         .join(
-            ut.alias("b"),
+            ut.alias("b").hint("SHUFFLE_HASH"),
             (F.col("a.event_type") == F.col("b.event_type"))
             & (F.col("a.user_id") < F.col("b.user_id")),
         )
