@@ -1,0 +1,85 @@
+"""Connected components + canonical survivor selection
+(operators/components.py) — topology edge cases the sf-fixture near-dup
+graphs don't exercise."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.operators.components import (
+    canonical_survivors,
+    connected_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src LONG, dst LONG")
+
+
+def _labels(df):
+    return {r["node"]: r["label"] for r in df.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # worst case for plain propagation: a 9-node path; pointer jumping
+    # must still converge well inside max_iter
+    got = _labels(
+        connected_components(_edges(spark, [(i, i + 1) for i in range(1, 9)]), max_iter=6)
+    )
+    assert got == {i: 1 for i in range(1, 10)}
+
+
+def test_disjoint_clusters_and_direction_blind(spark):
+    # edge direction must not matter; separate clusters keep separate minima
+    got = _labels(
+        connected_components(_edges(spark, [(5, 3), (3, 4), (10, 11), (12, 11)]))
+    )
+    assert got == {3: 3, 4: 3, 5: 3, 10: 10, 11: 10, 12: 10}
+
+
+def test_self_loops_and_duplicate_edges_are_harmless(spark):
+    got = _labels(
+        connected_components(_edges(spark, [(1, 1), (1, 2), (2, 1), (1, 2)]))
+    )
+    assert got == {1: 1, 2: 1}
+
+
+def test_nonconvergence_raises(spark):
+    try:
+        connected_components(_edges(spark, [(i, i + 1) for i in range(1, 40)]), max_iter=1)
+    except RuntimeError as e:
+        assert "converge" in str(e)
+    else:
+        raise AssertionError("expected RuntimeError on max_iter=1")
+
+
+def test_canonical_survivors_flags(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id LONG")
+    pairs = spark.createDataFrame([(2, 4), (4, 6)], "doc_a LONG, doc_b LONG")
+    rows = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in canonical_survivors(docs, pairs).collect()
+    }
+    # 2-4-6 cluster keeps 2; untouched docs keep themselves
+    assert rows == {
+        1: (1, True),
+        2: (2, True),
+        3: (3, True),
+        4: (2, False),
+        5: (5, True),
+        6: (2, False),
+    }
+    kept = sorted(k for k, (_, keep) in rows.items() if keep)
+    assert kept == [1, 2, 3, 5]
+
+
+def test_no_lingering_cached_rdds(spark):
+    # localCheckpoint materializes per round; the final labels frame is
+    # the only thing allowed to stay cached — and it is unpersisted when
+    # garbage collected. Assert the loop doesn't pile up storage beyond
+    # the rounds it ran (smoke bound, not an exact count).
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = connected_components(_edges(spark, [(1, 2), (3, 4)]))
+    df.count()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 4

@@ -6,6 +6,10 @@ from tvbigdataproject_spark.operators.graph import (  # noqa: F401
     pair_candidates,
     vertices_from_edges,
 )
+from tvbigdataproject_spark.operators.components import (  # noqa: F401
+    canonical_survivors,
+    connected_components,
+)
 from tvbigdataproject_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     exact_dedup_groups,

@@ -22,6 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tvbigdataproject_spark.operators.components import (
+    canonical_survivors,
+    connected_components,
+)
 from tvbigdataproject_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -195,3 +199,82 @@ def dedup_simhash(spark, sf_dir):
     predicate, which is exact at sf=0.01.
     """
     return simhash_pairs(read_table(spark, sf_dir, "documents"), max_hamming=2)
+
+
+# Near-dup pairs (word-3-gram Jaccard >= 0.4) as a reusable CTE chain,
+# then transitive closure via a recursive CTE — exact at sf=0.01; the
+# Spark side must converge to the same fixpoint.
+_PAIRS_CTE = f"""{_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+    ),
+    cc_edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    cc_nodes AS (SELECT DISTINCT a AS node FROM cc_edges),
+    reach(node, r) AS (
+        SELECT node, node FROM cc_nodes
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN cc_edges e ON e.a = reach.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY 1)"""
+
+
+@query(
+    "dedup_components",
+    sql=f"""
+    WITH RECURSIVE {_PAIRS_CTE}
+    SELECT doc_id, component FROM comp
+    """,
+    tags=("dedup", "components", "iterative"),
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate clusters: connected components over the near-dup pair
+    graph (word-3-gram Jaccard >= 0.4); component = min doc_id reachable.
+
+    The Spark side is iterative min-label propagation with pointer
+    jumping (operators/components.py) — converges to the same fixpoint
+    the oracle's recursive CTE computes in closed form. Pairs alone
+    don't dedup a corpus; clusters do.
+    """
+    pairs = ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), n=3, threshold=0.4
+    )
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+@query(
+    "dedup_survivors",
+    sql=f"""
+    WITH RECURSIVE {_PAIRS_CTE}
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    tags=("dedup", "components", "iterative"),
+)
+def dedup_survivors(spark, sf_dir):
+    """Full-corpus dedup verdict: every document with its duplicate
+    cluster and a keep flag (true iff it is the cluster's minimum id —
+    or untouched by any near-dup pair). ``WHERE keep`` is the deduped
+    corpus; this is the operator a 100 TB pretraining pipeline actually
+    runs, with pairs and components as internal stages.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+    return canonical_survivors(docs, pairs, id_col="doc_id", src="doc_a", dst="doc_b")
