@@ -127,7 +127,7 @@ def test_no_python_udf_fences_outside_multimodal(spark, name):
     # the engine's core promise: everything JVM-side except the declared
     # Arrow-batched multimodal stage
     plan = _plan(spark, name)
-    if name == "multimodal_features":
+    if name in ("multimodal_features", "multimodal_resize", "multimodal_frame_sample"):
         assert "MapInPandas" in plan
         return
     for fence in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):

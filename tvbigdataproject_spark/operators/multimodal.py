@@ -80,6 +80,92 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
     return (d[0] << 8 | d[1]) % 640, (d[2] << 8 | d[3]) % 480
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def _resize_stub(w: int, h: int, max_dim: int) -> tuple[int, int]:
+    """Aspect-preserving thumbnail dims in pure integer arithmetic (so
+    the oracle can replay it): no-op when already within max_dim, else
+    scale the long edge to max_dim with floor division."""
+    m = max(w, h)
+    if m <= max_dim:
+        return w, h
+    return w * max_dim // m, h * max_dim // m
+
+
+def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize stage: decode dims (stub), compute thumbnail dims, pass
+    payload metadata through — the same mapInPandas shape a real
+    PIL.thumbnail/cv2.resize stage has (it would additionally re-encode
+    the payload; the dims contract is what downstream planning sees)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            dims = [_decode_stub(bytes(p)) for p in pdf["payload"]]
+            new_dims = [_resize_stub(w, h, max_dim) for w, h in dims]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                    "new_width": [w for w, _ in new_dims],
+                    "new_height": [h for _, h in new_dims],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 16, every: int = 4) -> DataFrame:
+    """Frame-sampling stage: treat the payload as a fake fixed-rate video
+    (one frame per ``frame_bytes`` bytes), keep every ``every``-th frame,
+    emit one output row per sampled frame with a content digest.
+
+    The explode-in-Python shape (N input rows → variable output rows) is
+    exactly what a real ffmpeg/pyav frame sampler produces; memory stays
+    bounded because mapInPandas hands partitions over as an iterator of
+    Arrow batches regardless of per-payload fan-out."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            shas: list[str] = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                for i in range(0, len(b) // frame_bytes, every):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    shas.append(
+                        hashlib.sha256(b[i * frame_bytes : (i + 1) * frame_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha": shas})
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Byte + (stub-)decode features via mapInPandas over Arrow batches."""
 
