@@ -145,6 +145,38 @@ def main() -> None:
         results["dedup_sf01"][name] = run(op(ref_docs))
         results["dedup"][name] = run(op(docs))
 
+    # connected components: (a) end-to-end clustering of the 10x corpus's
+    # near-dup pairs, (b) a 1M-node graph of 1000-node chains — the
+    # worst-case diameter that makes plain propagation take 1000 rounds
+    # and pointer jumping ~log2(1000) ≈ 10.
+    from tvbigdataproject_spark.operators.components import connected_components
+
+    pairs_path = os.path.join(SCRATCH, f"neardup_pairs_x{args.factor}.parquet")
+    ngram_jaccard_pairs(docs, n=3, threshold=0.4).select("doc_a", "doc_b").write.mode(
+        "overwrite"
+    ).parquet(pairs_path)
+    pairs = spark.read.parquet(pairs_path)
+    t0 = time.perf_counter()
+    n_clustered = connected_components(pairs, src="doc_a", dst="doc_b").count()
+    t_cc = round(time.perf_counter() - t0, 2)
+
+    chains = (
+        spark.range(1_000_000, numPartitions=32)
+        .where(F.col("id") % 1000 != 999)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    chains.write.mode("overwrite").parquet(os.path.join(SCRATCH, "chains.parquet"))
+    chain_edges = spark.read.parquet(os.path.join(SCRATCH, "chains.parquet"))
+    t0 = time.perf_counter()
+    n_chain_nodes = connected_components(chain_edges, max_iter=30).count()
+    t_chain = round(time.perf_counter() - t0, 2)
+    results["components"] = {
+        "neardup_nodes": n_clustered,
+        "neardup_sec": t_cc,
+        "chain_nodes": n_chain_nodes,
+        "chain_sec": t_chain,
+    }
+
     edges = spark.read.parquet(edges_path)
     edges.write.format("noop").mode("overwrite").save()
     uncapped = pair_candidates(edges, min_shared=2, src_col="ent", item_col="item")
