@@ -140,10 +140,16 @@ def tfidf_top_terms(spark, sf_dir):
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # constant-key equi-join instead of crossJoin: same broadcast of the
+    # one-row aggregate, but a BroadcastHashJoin — keeps the suite-wide
+    # "no nested-loop joins" physical invariant strict
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).withColumn(
+        "_k", F.lit(1)
+    )
     scored = (
         tf.join(df, "term")
-        .crossJoin(n)
+        .withColumn("_k", F.lit(1))
+        .join(n, "_k")
         .select(
             "doc_id",
             "term",
