@@ -76,23 +76,41 @@ def main() -> None:
         df = read_table(spark, sf_dir, table)
         df.select(df.columns[0]).write.format("noop").mode("overwrite").save()
 
-    # Each query runs twice and BOTH times are reported: the first
-    # (cold) execution pays one-off JIT compilation of its generated
-    # code (measured 2-6x noise on otherwise-stable queries); the second
-    # (steady) run is the engine's steady-state throughput. Steady is
-    # the gate metric ("queries"/"value"); cold is alongside so variance
-    # stays visible instead of being minimized away.
+    # Each query runs once cold (pays one-off JIT of its generated code)
+    # then SPARK_GRAFT_BENCH_REPS (default 3) post-warm reps. The gate
+    # metric ("queries"/"value") is the per-query MEDIAN of the warm
+    # reps — a single reading in a shared/noisy sandbox once wrote a
+    # phantom 3.3x "regression" into the gate artifact, so one sample is
+    # never trusted again. Min/max spread and implausible cold<warm
+    # inversions (cold carries strictly more one-off work, so warm
+    # median > cold means an external-noise hit, not a plan property)
+    # are reported alongside for the reader to judge trustworthiness.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    suspect: list[str] = []
     for name in names:
         fn = REGISTRY[name].fn
         runs = []
-        for _ in range(2):
+        for _ in range(1 + reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        warm = sorted(runs[1:])
+        med = warm[len(warm) // 2] if len(warm) % 2 else (
+            (warm[len(warm) // 2 - 1] + warm[len(warm) // 2]) / 2
+        )
         cold[name] = round(runs[0], 3)
-        timings[name] = round(min(runs[1:]), 3)
+        timings[name] = round(med, 3)
+        spread[name] = [round(warm[0], 3), round(warm[-1], 3)]
+        if med > runs[0] * 1.25:
+            suspect.append(name)
+            print(
+                f"WARN {name}: warm median {med:.2f}s > cold {runs[0]:.2f}s "
+                "— implausible inversion, treat this reading as noisy",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -104,6 +122,9 @@ def main() -> None:
                 "queries": timings,
                 "cold": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "spread": spread,
+                "warm_reps": reps,
+                "suspect_inversions": suspect,
                 "sf": sf,
                 "n_queries": len(timings),
             }

@@ -74,12 +74,16 @@ def test_canonical_survivors_flags(spark):
 
 
 def test_no_lingering_cached_rdds(spark):
-    # localCheckpoint materializes per round; the final labels frame is
-    # the only thing allowed to stay cached — and it is unpersisted when
-    # garbage collected. Assert the loop doesn't pile up storage beyond
-    # the rounds it ran (smoke bound, not an exact count).
+    # each round's checkpoint is released deterministically once the
+    # next round is materialized (_unpersist_ids) — only the returned
+    # labels frame may stay cached. Assert the loop doesn't pile up
+    # storage proportional to rounds: a 33-node chain runs ~5 pointer-
+    # jumping rounds, so a per-round leak would show up as >1 extra
+    # entry regardless of ContextCleaner timing.
     before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    df = connected_components(_edges(spark, [(1, 2), (3, 4)]))
+    df = connected_components(
+        _edges(spark, [(i, i + 1) for i in range(1, 33)]), max_iter=10
+    )
     df.count()
     after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    assert after - before <= 4
+    assert after - before <= 1

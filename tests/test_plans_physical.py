@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -50,13 +51,16 @@ def test_dim_joins_are_broadcast(spark):
 
 
 def test_nested_loop_joins_only_where_intended(spark):
-    # two intentional nested-loop shapes: the non-equi range join (no
-    # hash-join form exists) and the brute-force ANN baseline (a cross
-    # join over a broadcast 10-row query set IS the algorithm). Everything
+    # three intentional nested-loop shapes: the non-equi range join (no
+    # hash-join form exists), the brute-force ANN baseline (a cross join
+    # over a broadcast 10-row query set IS the algorithm), and
+    # tfidf_top_terms' global-N attach (a broadcast cross join with a
+    # one-row aggregate — a literal-key equi-join constant-folds back to
+    # this plan, so the cross join is written explicitly). Everything
     # else must never fall back to a nested loop — the reference's
     # disjunctive-predicate report join did (SURVEY.md J5), and staying
     # free of accidental ones is part of the rewrite's contract.
-    intended = {"range_join_bands", "embed_cosine_topk"}
+    intended = {"range_join_bands", "embed_cosine_topk", "tfidf_top_terms"}
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
     for name in sorted(REGISTRY):
@@ -65,19 +69,33 @@ def test_nested_loop_joins_only_where_intended(spark):
 
 
 def test_no_forced_broadcast_on_per_entity_tables(spark):
-    # the ngram/jaccard scorers join a sizes table with one row per
-    # document/user — unbounded at corpus scale, so a hard F.broadcast
-    # hint would force a driver OOM at 100 TB. With the auto-broadcast
-    # threshold disabled, only a hint can still produce a broadcast
-    # join; these plans must then contain none (AQE remains free to
-    # broadcast at runtime when the table is actually small).
+    # any table that scales with the data (per-document/user aggregates,
+    # customer, orders, part_avg) must never carry a hard F.broadcast
+    # hint — at 100 TB a forced broadcast is a driver OOM. With the
+    # auto-broadcast threshold disabled, only a hint can still produce a
+    # broadcast join; these plans must then contain none (AQE remains
+    # free to broadcast at runtime when the side is actually small).
     threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        for name in ("dedup_ngram_jaccard", "jaccard_user_similarity"):
+        for name in (
+            "dedup_ngram_jaccard",
+            "jaccard_user_similarity",
+            "pair_candidates_shared_parts",  # orders is fact-sized
+            "join_inner_agg",                # customer is linear in SF
+            "small_quantity_parts",          # part_avg: one row per partkey
+        ):
             plan = _plan(spark, name)
             assert "BroadcastHashJoin" not in plan, name
             assert "BroadcastExchange" not in plan, name
+        # regional_revenue keeps exactly two hinted broadcasts — nation
+        # (25 rows) and region (5 rows), bounded at any SF. A third
+        # exchange would mean the customer hint crept back in. Count the
+        # formatted-explain node headers ("(n) BroadcastExchange") since
+        # every node is printed twice (tree + detail section).
+        plan = _plan(spark, "regional_revenue")
+        n_bx = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+        assert n_bx == 2, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
 
@@ -88,10 +106,11 @@ def test_corpus_self_joins_are_shuffle_hash(spark):
     # let a size misestimate broadcast a per-document/user/vector table:
     # at 100 TB the build side is the whole corpus. The SHUFFLE_HASH hint
     # pins the strategy; assert the planner honored it and no sort-merge
-    # crept in either (the hint also skips two corpus-wide sorts). The
-    # one BroadcastHashJoin allowed in pair_candidates_shared_parts is
-    # the intentional F.broadcast(orders) dimension join — assert the
-    # pair join itself is the shuffle-hash one.
+    # crept in either (the hint also skips two corpus-wide sorts).
+    # pair_candidates_shared_parts' lineitem⋈orders feeder join carries
+    # no hint (orders is fact-sized) — at test SFs the size-based planner
+    # may broadcast it, which is fine; the pair join itself must be the
+    # shuffle-hash one.
     for name, n_shj in (
         ("dedup_ngram_jaccard", 1),
         ("dedup_minhash_lsh", 3),  # band join + two shingle attaches
@@ -109,10 +128,14 @@ def test_simhash_leaves_no_cached_rdds(spark):
     # round-1 simhash_pairs persisted its chunk table and never released
     # it — every call leaked cached blocks for the session lifetime. The
     # banded single-join rewrite needs no cache at all; prove nothing
-    # lingers after materialization.
+    # lingers after materialization. Assert no *growth* rather than exact
+    # equality: the shared session may hold checkpoint RDDs from earlier
+    # tests that the async ContextCleaner releases mid-test, so an exact
+    # snapshot comparison is flaky by construction (it once observed
+    # before=3, after=0 and failed).
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     REGISTRY["dedup_simhash"].fn(spark, SF_DIR).count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
 
 
 def test_aggregates_have_partial_phase(spark):

@@ -1,0 +1,185 @@
+"""Full-suite parity at sf1 (VERDICT r2 item 6).
+
+The driver's correctness gate runs at sf0.01 and /root/testdata tops out
+at sf0.1; this tool closes the validation gap above that: it generates a
+**real-shaped, dup-heavy sf1** and runs EVERY registered query through
+Spark AND its DuckDB oracle on it.
+
+Generation = 10 key-offset copies of the sf0.1 tables:
+- foreign keys are offset consistently (copy i adds i*OFFSET to every
+  key column), so each copy is an internally-consistent TPC-H-ish world
+  — relational results scale exactly linearly and stay comparable;
+- document text / embedding vectors are NOT offset, so every document
+  occurs ~10x — the dup-heavy corpus SCALE.md's collision-light
+  synthetic generator missed (candidate joins fan out across copies,
+  which is exactly the stress near-dup dedup must survive);
+- region/nation stay as-is (bounded dims at any SF).
+
+Comparison: queries whose result fits under --cap rows get the full
+order-insensitive value comparison (same as tools/check_parity.py);
+larger results are compared by exact row count in both engines (a
+collect of a 100M-row pair table proves nothing about the engine and
+everything about driver RAM).
+
+    python tools/scale_parity.py [--copies 10] [--cap 1000000] [query ...]
+
+Prints per-query PASS/FAIL lines and one final JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in (REPO, os.path.join(REPO, "tools")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+from check_parity import TABLES, rows_to_multiset  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/spark_graft_sf1"
+OFFSET = 50_000_000  # > any sf0.1 key; keeps offset keys well inside long
+
+# key columns to offset per copy (FK-consistent within each copy)
+KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+BOUNDED = ("region", "nation")
+
+
+def generate(spark, copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(OUT, exist_ok=True)
+    for t in BOUNDED:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{OUT}/{t}.parquet"
+        )
+    for t, keys in KEYS.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        # one distributed pass: explode a copy index, offset the keys —
+        # no driver loop, no union chain of N plans
+        widened = df.withColumn(
+            "_copy", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+        ).select(
+            *[
+                (F.col(c) + F.col("_copy") * OFFSET).alias(c) if c in keys else F.col(c)
+                for c in df.columns
+            ]
+        )
+        widened.write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--cap", type=int, default=1_000_000,
+                    help="max rows for full value comparison; above: count-only")
+    ap.add_argument("--skip-gen", action="store_true",
+                    help="reuse an existing generated directory")
+    ap.add_argument("queries", nargs="*", help="subset of query names")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from tvbigdataproject_spark.queries import REGISTRY
+    from tvbigdataproject_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-parity")
+    if not args.skip_gen:
+        t0 = time.time()
+        generate(spark, args.copies)
+        print(f"generated sf1 under {OUT} in {time.time()-t0:.0f}s", flush=True)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        # Spark writes a directory of part files — glob them for DuckDB
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{OUT}/{t}.parquet/*.parquet')"
+        )
+
+    only = set(args.queries)
+    summary: dict[str, dict] = {}
+    n_pass = n_fail = 0
+    for name, rq in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        rec: dict = {}
+        try:
+            sdf = rq.fn(spark, OUT)
+            s_cols = sdf.columns
+            n_spark = sdf.count()
+            t_spark = round(time.time() - t0, 1)
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}", flush=True)
+            summary[name] = {"err": f"spark: {exc}"}
+            n_fail += 1
+            continue
+        rec.update(spark_rows=n_spark, spark_sec=t_spark)
+        if rq.sql is None:
+            rec["mode"] = "rows-only (no oracle)"
+            print(f"ok   {name}: rows-only ({n_spark} rows, {t_spark}s)", flush=True)
+            summary[name] = rec
+            n_pass += 1
+            continue
+        t0 = time.time()
+        try:
+            if n_spark > args.cap:
+                n_duck = con.execute(
+                    f"SELECT COUNT(*) FROM ({rq.sql})"
+                ).fetchone()[0]
+                rec.update(mode="count-only", oracle_rows=n_duck,
+                           oracle_sec=round(time.time() - t0, 1))
+                ok = n_duck == n_spark
+            else:
+                res = con.execute(rq.sql)
+                d_cols = [d[0] for d in res.description]
+                d_rows = res.fetchall()
+                rec.update(mode="values", oracle_rows=len(d_rows),
+                           oracle_sec=round(time.time() - t0, 1))
+                ok = sorted(s_cols) == sorted(d_cols) and len(d_rows) == n_spark
+                if ok:
+                    s_rows = [tuple(r) for r in sdf.collect()]
+                    ok = rows_to_multiset(s_rows, s_cols) == rows_to_multiset(
+                        d_rows, d_cols
+                    )
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}", flush=True)
+            rec["err"] = f"duckdb: {exc}"
+            summary[name] = rec
+            n_fail += 1
+            continue
+        rec["match"] = ok
+        summary[name] = rec
+        if ok:
+            n_pass += 1
+            print(
+                f"PASS {name} [{rec['mode']}] ({n_spark} rows, "
+                f"spark {rec['spark_sec']}s, duck {rec['oracle_sec']}s)",
+                flush=True,
+            )
+        else:
+            n_fail += 1
+            print(f"FAIL {name} [{rec['mode']}]: {rec}", flush=True)
+
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    print(json.dumps({"sf": 1.0, "pass": n_pass, "fail": n_fail, "queries": summary}))
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

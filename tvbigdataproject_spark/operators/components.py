@@ -18,18 +18,52 @@ Design for 100 TB:
   by node/label id. Nothing per-row ever reaches the driver — the loop
   condition is a scalar "any label changed?" count.
 - both join sides are corpus-sized, so the shuffle-hash strategy is
-  pinned (a size misestimate must never broadcast a per-node table).
+  pinned (a size misestimate must never broadcast a per-node table;
+  tradeoff vs MERGE under heap pressure: operators/dedup.py docstring).
 - lineage is truncated every round with ``localCheckpoint`` — without
   it the plan doubles per iteration and the driver, not the data,
   becomes the bottleneck. On a real cluster prefer reliable
   ``checkpoint()`` with a checkpoint dir (localCheckpoint ties the
   result to executor lifetime).
+- each round's checkpoint is released **deterministically** once the
+  next round is materialized: a checkpointed DataFrame's backing RDD
+  lives outside the cacheManager, so it is otherwise freed only when
+  Python GC happens to trigger the async ContextCleaner — on a
+  long-lived session that leaves O(rounds) label tables cached
+  nondeterministically. The ids are tracked by diffing
+  ``getPersistentRDDs`` around each checkpoint and unpersisted
+  explicitly (tests/test_components.py asserts no growth over a
+  deep-chain multi-round run).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _persistent_ids(sc) -> set[int]:
+    """Ids of currently persisted RDDs (the checkpoint blocks live here)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _unpersist_ids(sc, ids: set[int]) -> None:
+    """Release the persisted RDDs with these ids (non-blocking)."""
+    if not ids:
+        return
+    jmap = sc._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if int(k) in ids:
+            jmap.get(k).unpersist(False)
+
+
+def _checkpoint_tracked(df: DataFrame, sc) -> tuple[DataFrame, set[int]]:
+    """localCheckpoint(eager) + the ids of the RDDs it persisted, so the
+    caller can release them the moment they stop being needed."""
+    before = _persistent_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    return out, _persistent_ids(sc) - before
 
 
 def connected_components(
@@ -46,13 +80,14 @@ def connected_components(
     component minimum, so a clean exit is a correctness proof, not a
     heuristic stop).
     """
+    sc = edges.sparkSession.sparkContext
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (
+    labels, labels_ids = _checkpoint_tracked(
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        sc,
     )
     for _ in range(max_iter):
         # min label over the neighborhood (node itself included below)
@@ -79,15 +114,15 @@ def connected_components(
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        jumped = (
+        jumped, jumped_ids = _checkpoint_tracked(
             stepped.hint("SHUFFLE_HASH")
             .join(
                 parent.hint("SHUFFLE_HASH"),
                 stepped.label == parent.p_node,
                 "left",
             )
-            .select("node", F.coalesce("p_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .select("node", F.coalesce("p_label", "label").alias("label")),
+            sc,
         )
         changed = (
             jumped.alias("n")
@@ -96,7 +131,12 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = jumped
+        # the old round's checkpoint is dead the moment `changed` is
+        # computed — release it now instead of waiting for Python GC to
+        # reach the async ContextCleaner (O(rounds) cached label tables
+        # on a long-lived session otherwise)
+        _unpersist_ids(sc, labels_ids)
+        labels, labels_ids = jumped, jumped_ids
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

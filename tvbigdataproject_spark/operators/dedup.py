@@ -8,6 +8,21 @@ instantiations and the per-operator scale notes):
   ngram_jaccard_pairs  exact near-dup via shared-shingle equi-join
   minhash_lsh_pairs    MinHash+LSH candidates, candidate-local verify
   simhash_pairs        SimHash + pigeonhole banding (never a cross join)
+
+On the SHUFFLE_HASH pins (here and in operators/components.py,
+operators/graph.py, operators/similarity.py, queries/graph.py): every
+corpus×corpus join in this engine pins SHUFFLE_HASH as a *measured
+choice, not dogma*. What the pin buys: no broadcast of an unbounded
+side on a size misestimate (driver OOM at 100 TB), and no corpus-wide
+sort on either side (warm A/B on the ngram scorer: 1.5 s pinned vs
+3.7 s unpinned). What it costs: a shuffled-hash join builds its
+per-partition hash map in memory and, unlike sort-merge, degrades
+abruptly under heap pressure (spill support for shuffled-hash is
+coarser than sort-merge's streaming merge). SCALE.md's hub-skew
+ablation measured MERGE ≈ pinned-hash on the skewed case, so when a
+deployment's partitions outgrow executor heaps (shrinking
+maxPartitionBytes / raising shuffle.partitions is the first lever),
+switching the pin to MERGE costs little and buys robustness headroom.
 """
 
 from __future__ import annotations

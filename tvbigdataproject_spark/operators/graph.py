@@ -168,7 +168,8 @@ def pair_candidates(
         # both sides are the full (entity, item) edge table: broadcast
         # would ship the corpus to every executor (and the driver) —
         # shuffle-hash on the item key is right at every scale, and the
-        # identical shuffles collapse via ReusedExchange
+        # identical shuffles collapse via ReusedExchange (tradeoff vs
+        # MERGE under heap pressure: see operators/dedup.py docstring)
         a.hint("SHUFFLE_HASH")
         .join(
             b.hint("SHUFFLE_HASH"),

@@ -85,12 +85,21 @@ def cell_pruned_topk(
     ).where(F.col("rn") <= k)
 
 
+# Fitted coarse-quantizer centroids, keyed by (cache_key, params). An
+# index build is amortized across queries in any real deployment — the
+# centroids are a few KB of driver memory, so caching them is free and
+# saves a multi-job KMeans fit per call.
+_CENTER_CACHE: dict[tuple, list[list[float]]] = {}
+
+
 def fit_ivf_centers(
     corpus: DataFrame,
     n_cells: int = 8,
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    sample_target: int = 4096,
+    cache_key: object = None,
 ) -> list[list[float]]:
     """Learn an IVF coarse quantizer: seeded KMeans (public
     pyspark.ml.clustering.KMeans) over the L2-normalized corpus vectors.
@@ -99,12 +108,33 @@ def fit_ivf_centers(
     unit sphere d² = 2 - 2cos), matching the metric the scorer uses.
     Returns the centroid list (n_cells × dim floats — driver-sized by
     construction; the fit is the distributed pass).
+
+    Scale design: the fit runs on a seeded sample of ~``sample_target``
+    vectors, not the full corpus — a coarse quantizer needs cluster
+    *shape*, not every point, and KMeans iterations over 100 TB would
+    dominate the query. Corpora at or below the target are fitted whole
+    (the count() that decides is a parquet-metadata pass). When
+    ``cache_key`` identifies the corpus (e.g. its path), the centroids
+    are memoized per (corpus, params) so repeated queries pay the fit
+    once per session — the index-build amortization every real ANN
+    system does.
     """
+    key = (cache_key, n_cells, vec_col, seed, max_iter, sample_target)
+    if cache_key is not None and key in _CENTER_CACHE:
+        return _CENTER_CACHE[key]
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector
 
-    raw = corpus.withColumn(
+    fit_input = corpus
+    n = corpus.count()
+    if n > sample_target:
+        # oversample slightly so the expected sample stays ≥ target
+        fit_input = corpus.sample(
+            withReplacement=False, fraction=min(1.0, 1.2 * sample_target / n), seed=seed
+        )
+    raw = fit_input.withColumn(
         "__raw", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     feats = Normalizer(inputCol="__raw", outputCol="__features", p=2.0).transform(raw)
@@ -112,7 +142,10 @@ def fit_ivf_centers(
         k=n_cells, seed=seed, maxIter=max_iter,
         featuresCol="__features", predictionCol="__cell",
     ).fit(feats)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    if cache_key is not None:
+        _CENTER_CACHE[key] = centers
+    return centers
 
 
 def _nearest_cells(vec: Column, centers: list[list[float]], n: int) -> Column:
@@ -156,6 +189,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    cache_key: object = None,
 ) -> DataFrame:
     """Learned-IVF approximate top-k: KMeans cells, corpus-side
     multi-assignment, query-side multi-probe.
@@ -171,12 +205,16 @@ def ivf_topk(
     (ka=1 caps at 0.62 — the synthetic corpus is near-uniform on the
     sphere).
 
-    Plan shape at scale: one KMeans fit; both cell assignments are
-    scan-local array expressions (no shuffle, no window); the candidate
-    join is a hash equi-join on cell with the query side broadcast; the
-    corpus side stays partitioned and is touched once.
+    Plan shape at scale: one sampled KMeans fit, memoized per corpus
+    when ``cache_key`` is set (see fit_ivf_centers); both cell
+    assignments are scan-local array expressions (no shuffle, no
+    window); the candidate join is a hash equi-join on cell with the
+    query side broadcast; the corpus side stays partitioned and is
+    touched once.
     """
-    centers = fit_ivf_centers(corpus, n_cells=n_cells, vec_col=vec_col, seed=seed)
+    centers = fit_ivf_centers(
+        corpus, n_cells=n_cells, vec_col=vec_col, seed=seed, cache_key=cache_key
+    )
     assigned = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("emb"),
@@ -223,7 +261,8 @@ def cosine_neardup_pairs(
         F.col(vec_col).alias("emb_b"),
     )
     # corpus-sized on both sides: shuffle-hash on the cell key, never a
-    # broadcast of the full embedding table
+    # broadcast of the full embedding table (tradeoff vs MERGE under
+    # heap pressure: see operators/dedup.py docstring)
     pairs = a.hint("SHUFFLE_HASH").join(
         b.hint("SHUFFLE_HASH"),
         (F.col("cell_a") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")),

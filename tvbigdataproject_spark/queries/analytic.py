@@ -32,10 +32,10 @@ def regional_revenue(spark, sf_dir):
     """TPC-H Q5-style 5-way join chain: fact → fact → three dims.
 
     The physical shape that survives 100 TB: lineitem⋈orders shuffles on
-    the order key (both fact-sized), everything after is a broadcast
-    chain — customer, nation, region are each ≤1/10th the previous
-    level, so no further exchange. Catalyst reorders the dim joins
-    freely since they're all broadcasts.
+    the order key (both fact-sized); customer is linear in SF too, so it
+    gets no hard hint — AQE broadcasts it when it measures small and
+    shuffles it when it doesn't. Only nation (25 rows) and region
+    (5 rows) are hint-broadcast: genuinely bounded at any scale.
     """
     li, orders, customer, nation, region = (
         read_table(spark, sf_dir, t)
@@ -43,7 +43,7 @@ def regional_revenue(spark, sf_dir):
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -71,7 +71,11 @@ def small_quantity_parts(spark, sf_dir):
     """TPC-H Q17-style correlated scalar subquery, decorrelated by hand
     into aggregate-then-self-join — the plan Catalyst's decorrelation
     produces anyway, written explicitly so the shape is visible: one
-    groupBy over the fact, then a (broadcastable) join back.
+    groupBy over the fact, then a join back. part_avg has one row per
+    partkey (per-entity aggregate, linear in SF) so it carries no
+    broadcast hint — the join back is a co-partitioned shuffle join on
+    l_partkey (both sides already hash on it from the groupBy), or an
+    AQE runtime broadcast when the aggregate is actually small.
 
     avg_qty compares, never projects — l_quantity values are exact
     integers-in-doubles so the AVG is order-free (exact sum / count) and
@@ -80,7 +84,7 @@ def small_quantity_parts(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
     part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
     return (
-        li.join(F.broadcast(part_avg), "l_partkey")
+        li.join(part_avg, "l_partkey")
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_small"))

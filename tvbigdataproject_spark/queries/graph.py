@@ -84,9 +84,11 @@ def pair_candidates_shared_parts(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     cp = (
-        # orders is the 10x-smaller side at TPC-H ratios: broadcast it so
-        # the lineitem scan never shuffles before the distinct
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        # orders is fact-sized (linear in SF) — never force-broadcast it;
+        # a hard hint here is a driver OOM at 100 TB. AQE broadcasts at
+        # runtime when the side measures small, and otherwise this is a
+        # correct key-partitioned shuffle join.
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
     )
@@ -186,7 +188,8 @@ def jaccard_user_similarity(spark, sf_dir):
     )
     inter = (
         # per-user rows on both sides — shuffle-hash on the shared
-        # element, never a broadcast of a per-entity table
+        # element, never a broadcast of a per-entity table (tradeoff vs
+        # MERGE under heap pressure: see operators/dedup.py docstring)
         ut.alias("a")
         .hint("SHUFFLE_HASH")
         .join(

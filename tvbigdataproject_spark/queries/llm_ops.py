@@ -140,16 +140,17 @@ def tfidf_top_terms(spark, sf_dir):
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # constant-key equi-join instead of crossJoin: same broadcast of the
-    # one-row aggregate, but a BroadcastHashJoin — keeps the suite-wide
-    # "no nested-loop joins" physical invariant strict
-    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).withColumn(
-        "_k", F.lit(1)
-    )
+    # n_docs rides in as an intentional BroadcastNestedLoopJoin over a
+    # one-row aggregate: a single broadcast row joined with no condition
+    # is the cheapest way to attach a global scalar without a driver
+    # round-trip (same shape as embed_cosine_topk's query-set attach).
+    # A lit()-keyed equi-join cannot avoid this — Catalyst constant-folds
+    # the foldable keys and plans the nested loop anyway — so the plan
+    # test admits this query into its intended-NLJ set instead.
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
         tf.join(df, "term")
-        .withColumn("_k", F.lit(1))
-        .join(n, "_k")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "term",

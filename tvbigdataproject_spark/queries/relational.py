@@ -154,12 +154,15 @@ def count_distinct_suppliers(spark, sf_dir):
     tags=("join", "agg"),
 )
 def join_inner_agg(spark, sf_dir):
-    """Inner equi-join fact→dim (J1/J2). Customer is TPC-H-small relative
-    to orders: broadcast it and skip the shuffle entirely."""
+    """Inner equi-join fact→dim (J1/J2). Customer is smaller than orders
+    but still linear in SF, so no hard broadcast hint — at 100 TB a
+    forced broadcast of customer is a driver OOM. The size-based planner
+    / AQE broadcasts it whenever it actually fits (it does at test SFs),
+    and degrades to a shuffle join when it doesn't."""
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
