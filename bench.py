@@ -97,6 +97,11 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        # release the query's accumulated broadcast/shuffle state before
+        # the next measurement — in one long session those blocks are
+        # freed only on driver GC, and the resulting heap pressure was a
+        # measurable noise source on later queries
+        spark.sparkContext._jvm.System.gc()
         warm = sorted(runs[1:])
         med = warm[len(warm) // 2] if len(warm) % 2 else (
             (warm[len(warm) // 2 - 1] + warm[len(warm) // 2]) / 2
