@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_simhash",            # simhash banding
     "text_token_stats",         # text map pass
     "text_langid",              # text scoring
+    "chunk_boilerplate",        # chunk-hash boilerplate detection
     "llm_prep_pipeline",        # composed prep pass (gate+dedup+fingerprint)
     "embed_cosine_topk",        # brute-force ANN baseline
     "embed_ivf_topk",           # pruned ANN

@@ -60,6 +60,10 @@ BOUNDED = ("region", "nation")
 
 
 def generate(spark, copies: int) -> None:
+    import shutil
+
+    import duckdb
+
     from pyspark.sql import functions as F
 
     os.makedirs(OUT, exist_ok=True)
@@ -67,7 +71,37 @@ def generate(spark, copies: int) -> None:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{OUT}/{t}.parquet"
         )
+    # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as raw-nanos
+    # LongType (legacy.parquet.nanosAsLong) and would write plain INT64
+    # back — losing the timestamp logical type the DuckDB oracles need.
+    # DuckDB's own parquet writer downcasts TIMESTAMP_NS to micros, so
+    # the nanos file is written via pyarrow (format 2.6 carries NANOS),
+    # keeping the generated table bit-identical in shape to the source.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev_out = f"{OUT}/events.parquet"
+    if os.path.isdir(ev_out):
+        shutil.rmtree(ev_out)
+    tbl = (
+        duckdb.connect()
+        .execute(
+            f"""
+            SELECT event_id + c * {OFFSET} AS event_id,
+                   CAST(ts AS TIMESTAMP_NS) AS ts,
+                   user_id + c * {OFFSET} AS user_id,
+                   event_type, value, props
+            FROM read_parquet('{SRC}/events.parquet'), range({copies}) t(c)
+            """
+        )
+        .arrow()
+    )
+    ts_i = tbl.schema.get_field_index("ts")
+    tbl = tbl.cast(tbl.schema.set(ts_i, pa.field("ts", pa.timestamp("ns"))))
+    pq.write_table(tbl, ev_out, version="2.6", coerce_timestamps=None)
     for t, keys in KEYS.items():
+        if t == "events":
+            continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         # one distributed pass: explode a copy index, offset the keys —
         # no driver loop, no union chain of N plans
@@ -105,10 +139,12 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in TABLES:
-        # Spark writes a directory of part files — glob them for DuckDB
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{OUT}/{t}.parquet/*.parquet')"
-        )
+        # Spark writes a directory of part files (glob them for DuckDB);
+        # DuckDB-generated tables are single files
+        path = f"{OUT}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     only = set(args.queries)
     summary: dict[str, dict] = {}

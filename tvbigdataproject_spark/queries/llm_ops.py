@@ -103,6 +103,111 @@ def pack_sequences(spark, sf_dir):
 
 
 @query(
+    "chunk_boilerplate",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t,
+               UNNEST(range(CAST(floor(len(t) / 20) AS BIGINT))) AS i
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(t[(i * 20 + 1):(i * 20 + 20)], ' ')) AS chunk_hash
+        FROM idx
+    )
+    SELECT chunk_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    tags=("llm", "dedup", "boilerplate"),
+)
+def chunk_boilerplate(spark, sf_dir):
+    """Cross-document repeated-chunk (boilerplate) detection: each
+    document's token stream is cut into consecutive 20-token chunks,
+    chunks are content-hashed, and any chunk appearing in ≥2 distinct
+    documents is reported with its document and occurrence counts —
+    the practical chunk-granularity approximation of exact-substring
+    dedup (suffix-array substring dedup à la "Deduplicating Training
+    Data Makes Language Models Better" is not expressible as relational
+    algebra; fixed windows are what large pipelines actually ship).
+
+    Scale shape: chunking is scan-local (one transform over the token
+    array, no shuffle); the only exchange is the hash-keyed aggregate,
+    and only 32-char digests travel — never chunk text. Downstream,
+    an anti-join of (doc, chunk_hash) against these hashes strips the
+    boilerplate from the corpus.
+    """
+    # the size guard matters: sequence(0, -1) infers a NEGATIVE step in
+    # Spark (it counts down), so a <20-token doc would emit a bogus
+    # negative-index chunk instead of none
+    chunks = F.expr(
+        "case when size(split(lower(text), ' ')) >= 20 then "
+        "transform(sequence(0, cast(floor(size(split(lower(text), ' ')) / 20) as int) - 1), "
+        "i -> md5(array_join(slice(split(lower(text), ' '), i * 20 + 1, 20), ' '))) "
+        "else array() end"
+    )
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(chunks).alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "domain_mixture_weights",
+    sql="""
+    WITH counts AS (
+        SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER () AS share,
+           (1.0 / COUNT(*) OVER ()) / (CAST(n AS DOUBLE) / SUM(n) OVER ()) AS weight
+    FROM counts
+    """,
+    tags=("llm", "mixture"),
+)
+def domain_mixture_weights(spark, sf_dir):
+    """Per-domain resampling weights toward a target mixture: every
+    (lang, source) domain gets its corpus share and the multiplicative
+    sampling weight that moves the corpus to the target (here uniform
+    across domains — the target vector is a config in production).
+    Feeding `weight` to sampleBy (or as a repetition factor when >1) is
+    how pretraining runs rebalance domains without materializing a new
+    corpus.
+
+    Scale shape: one keyed aggregate over the corpus; the global-total
+    window runs over the aggregated domain table, whose cardinality is
+    bounded by langs x sources — a deliberate single-partition window
+    over dozens of rows, never over the corpus.
+    """
+    counts = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    share = F.col("n").cast("double") / F.sum("n").over(w)
+    return counts.select(
+        "lang",
+        "source",
+        "n",
+        share.alias("share"),
+        ((F.lit(1.0) / F.count(F.lit(1)).over(w)) / share).alias("weight"),
+    )
+
+
+@query(
     "tfidf_top_terms",
     sql="""
     WITH toks AS (
