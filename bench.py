@@ -30,6 +30,7 @@ HEADLINE = [
     "join_left_count",          # outer join
     "regional_revenue",         # 5-way join chain (TPC-H Q5 shape)
     "small_quantity_parts",     # decorrelated scalar subquery (Q17 shape)
+    "shipping_priority",        # filtered 3-way join + topk (Q3 shape)
     "salted_type_counts",       # two-phase salted aggregation
     "agg_cube",                 # grouping sets
     "window_topk_per_group",    # window rank

@@ -30,3 +30,5 @@ from tvbigdataproject_spark.queries import llm_prep  # noqa: F401,E402
 from tvbigdataproject_spark.queries import textstats3  # noqa: F401,E402
 from tvbigdataproject_spark.queries import relational2  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops  # noqa: F401,E402
+from tvbigdataproject_spark.queries import relational3  # noqa: F401,E402
+from tvbigdataproject_spark.queries import llm_ops2  # noqa: F401,E402

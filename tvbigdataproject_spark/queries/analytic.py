@@ -153,3 +153,36 @@ def salted_type_counts(spark, sf_dir):
         F.sum("n_part").alias("n"),
         F.sum("u_part").cast("long").alias("n_users"),
     )
+
+
+@query(
+    "salted_join_revenue",
+    sql=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_stable_sum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "skew"),
+)
+def salted_join_revenue(spark, sf_dir):
+    """The manual salted-join recipe (operators/skew.py) on the
+    lineitem⋈orders fact join: each probe key is scattered over 16
+    salted partitions, the build side is replicated 16 ways, and the
+    oracle is the PLAIN join SQL — proving salting changes only the
+    physical distribution, never the result. Companion to
+    salted_type_counts (which salts aggregation; this salts the join
+    itself, for hot keys AQE's sort-merge-only skew splitting can't
+    reach)."""
+    from tvbigdataproject_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salt=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+    )

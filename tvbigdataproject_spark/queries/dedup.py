@@ -278,3 +278,55 @@ def dedup_survivors(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4)
     return canonical_survivors(docs, pairs, id_col="doc_id", src="doc_a", dst="doc_b")
+
+
+@query(
+    "dedup_incremental",
+    sql="""
+    WITH hist AS (
+        SELECT DISTINCT md5(text) AS content_hash
+        FROM documents WHERE doc_id % 10 < 8
+    ),
+    incoming AS (
+        SELECT doc_id, md5(text) AS content_hash
+        FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT i.doc_id, i.content_hash,
+           h.content_hash IS NOT NULL AS seen_before
+    FROM incoming i LEFT JOIN hist h ON i.content_hash = h.content_hash
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental (continuous-crawl) dedup: an incoming batch is
+    checked against the historical corpus's content fingerprints — the
+    shape every production pipeline runs daily, where re-deduplicating
+    the full corpus per batch is out of the question. Here the split is
+    doc_id mod 10 (8:2 historical:incoming) to make it reproducible.
+
+    Scale shape: the historical side is a DISTINCT over 32-char digests
+    — at 100 TB that fingerprint table is ~3 orders of magnitude smaller
+    than the corpus and is the ONLY thing the incremental pass touches
+    (persist it as its own parquet in production; never rescan text).
+    The join shuffles digests, not documents, and AQE broadcasts the
+    incoming batch when it's the small side.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    hist = (
+        docs.where(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+        .alias("h")
+    )
+    incoming = (
+        docs.where(F.col("doc_id") % 10 >= 8)
+        .select("doc_id", F.md5("text").alias("content_hash"))
+        .alias("i")
+    )
+    return incoming.join(
+        hist, F.col("i.content_hash") == F.col("h.content_hash"), "left"
+    ).select(
+        F.col("doc_id"),
+        F.col("i.content_hash").alias("content_hash"),
+        F.col("h.content_hash").isNotNull().alias("seen_before"),
+    )

@@ -162,3 +162,62 @@ def embed_neardup_pairs(spark, sf_dir):
     return cosine_neardup_pairs(
         read_table(spark, sf_dir, "embeddings"), threshold=0.3
     )
+
+
+@query(
+    "embed_quantize_int8",
+    sql="""
+    WITH s AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max')
+                   / 127.0 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, scale,
+           CAST(list_aggregate(list_transform(e, x -> CAST(round(x / scale) AS BIGINT)),
+                               'sum') AS BIGINT) AS q_sum,
+           sqrt(list_aggregate(list_transform(e, x -> (x - round(x / scale) * scale)
+                                                      * (x - round(x / scale) * scale)),
+                               'sum')) AS recon_err
+    FROM s
+    """,
+    tags=("embeddings", "quantize"),
+)
+def embed_quantize_int8(spark, sf_dir):
+    """Symmetric int8 vector quantization — the storage lever that turns
+    a 100 TB float32 embedding store into 25 TB: per-vector scale =
+    max|x|/127, quantized component q = round(x/scale). Output carries
+    the scale, the (exact, integer) sum of quantized components, and the
+    L2 reconstruction error per vector.
+
+    The scale factor is computed in its own projection so it is
+    evaluated once per row, not once per element inside the lambdas
+    (HOF lambdas re-evaluate referenced subtrees per element). All math
+    is IEEE double in both engines and the error sum is the same
+    left-fold as l2_norm, so the oracle matches bitwise.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    scaled = emb.select(
+        "vec_id",
+        e.alias("e"),
+        (F.array_max(F.transform(e, lambda x: F.abs(x))) / 127.0).alias("scale"),
+    )
+    scale = F.col("scale")
+    q = lambda x: F.round(x / scale)  # noqa: E731
+    return scaled.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.col("e"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + q(x).cast("long"),
+        ).alias("q_sum"),
+        F.sqrt(
+            F.aggregate(
+                F.col("e"),
+                F.lit(0.0),
+                lambda acc, x: acc + (x - q(x) * scale) * (x - q(x) * scale),
+            )
+        ).alias("recon_err"),
+    )

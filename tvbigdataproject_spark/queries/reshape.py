@@ -139,3 +139,37 @@ def corr_qty_price(spark, sf_dir):
         * F.sqrt(nd * F.col("syy") - syd * F.col("sy"))
     )
     return s.select("l_returnflag", corr.alias("corr_qp"))
+
+
+@query(
+    "approx_quantiles_value",
+    sql=None,  # t-digest/GK estimates are engine-specific; bounded in tests/test_sketches.py
+    tags=("agg", "approx", "sketch"),
+)
+def approx_quantiles_value(spark, sf_dir):
+    """Approximate quantiles (percentile_approx, Greenwald-Khanna) of
+    event value per event type — the one-pass, mergeable,
+    bounded-memory complement to the exact interpolated
+    percentile_acctbal: exact percentiles need a per-group sort, GK
+    sketches aggregate partially map-side and merge, which is the only
+    viable shape for percentiles over 100 TB or over streams.
+
+    Estimates are engine-specific (DuckDB's approx_quantile is a
+    t-digest and disagrees in the last percentile), so this registers
+    rows-only; tests/test_sketches.py brackets each estimate between
+    neighboring exact quantiles instead.
+    """
+    acc = 10_000  # 1/accuracy relative-rank error bound
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], acc).alias("p"),
+        )
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p95"),
+            F.col("p")[2].alias("p99"),
+        )
+    )

@@ -60,3 +60,76 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+USER_PROFILE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_event_types", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def streaming_user_profile(events: DataFrame) -> DataFrame:
+    """Per-user profile via transformWithStateInPandas (Spark 4's
+    successor to applyInPandasWithState): typed state variables instead
+    of one monolithic tuple — a MapState of per-event-type counts plus a
+    ValueState total — emitting (user, distinct event types seen,
+    events seen) after each batch the user appears in.
+
+    Why the new API matters at scale: state is addressed per variable
+    per key in the (RocksDB-backed) state store, so touching one
+    event-type counter doesn't rewrite the whole user blob, and TTL /
+    timers are first-class when key spaces are unbounded. Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (set per-test; the HDFS-backed default
+    store does not support transformWithState) and the google.protobuf
+    package (the Python state server's wire format — absent in this
+    container, so tests/test_streaming_tws.py skip-guards exactly like
+    the spaCy tier).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._type_counts = handle.getMapState(
+                "type_counts", "event_type STRING", "n BIGINT"
+            )
+            self._total = handle.getValueState("total", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            total = self._total.get()[0] if self._total.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+                for etype, n in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._type_counts.getValue((etype,))[0]
+                        if self._type_counts.containsKey((etype,))
+                        else 0
+                    )
+                    self._type_counts.updateValue((etype,), (prev + int(n),))
+            self._total.update((int(total),))
+            n_types = sum(1 for _ in self._type_counts.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_event_types": [n_types],
+                    "n_events": [int(total)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfileProcessor(),
+        outputStructType=USER_PROFILE_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
