@@ -77,3 +77,57 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
         F.col("event_type") == "click"
     ).count()
     assert df.count() == n_click
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    # DPP: the fact side is partitioned by a join key; the selective
+    # filter sits on the DIM side only. At 100 TB this is the difference
+    # between scanning every date partition and scanning the few the
+    # filtered dim reaches — Catalyst inserts a runtime subquery filter
+    # on the fact scan (dynamicpruning expression) with zero query
+    # changes.
+    fact = str(tmp_path / "orders_by_priority")
+    read_table(spark, SF_DIR, "orders").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(fact)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("5-LOW", "cold")], ["prio", "tier"]
+    )
+    joined = (
+        spark.read.parquet(fact)
+        .join(dim, F.col("o_orderpriority") == F.col("prio"))
+        .where(F.col("tier") == "hot")
+    )
+    plan = _explain(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    want = (
+        read_table(spark, SF_DIR, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    assert joined.count() == want
+
+
+def test_range_clustered_write_skips_row_groups(spark, tmp_path):
+    # repartitionByRange + sortWithinPartitions clusters the data so a
+    # range predicate maps to a few files/row-groups (parquet min-max
+    # skipping) instead of all of them — the sort-order lever for
+    # time-series and key-range scans at 100 TB.
+    out = str(tmp_path / "lineitem_clustered")
+    (
+        read_table(spark, SF_DIR, "lineitem")
+        .repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).where(F.col("l_orderkey") < 100)
+    plan = _explain(df)
+    # the range predicate must be pushed to the parquet reader
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "LessThan(l_orderkey" in pushed
+    want = (
+        read_table(spark, SF_DIR, "lineitem").where(F.col("l_orderkey") < 100).count()
+    )
+    assert df.count() == want

@@ -179,7 +179,17 @@ def salted_join_revenue(spark, sf_dir):
 
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
-    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salt=16)
+    # salt on the natural key so the scan stays pruned to the columns
+    # the query actually needs (l_linenumber varies within an orderkey,
+    # which is what spreads a hot order across salts)
+    joined = salted_join(
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        n_salt=16,
+        salt_cols=["l_orderkey", "l_linenumber"],
+    )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
