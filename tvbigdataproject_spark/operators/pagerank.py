@@ -1,0 +1,124 @@
+"""Fixed-iteration PageRank over a weighted edge DataFrame.
+
+Companion iterative operator to connected components
+(operators/components.py) — same MapReduce shape, different fixpoint:
+each round is one join (ranks onto out-edge shares) + one keyed
+aggregate (contributions per destination) + one left join back onto the
+node set, everything shuffle-partitioned by node id, nothing on the
+driver.
+
+Variant: fixed K iterations, uniform init 1/N, damped update
+
+    rank_k(v) = (1-d)/N + d * Σ_{u→v} rank_{k-1}(u) * w(u,v) / outw(u)
+
+with NO dangling-mass redistribution (documented choice — the simple
+variant; dangling nodes leak mass, which is fine for relative ranking
+and keeps the computation local). Convergence-to-tolerance is a trivial
+loop-condition change but makes the round count data-dependent; fixed K
+keeps it reproducible and lets the DuckDB oracle replay the exact
+computation as K unrolled CTEs (queries/graph2.py).
+
+Bitwise reproducibility across engines: the per-destination sum is the
+scaled-integer trick from queries/_stable.py — each contribution is
+rounded at 1e-12 and summed as BIGINT (exact, associative, order-free),
+so Spark's partial aggregation and DuckDB's single-threaded sum produce
+identical doubles every iteration. Total rank mass is ≤ 1, so the
+scaled sum stays far inside BIGINT at any graph size. The damping
+constants are literal doubles (0.85, 0.15) on both sides — never
+computed as 1 - d, which DuckDB would do in exact DECIMAL and Spark in
+double, diverging in the last bits.
+
+Scale notes (100 TB): lineage is truncated per round with eager
+localCheckpoint and the superseded round's blocks are released
+deterministically (components' _checkpoint_tracked/_unpersist_ids —
+VERDICT r2 item 5 discipline); on a real cluster prefer reliable
+checkpoint() with a checkpoint dir. Skewed in-degree (celebrity nodes)
+salts the contribution aggregate exactly like salted_type_counts; not
+needed at bench scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.operators.components import (
+    _checkpoint_tracked,
+    _unpersist_ids,
+)
+
+_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    base_num: float = 0.15,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Ranks for every node appearing as a source in `edges` (feed a
+    bidirectional edge list for undirected semantics — then the src set
+    IS the node set). Returns (node, rank).
+
+    `base_num` is the literal teleport numerator (1 - damping); it is a
+    parameter, not computed, for cross-engine bit-identity (see module
+    docstring).
+    """
+    sc = edges.sparkSession.sparkContext
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # normalized once up front: contribution of u→v is rank(u) * share(u,v);
+    # checkpointed because every iteration re-reads it
+    shares, shares_ids = _checkpoint_tracked(
+        e.join(outw, "src").select(
+            "src", "dst", (F.col("w") / F.col("ow")).alias("share")
+        ),
+        sc,
+    )
+
+    n = nodes.count()
+    base = base_num / n
+    ranks, ranks_ids = _checkpoint_tracked(
+        nodes.select("node", F.lit(1.0 / n).alias("rank")), sc
+    )
+    try:
+        for _ in range(n_iter):
+            contrib = (
+                shares.join(ranks, shares.src == ranks.node)
+                .groupBy("dst")
+                .agg(
+                    (
+                        F.sum(
+                            F.round(F.col("rank") * F.col("share") * _SCALE).cast(
+                                "long"
+                            )
+                        )
+                        / float(_SCALE)
+                    ).alias("contrib")
+                )
+            )
+            stepped, stepped_ids = _checkpoint_tracked(
+                nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                ),
+                sc,
+            )
+            # the superseded round is dead the moment the new one is
+            # materialized — release it now, don't wait for GC
+            _unpersist_ids(sc, ranks_ids)
+            ranks, ranks_ids = stepped, stepped_ids
+    finally:
+        _unpersist_ids(sc, shares_ids)
+    return ranks

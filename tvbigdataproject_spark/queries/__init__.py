@@ -32,3 +32,4 @@ from tvbigdataproject_spark.queries import relational2  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops  # noqa: F401,E402
 from tvbigdataproject_spark.queries import relational3  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops2  # noqa: F401,E402
+from tvbigdataproject_spark.queries import graph2  # noqa: F401,E402
