@@ -88,3 +88,31 @@ def test_streaming_interval_join_matches_batch(spark, stream):
         for r in REGISTRY["interval_join_view_click"].fn(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    from tvbigdataproject_spark.streaming.events import streaming_enrich_with_dim
+
+    # a derived user dimension (bucketed segment per user) as the static side
+    dim = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.when(F.col("n") >= 10, "heavy").otherwise("light").alias("segment"),
+        )
+    )
+    stream = read_event_stream(spark, EVENTS, max_files_per_trigger=1)
+    run_to_memory_sink(
+        streaming_enrich_with_dim(stream, dim), "t_enriched", output_mode="append"
+    )
+    got = _table(spark, "t_enriched")
+    want = {
+        tuple(r)
+        for r in read_table(spark, SF_DIR, "events")
+        .join(dim, "user_id", "left")
+        .select("event_id", "user_id", "event_type", "value", "segment")
+        .collect()
+    }
+    assert got == want

@@ -123,6 +123,25 @@ def streaming_view_click_join(
     )
 
 
+def streaming_enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (batch)
+    dimension table — the lookup/enrichment shape every streaming
+    pipeline has. No watermark is needed and no join state accumulates:
+    the static side is planned fresh per micro-batch (so a dim refresh
+    is picked up on the next batch), and with AQE the small dim
+    broadcasts — each micro-batch is a map-side hash join, the same
+    physical shape as the batch twin. At 100 TB-of-stream the dim side
+    stays bounded; if the dim itself is huge, pre-bucket it on the join
+    key so per-batch joins co-locate."""
+    return events.join(dim, "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("segment"),
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: str = "append", timeout_sec: int = 120
 ):
