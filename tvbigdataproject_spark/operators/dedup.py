@@ -100,11 +100,51 @@ def ngram_jaccard_pairs(
     at corpus scale that is two fewer full shuffles than the
     sizes-table formulation.
     """
+    inter = _ngram_pair_counts(df, text_col, id_col, n)
+    scored = inter.select(
+        "doc_a",
+        "doc_b",
+        (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jacc"),
+    )
+    return scored.where(F.col("jacc") >= threshold)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs by shingle CONTAINMENT |A∩B| / min(|A|, |B|).
+
+    Containment catches the subset/superset relations Jaccard dilutes: a
+    short document fully embedded in a long one (quote farms, wrapper
+    boilerplate around a copied article) can have Jaccard ≪ threshold
+    while its containment is ~1. Same candidate generation and count-
+    based scoring as ngram_jaccard_pairs — only the final score
+    expression differs, so the plan shape (one self-equi-join + one
+    groupBy) and its scale properties are identical.
+    """
+    inter = _ngram_pair_counts(df, text_col, id_col, n)
+    scored = inter.select(
+        "doc_a",
+        "doc_b",
+        (F.col("i") / F.least(F.col("na"), F.col("nb"))).alias("containment"),
+    )
+    return scored.where(F.col("containment") >= threshold)
+
+
+def _ngram_pair_counts(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Candidate pairs with (na, nb, i) set-size/intersection counts —
+    the shared core of the Jaccard and containment scorers."""
     with_sh = _shingled(df, text_col, id_col, n)
     sh = with_sh.select(
         "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("s")
     )
-    inter = (
+    return (
         # both sides are the full exploded shingle table: an AQE broadcast
         # here ships the corpus to the driver (OOM at scale) and defeats
         # exchange reuse, recomputing the shingle expression twice.
@@ -126,12 +166,6 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    scored = inter.select(
-        "doc_a",
-        "doc_b",
-        (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jacc"),
-    )
-    return scored.where(F.col("jacc") >= threshold)
 
 
 def minhash_lsh_pairs(

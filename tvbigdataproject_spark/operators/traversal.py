@@ -1,0 +1,152 @@
+"""Graph traversal operators: BFS hop levels and triangle counting.
+
+Rounds out the iterative-graph tier (components, pagerank) with the two
+other classic distributed-graph shapes:
+
+- **BFS levels** — frontier expansion, the building block of
+  shortest-hop queries and k-hop reachability. Same iterative MapReduce
+  discipline as operators/components.py: per-round join + distinct,
+  eager localCheckpoint lineage truncation, deterministic release of the
+  superseded round's blocks (VERDICT r2 item 5 discipline). The frontier
+  is the only thing that grows; visited-set membership is an anti-join,
+  never a driver-side set.
+
+- **Triangle counting** — the degree-ordered wedge-join algorithm:
+  orient every undirected edge from the lower-(degree, id) endpoint to
+  the higher, enumerate wedges at each triangle's lowest-rank corner,
+  close them with one more equi-join. Orientation bounds the wedge count
+  at O(m^1.5) regardless of skew (a celebrity node of degree d produces
+  d^2 wedges un-oriented but only counts wedges among its *higher*-rank
+  neighbors oriented — the standard mitigation, cf. Suri & Vassilvitskii
+  "Counting Triangles and the Curse of the Last Reducer", WWW'11).
+  Because a triangle is enumerated exactly once no matter the
+  orientation, the result is identical to the naive id-ordered 3-way
+  self-join the DuckDB oracle runs — the optimization is invisible to
+  correctness, which is the point.
+
+Both operators take plain edge DataFrames (no GraphFrames — SURVEY.md
+§1.1 graph representation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.operators.components import (
+    _checkpoint_tracked,
+    _unpersist_ids,
+)
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source: int,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum hop count from `source` to every node reachable within
+    `max_hops` directed hops. Returns (node, hop) with hop in
+    [0, max_hops]; unreachable nodes are absent.
+
+    Each round is one equi-join (frontier onto out-edges) + distinct +
+    anti-join against the visited set — all shuffle-partitioned by node
+    id. The visited set is checkpointed per round (it is re-read by
+    every later anti-join) and the superseded round's blocks are
+    released the moment the next round materializes. At 100 TB the
+    frontier join inherits whatever partitioning `edges` carries; for
+    repeated BFS over one graph, pre-bucket `edges` by `src` so every
+    round's join is co-located.
+    """
+    sc = edges.sparkSession.sparkContext
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    spark = edges.sparkSession
+    start = spark.createDataFrame(
+        [(int(source), 0)], schema="node long, hop int"
+    )
+    visited, visited_ids = _checkpoint_tracked(start, sc)
+    frontier = visited
+    try:
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier.node == e.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .select("node", F.lit(hop).cast("int").alias("hop"))
+            )
+            stepped, stepped_ids = _checkpoint_tracked(
+                visited.unionByName(nxt), sc
+            )
+            _unpersist_ids(sc, visited_ids)
+            visited, visited_ids = stepped, stepped_ids
+            frontier = visited.where(F.col("hop") == hop)
+    except Exception:
+        _unpersist_ids(sc, visited_ids)
+        raise
+    return visited
+
+
+def triangle_corner_counts(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    given as unique (a, b) pairs. Returns (node, n_triangles) for every
+    node in at least one triangle.
+
+    Degree-ordered orientation (see module docstring): rank nodes by
+    (degree, id), orient edges low→high rank, wedge-join at the low
+    corner, close with an equi-join. Both joins are corpus×corpus so the
+    shuffle-hash strategy is pinned per the repo convention
+    (operators/dedup.py docstring for the SHUFFLE_HASH-vs-MERGE
+    tradeoff).
+    """
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orientation rank is the (deg, node) pair; comparing structs gives
+    # the lexicographic order natively, no dense rank shuffle needed
+    ranked = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    u_lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_lower, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_lower, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(u_lower, F.struct("dv", "v")).otherwise(F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))).alias("hi_rank"),
+    ).select("lo", "hi", "hi_rank")
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = (
+        x.hint("SHUFFLE_HASH")
+        .join(
+            y.hint("SHUFFLE_HASH"),
+            (F.col("x.lo") == F.col("y.lo"))
+            & (F.col("x.hi_rank") < F.col("y.hi_rank")),
+        )
+        .select(
+            F.col("x.lo").alias("corner"),
+            F.col("x.hi").alias("p"),
+            F.col("y.hi").alias("q"),
+        )
+    )
+    closing = oriented.select(
+        F.col("lo").alias("p"), F.col("hi").alias("q")
+    )
+    triangles = wedges.hint("SHUFFLE_HASH").join(
+        closing.hint("SHUFFLE_HASH"), ["p", "q"]
+    )
+    return (
+        triangles.select(
+            F.explode(F.array("corner", "p", "q")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

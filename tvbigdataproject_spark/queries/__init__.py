@@ -33,3 +33,6 @@ from tvbigdataproject_spark.queries import llm_ops  # noqa: F401,E402
 from tvbigdataproject_spark.queries import relational3  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops2  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph2  # noqa: F401,E402
+from tvbigdataproject_spark.queries import graph3  # noqa: F401,E402
+from tvbigdataproject_spark.queries import temporal2  # noqa: F401,E402
+from tvbigdataproject_spark.queries import llm_ops3  # noqa: F401,E402

@@ -1,0 +1,133 @@
+"""Graph traversal queries: BFS hop levels on the trade graph and
+triangle counting on the near-duplicate document graph.
+
+Extends the graph tier (SURVEY.md §2 G-rows + north star) past the
+reference's 2-hop neighborhood (`RetweetTagsJaccardGraph.py:255-276`,
+which collects the frontier to the driver and loops — here every round
+stays distributed) to arbitrary-depth shortest-hop search, and adds the
+standard triangle/clustering primitive the reference lacks entirely.
+
+Both are value-checked: BFS against a recursive-CTE DuckDB oracle (the
+recursion dedups rows, so the visited set stays node-bounded), triangles
+against a naive id-ordered 3-way self-join — the Spark side's
+degree-ordered orientation enumerates the identical triangle set, so the
+optimization is covered by the exact comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.operators.dedup import ngram_jaccard_pairs
+from tvbigdataproject_spark.operators.traversal import (
+    bfs_levels,
+    triangle_corner_counts,
+)
+from tvbigdataproject_spark.queries.dedup import _SH_SQL
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+_BFS_SOURCE = 1  # customer #1 — present at every SF
+_BFS_HOPS = 3
+
+
+@query(
+    "bfs_hops_trade",
+    sql=f"""
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    bi AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    ),
+    bfs(node, hop) AS (
+        SELECT CAST({_BFS_SOURCE} AS BIGINT) AS node, 0 AS hop
+        UNION
+        SELECT e.dst AS node, b.hop + 1 AS hop
+        FROM bfs b JOIN bi e ON e.src = b.node
+        WHERE b.hop < {_BFS_HOPS}
+    )
+    SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node
+    """,
+    tags=("graph", "iterative", "bfs"),
+)
+def bfs_hops_trade(spark, sf_dir):
+    """Minimum hop distance from customer #1 to every node within 3
+    hops of the bidirectional customer↔supplier trade graph (supplier
+    ids negated into their own id space, as in pagerank_trade_graph).
+
+    The oracle's recursive CTE uses UNION (distinct) so the recursion
+    carries at most nodes x hops rows — the walk count through a dense
+    trade graph is exponential, the visited set is not. The DataFrame
+    side is the iterative frontier operator with per-round checkpoint
+    release (operators/traversal.py).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return bfs_levels(bi, source=_BFS_SOURCE, max_hops=_BFS_HOPS)
+
+
+@query(
+    "triangle_count_neardup",
+    sql=f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+    ),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+    """,
+    tags=("graph", "dedup", "triangles"),
+)
+def triangle_count_neardup(spark, sf_dir):
+    """Per-document triangle participation in the near-duplicate graph
+    (word-3-gram Jaccard ≥ 0.4 pairs): a document in many triangles sits
+    inside a tight duplication cluster — the signal template-spam
+    detection keys on, and a stronger cluster-density measure than the
+    pair count alone.
+
+    The oracle brute-forces triangles with the id-ordered 3-way join;
+    the DataFrame side runs the degree-ordered wedge join
+    (operators/traversal.py) which enumerates the same set with the
+    O(m^1.5) wedge bound — at 100 TB the un-oriented wedge count at a
+    viral boilerplate hub is quadratic in its degree, the oriented one
+    is not.
+    """
+    pairs = ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), n=3, threshold=0.4
+    )
+    return triangle_corner_counts(pairs, a="doc_a", b="doc_b")

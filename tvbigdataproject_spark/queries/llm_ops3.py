@@ -1,0 +1,128 @@
+"""Third LLM-pipeline batch: containment near-dup, corpus heavy
+hitters, and per-segment decile profiling.
+
+All value-checked. Containment complements the Jaccard/MinHash/SimHash
+family (operators/dedup.py) with the asymmetric subset/superset score;
+heavy hitters and deciles are the two profiling passes run over every
+fresh crawl before filtering thresholds are chosen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.operators.dedup import ngram_containment_pairs
+from tvbigdataproject_spark.queries.dedup import _SH_SQL
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+_TOPN_TERMS = 20
+
+
+@query(
+    "dedup_containment",
+    sql=f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, i * 1.0 / LEAST(sa.n, sb.n) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / LEAST(sa.n, sb.n) >= 0.6
+    """,
+    tags=("dedup", "similarity", "containment"),
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric near-dup pairs by shingle containment ≥ 0.6 —
+    catches a short document embedded inside a longer one, which
+    Jaccard's union denominator dilutes below any workable threshold.
+    Same single-self-join count-based plan as dedup_ngram_jaccard
+    (operators/dedup.py:ngram_containment_pairs)."""
+    return ngram_containment_pairs(
+        read_table(spark, sf_dir, "documents"), n=3, threshold=0.6
+    )
+
+
+@query(
+    "heavy_hitter_terms",
+    sql=f"""
+    SELECT term, COUNT(*) AS n
+    FROM (
+        SELECT UNNEST(string_split(lower(text), ' ')) AS term FROM documents
+    )
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT {_TOPN_TERMS}
+    """,
+    tags=("llm", "profile", "topk"),
+)
+def heavy_hitter_terms(spark, sf_dir):
+    """Global top-{20} most frequent terms with exact counts — the
+    stopword/boilerplate profile read before choosing quality-filter
+    thresholds. Ties broken by term so the cut is deterministic.
+
+    Scale shape: map-side partial counts absorb the token fan-out, the
+    shuffle carries one row per distinct term, and the top-k runs as
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge) —
+    never a global sort materialization, never a single-partition
+    window.
+    """
+    toks = read_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(_TOPN_TERMS)
+    )
+
+
+@query(
+    "ntile_deciles_acctbal",
+    sql="""
+    WITH d AS (
+        SELECT c_mktsegment,
+               NTILE(10) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey
+               ) AS decile,
+               c_acctbal
+        FROM customer
+    )
+    SELECT c_mktsegment, decile, COUNT(*) AS n,
+           MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+    FROM d GROUP BY c_mktsegment, decile
+    """,
+    tags=("window", "profile", "ntile"),
+)
+def ntile_deciles_acctbal(spark, sf_dir):
+    """Account-balance decile boundaries per market segment (ntile(10)
+    with a c_custkey tie-break so bucket assignment is total-ordered and
+    reproducible) — the distribution profile that drives stratified
+    policies downstream.
+
+    The window partitions by segment, so parallelism is bounded by the
+    segment count — fine for profiling a bounded category column; for a
+    high-cardinality or single global decile at 100 TB, approx_percentile
+    cut points + a range join replace the ntile (no single-partition
+    sort). That variant is approx_quantiles_value's territory; this
+    query covers the exact windowed form.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    d = read_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.ntile(10).over(w).alias("decile"),
+        "c_acctbal",
+    )
+    return d.groupBy("c_mktsegment", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+    )

@@ -129,10 +129,12 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot decode as a
-    # timestamp at all — it is read as raw nanos (LongType, requires
+    # events.ts has shipped as parquet TIMESTAMP(NANOS) and
+    # TIMESTAMP(MICROS) across testdata generations; either way it is
+    # read as a raw long (NANOS requires
     # spark.sql.legacy.parquet.nanosAsLong=true) and converted to
-    # TIMESTAMP_NTZ micros in sources.io.read_table.
+    # TIMESTAMP_NTZ micros in sources.io.read_table, which sniffs the
+    # file's actual unit from the footer.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),

@@ -30,16 +30,50 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         reader = reader.schema(schema)
     df = reader.parquet(path)
     if name == "events":
-        # Parquet TIMESTAMP(NANOS) has no Spark timestamp decoding; the
-        # scan reads raw nanos (legacy.parquet.nanosAsLong, set by the
-        # session factory / tune_for_session) and this converts to
-        # wall-clock micros. Integer `div` — a double division would lose
-        # precision (nanos exceed 2^53) and round the last microsecond.
-        micros = F.expr("ts div 1000")
+        # The generated events.ts has shipped as both TIMESTAMP(NANOS)
+        # and TIMESTAMP(MICROS) across testdata generations. Spark has no
+        # nanos decoding (the scan reads raw nanos as long via
+        # legacy.parquet.nanosAsLong, set by the session factory /
+        # tune_for_session), and the declared LongType schema makes a
+        # micros column surface as raw micros — so sniff the footer once
+        # per file and scale accordingly. Integer `div` for nanos — a
+        # double division would lose precision (nanos exceed 2^53) and
+        # round the last microsecond.
+        if _ts_unit(path) == "ns":
+            micros = F.expr("ts div 1000")
+        else:
+            micros = F.col("ts")
         df = df.withColumn(
             "ts", F.timestamp_micros(micros).cast("timestamp_ntz")
         )
     return df
+
+
+_TS_UNITS: dict[str, str] = {}
+
+
+def _ts_unit(path: str) -> str:
+    """Time unit ('ns' | 'us' | 'ms') of events.ts, sniffed from the
+    parquet footer (driver-side, one footer read per path, cached)."""
+    unit = _TS_UNITS.get(path)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        field = pq.read_schema(
+            _first_parquet_file(path)
+        ).field("ts")
+        unit = getattr(field.type, "unit", "us")
+        _TS_UNITS[path] = unit
+    return unit
+
+
+def _first_parquet_file(path: str) -> str:
+    """`path` may be a single parquet file or a directory of part files."""
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet"):
+                return os.path.join(path, entry)
+    return path
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -27,8 +27,12 @@ def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-based event stream with the explicit schema (streaming reads
-    never infer). ``ts`` arrives as raw nanos (see sources/io.py) and is
-    converted to TIMESTAMP_NTZ micros here too."""
+    never infer). ``ts`` arrives as a raw long in the file's native unit
+    (nanos or micros across testdata generations — see sources/io.py)
+    and is converted to wall-clock micros here too."""
+    from tvbigdataproject_spark.sources.io import _ts_unit
+
+    ts_unit = _ts_unit(path)
     reader = spark.readStream.schema(TESTDATA_SCHEMAS["events"])
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -42,7 +46,8 @@ def read_event_stream(
     # pinned to UTC this carries the same wall-clock instants as the batch
     # reader's TIMESTAMP_NTZ; window bounds are cast back to NTZ after
     # aggregation so streaming output lines up with the batch twins.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    micros = F.expr("ts div 1000") if ts_unit == "ns" else F.col("ts")
+    return df.withColumn("ts", F.timestamp_micros(micros))
 
 
 def streaming_tumbling_agg(
