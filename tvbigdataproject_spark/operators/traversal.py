@@ -88,6 +88,53 @@ def bfs_levels(
     return visited
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peel: `rounds` iterations of "drop every
+    node with degree < k, recompute degrees". Returns (node, deg) for
+    survivors with their residual degree. Feed a bidirectional edge list
+    for undirected semantics (then out-degree IS degree).
+
+    With unbounded rounds this converges to the true k-core; a fixed
+    round count keeps the computation reproducible and lets the oracle
+    replay it as unrolled CTEs (same reasoning as the fixed-K pagerank —
+    operators/pagerank.py docstring). Each round is one keyed aggregate
+    (degrees) + two semi-joins (filter both endpoints), all partitioned
+    by node id; the edge set only shrinks, so per-round cost is
+    monotonically decreasing. Lineage is truncated per round with the
+    checkpoint-release discipline of operators/components.py.
+    """
+    sc = edges.sparkSession.sparkContext
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e, e_ids = _checkpoint_tracked(e, sc)
+    try:
+        for _ in range(rounds):
+            keep = (
+                e.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .where(F.col("deg") >= k)
+                .select(F.col("src").alias("node"))
+            )
+            pruned = (
+                e.join(keep, e.src == keep.node, "left_semi")
+                .join(keep, F.col("dst") == keep.node, "left_semi")
+            )
+            stepped, stepped_ids = _checkpoint_tracked(pruned, sc)
+            _unpersist_ids(sc, e_ids)
+            e, e_ids = stepped, stepped_ids
+    except Exception:
+        _unpersist_ids(sc, e_ids)
+        raise
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
 def triangle_corner_counts(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
 ) -> DataFrame:

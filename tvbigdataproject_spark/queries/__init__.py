@@ -36,3 +36,5 @@ from tvbigdataproject_spark.queries import graph2  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph3  # noqa: F401,E402
 from tvbigdataproject_spark.queries import temporal2  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops3  # noqa: F401,E402
+from tvbigdataproject_spark.queries import temporal3  # noqa: F401,E402
+from tvbigdataproject_spark.queries import profile  # noqa: F401,E402

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from tvbigdataproject_spark.operators.dedup import ngram_jaccard_pairs
 from tvbigdataproject_spark.operators.traversal import (
     bfs_levels,
+    kcore_peel,
     triangle_corner_counts,
 )
 from tvbigdataproject_spark.queries.dedup import _SH_SQL
@@ -79,6 +80,74 @@ def bfs_hops_trade(spark, sf_dir):
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return bfs_levels(bi, source=_BFS_SOURCE, max_hops=_BFS_HOPS)
+
+
+_KCORE_K = 30
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    prelude = """
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    bi0 AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    )"""
+    steps = "".join(
+        f""",
+    k{r} AS (
+        SELECT src AS node
+        FROM (SELECT src, COUNT(*) AS c FROM bi{r - 1} GROUP BY src)
+        WHERE c >= {k}
+    ),
+    bi{r} AS (
+        SELECT b.src, b.dst
+        FROM bi{r - 1} b
+        JOIN k{r} ka ON b.src = ka.node
+        JOIN k{r} kb ON b.dst = kb.node
+    )"""
+        for r in range(1, rounds + 1)
+    )
+    return (
+        prelude
+        + steps
+        + f"""
+    SELECT src AS node, COUNT(*) AS deg FROM bi{rounds} GROUP BY src
+    """
+    )
+
+
+@query(
+    "kcore_trade_graph",
+    sql=_kcore_sql(_KCORE_K, _KCORE_ROUNDS),
+    tags=("graph", "iterative", "kcore"),
+)
+def kcore_trade_graph(spark, sf_dir):
+    """Bounded-round 30-core of the bidirectional trade graph: 3 rounds
+    of "drop nodes with degree < 30, recompute" — the dense-backbone
+    extraction used to separate habitual traders from one-off
+    participants before community analysis. The oracle replays the peel
+    as 3 unrolled CTE rounds, value-checking the whole cascade (fixed
+    rounds for reproducibility, same design as pagerank_trade_graph).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kcore_peel(bi, k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
 @query(
