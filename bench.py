@@ -51,6 +51,12 @@ HEADLINE = [
     "embed_cosine_topk",        # brute-force ANN baseline
     "embed_ivf_topk",           # pruned ANN
     "embed_ivf_learned_topk",   # learned IVF (KMeans fit + probe)
+    "pagerank_trade_graph",     # iterative (checkpointed rounds)
+    "triangle_count_neardup",   # degree-ordered wedge join
+    "dedup_containment",        # asymmetric shingle containment
+    "gap_fill_forward",         # grid explode + forward-fill window
+    "rolling_24h_stats",        # RANGE-frame rolling window
+    "heavy_hitter_terms",       # token fan-out + top-k
 ]
 
 
