@@ -1,0 +1,88 @@
+"""Unit tests for operators/traversal.py on hand-verifiable graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.operators.traversal import (
+    bfs_levels,
+    kcore_peel,
+    triangle_corner_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, schema="src long, dst long")
+
+
+def _bi(spark, pairs):
+    return _edges(spark, pairs + [(b, a) for a, b in pairs])
+
+
+def test_bfs_levels_chain_with_cutoff(spark):
+    # 1→2→3→4→5 directed chain: hop = position, max_hops=3 excludes 5
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {r.node: r.hop for r in bfs_levels(e, source=1, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_levels_min_hop_wins_on_diamond(spark):
+    # 1→2→4 and 1→3→4→5: 4 is reachable at hop 2 two ways, counted once
+    e = _edges(spark, [(1, 2), (2, 4), (1, 3), (3, 4), (4, 5)])
+    got = {r.node: r.hop for r in bfs_levels(e, source=1, max_hops=5).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_bfs_unreachable_and_direction_respected(spark):
+    # edge INTO the source doesn't make its tail reachable
+    e = _edges(spark, [(9, 1), (1, 2)])
+    got = {r.node: r.hop for r in bfs_levels(e, source=1, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1}
+
+
+def test_triangle_counts_two_triangles_sharing_edge(spark):
+    # triangles (1,2,3) and (2,3,4) share edge 2-3
+    pairs = _edges(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    got = {r.node: r.n_triangles for r in triangle_corner_counts(pairs).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_counts_square_has_none(spark):
+    pairs = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    assert triangle_corner_counts(pairs).count() == 0
+
+
+def test_kcore_peels_tail_cascade(spark):
+    # triangle 1-2-3 with a pendant chain 3-4, 4-5: 2-core peel removes 5
+    # then 4 (cascade needs the second round), keeps the triangle at deg 2
+    bi = _bi(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)])
+    got = {r.node: r.deg for r in kcore_peel(bi, k=2, rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_bounded_rounds_stop_mid_cascade(spark):
+    # path 1-2-3-4-5 under k=2: each round peels both endpoints; rounds=1
+    # leaves the (still-too-sparse) middle — documenting that fixed
+    # rounds are a bounded approximation, exactly what the oracle replays
+    bi = _bi(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {r.node for r in kcore_peel(bi, k=2, rounds=1).collect()}
+    assert got == {2, 3, 4}
+
+
+def test_iterative_ops_release_their_checkpoints(spark):
+    # same discipline as connected_components: after materialization no
+    # extra persistent RDDs may linger beyond those present before
+    e = _edges(spark, [(i, i + 1) for i in range(1, 30)])
+    bi = _bi(spark, [(i, i + 1) for i in range(1, 30)])
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    bfs_levels(e, source=1, max_hops=8).count()
+    kcore_peel(bi, k=2, rounds=5).count()
+    # +2: each operator's FINAL checkpoint legitimately outlives the call
+    # (the caller owns the result); the superseded per-round checkpoints
+    # (8 BFS rounds + 5 peel rounds) must all have been released — an
+    # unreleased loop would show ~13 extra entries here
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before + 2
