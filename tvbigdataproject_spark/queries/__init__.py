@@ -38,3 +38,4 @@ from tvbigdataproject_spark.queries import temporal2  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops3  # noqa: F401,E402
 from tvbigdataproject_spark.queries import temporal3  # noqa: F401,E402
 from tvbigdataproject_spark.queries import profile  # noqa: F401,E402
+from tvbigdataproject_spark.queries import relational4  # noqa: F401,E402
