@@ -118,6 +118,9 @@ def test_corpus_self_joins_are_shuffle_hash(spark):
         ("jaccard_user_similarity", 1),
         ("embed_neardup_pairs", 1),
         ("pair_candidates_shared_parts", 1),
+        ("dedup_containment", 1),
+        # wedge join + closing join + 2 degree attaches, all pinned
+        ("triangle_count_neardup", 4),
     ):
         plan = _plan(spark, name)
         assert plan.count("ShuffledHashJoin") >= n_shj, name
@@ -136,6 +139,20 @@ def test_simhash_leaves_no_cached_rdds(spark):
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     REGISTRY["dedup_simhash"].fn(spark, SF_DIR).count()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+
+def test_disjunctive_predicate_pushes_per_side_filters(spark):
+    # Q19 shape: the three-arm cross-side disjunction must decompose
+    # into per-side OR filters pushed to BOTH parquet scans (brand/size
+    # arms onto part, quantity arms onto lineitem) while the join stays
+    # a hash equi-join — losing either pushdown reads the full fact
+    # table at 100 TB
+    plan = _plan(spark, "disjunctive_brand_revenue")
+    assert "NestedLoopJoin" not in plan
+    pushed = plan.split("PushedFilters")
+    both = "".join(s.splitlines()[0] for s in pushed[1:])
+    assert "p_brand" in both and "p_size" in both
+    assert "l_quantity" in both
 
 
 def test_aggregates_have_partial_phase(spark):

@@ -144,10 +144,19 @@ def triangle_corner_counts(
 
     Degree-ordered orientation (see module docstring): rank nodes by
     (degree, id), orient edges low→high rank, wedge-join at the low
-    corner, close with an equi-join. Both joins are corpus×corpus so the
+    corner, close with an equi-join. Every join is corpus×corpus so the
     shuffle-hash strategy is pinned per the repo convention
     (operators/dedup.py docstring for the SHUFFLE_HASH-vs-MERGE
     tradeoff).
+
+    The oriented edge table is consumed three times (both wedge sides +
+    the closing probe); only the wedge sides share a partitioning, so
+    Spark's exchange reuse cannot collapse the closing branch and the
+    upstream of `pairs` is recomputed once more. When the pair generator
+    is expensive (e.g. a shingle self-join), materialize it first —
+    in production the near-dup pair table is a dedup output that already
+    exists on disk; this operator deliberately stays lazy so plan-only
+    callers (explain, tests) never trigger a job.
     """
     e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
     deg = (
@@ -157,10 +166,23 @@ def triangle_corner_counts(
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     # orientation rank is the (deg, node) pair; comparing structs gives
-    # the lexicographic order natively, no dense rank shuffle needed
+    # the lexicographic order natively, no dense rank shuffle needed.
+    # Degree attaches are corpus×corpus — shuffle-hash pinned like every
+    # other pair join (operators/dedup.py docstring for the tradeoff).
     ranked = (
-        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+        e.hint("SHUFFLE_HASH")
+        .join(
+            deg.withColumnRenamed("node", "u")
+            .withColumnRenamed("deg", "du")
+            .hint("SHUFFLE_HASH"),
+            "u",
+        )
+        .join(
+            deg.withColumnRenamed("node", "v")
+            .withColumnRenamed("deg", "dv")
+            .hint("SHUFFLE_HASH"),
+            "v",
+        )
     )
     u_lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
