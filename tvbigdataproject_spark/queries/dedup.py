@@ -30,6 +30,7 @@ from tvbigdataproject_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_pairs,
 )
 from tvbigdataproject_spark.queries.registry import query
@@ -62,9 +63,7 @@ def dedup_exact_hash(spark, sf_dir):
     return exact_dedup_groups(read_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "dedup_ngram_jaccard",
-    sql=f"""
+_NGRAM_JACCARD_SQL = f"""
     WITH {_SH_SQL},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     inter AS (
@@ -77,7 +76,12 @@ def dedup_exact_hash(spark, sf_dir):
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
-    """,
+    """
+
+
+@query(
+    "dedup_ngram_jaccard",
+    sql=_NGRAM_JACCARD_SQL,
     tags=("dedup", "similarity"),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -89,6 +93,25 @@ def dedup_ngram_jaccard(spark, sf_dir):
     intersection/size counts. No cross join anywhere.
     """
     return ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), n=3, threshold=0.4
+    ).select("doc_a", "doc_b", F.col("jacc"))
+
+
+@query(
+    "dedup_ngram_prefix",
+    sql=_NGRAM_JACCARD_SQL,
+    tags=("dedup", "similarity", "prefix-filter"),
+)
+def dedup_ngram_prefix(spark, sf_dir):
+    """Prefix-filtered exact Jaccard near-dup — IDENTICAL answer to
+    dedup_ngram_jaccard (the oracle is literally the same brute-force
+    SQL; the prefix filter is lossless by the prefix-filtering
+    principle) from a candidate set built only from each document's
+    rarest shingles. See operators/dedup.py::ngram_jaccard_pairs_prefix
+    for the scale argument: candidate volume bounded by rare-shingle
+    collisions instead of the hottest shingle's quadratic fan-out.
+    """
+    return ngram_jaccard_pairs_prefix(
         read_table(spark, sf_dir, "documents"), n=3, threshold=0.4
     ).select("doc_a", "doc_b", F.col("jacc"))
 
