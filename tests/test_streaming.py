@@ -116,3 +116,19 @@ def test_stream_static_enrichment_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_ohlc_matches_batch_query(spark, stream):
+    # the registered batch query picks open/close via an ordered window;
+    # the streaming twin uses min_by/max_by on the (ts, event_id) struct
+    # — same tie-break, so the results must be row-identical
+    from tvbigdataproject_spark.streaming import streaming_ohlc_agg
+
+    run_to_memory_sink(
+        streaming_ohlc_agg(stream), "t_ohlc", output_mode="complete"
+    )
+    cols = ["event_type", "bucket", "open", "high", "low", "close", "n_events"]
+    got = {tuple(r) for r in spark.table("t_ohlc").select(*cols).collect()}
+    batch = REGISTRY["ohlc_bars_hourly"].fn(spark, SF_DIR).select(*cols)
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want

@@ -85,6 +85,42 @@ def streaming_session_agg(
     )
 
 
+def streaming_ohlc_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked hourly OHLC bars per event type — the streaming twin
+    of queries/temporal2.py::ohlc_bars_hourly. The batch query picks
+    open/close with an ordered window (row_number); streaming
+    aggregations cannot sort, so open/close come from min_by/max_by
+    keyed on the (ts, event_id) struct — lexicographic struct ordering
+    makes the pick identical to the batch tie-break, which the
+    batch-equivalence test asserts. min_by/max_by carry one (key,
+    value) pair of state per group and merge associatively, so the agg
+    stays incremental across micro-batches.
+    """
+    pick = F.struct("ts", "event_id")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.min_by("value", pick).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", pick).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("bucket"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:
