@@ -176,6 +176,20 @@ def ngram_jaccard_pairs_prefix(
     prefix filter's worst case. Real corpora are Zipfian in shingle
     frequency, which is where the bound-by-rare-collisions property
     pays off.
+
+    REGIME DEPENDENCE (measured on the dup-heavy generated sf1, where
+    every document has ~10 near-identical copies): clustered duplication
+    defeats plain prefix filtering — copies share the same RARE shingles,
+    so prefix candidates ballooned to 52.5M distinct pairs vs 250,600
+    true pairs (209x inflation) and the array-attach verify made the
+    operator 6x slower than ngram_jaccard_pairs end-to-end (374s vs
+    58s), whose groupBy scoring absorbs the same fan-out map-side
+    without materializing pairs. Use THIS variant when the corpus'
+    pathology is a few ultra-hot boilerplate shingles; use the full
+    join when duplication is clustered. Closing the gap on clustered
+    corpora needs PPJoin's positional + length filters (upper-bound the
+    remaining overlap per prefix match before verifying) — the known
+    production path, not implemented here.
     """
     from pyspark.sql import Window
 
