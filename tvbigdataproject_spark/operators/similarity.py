@@ -271,25 +271,61 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Embedding-space near-duplicate pairs (cos ≥ threshold), blocked by
-    the coarse cell so the pair space is per-cell, not global."""
+    the coarse cell so the pair space is per-cell, not global.
+
+    Two scale guards, both found the hard way on the dup-heavy sf1 run
+    (2026-08-13), where 10x denser cells made the per-cell pair space
+    100x larger and AQE coalesced the join to ONE task for 25+ minutes:
+
+    - **Salted pair parallelism.** The join's output is quadratic per
+      cell while its *input* is tiny, and the cosine runs in interpreted
+      eval (array HOFs are CodegenFallback) — so per-pair cost, not
+      input bytes, dominates. The a-side is salted into `salt_buckets`
+      hash buckets and the b-side replicated across them, turning each
+      cell's pair space into `salt_buckets` independent tasks. Each pair
+      still appears exactly once (it is matched only at the a-vector's
+      salt).
+    - **AQE-proof partitioning.** AQE's partition coalescing keys off
+      shuffle input bytes and is blind to join fan-out; a few MB of
+      vectors collapse to one partition no matter how many pairs they
+      explode into. Explicit repartition-by-number (REPARTITION_BY_NUM
+      origin) is exempt from coalescing and already satisfies the
+      shuffle-hash join's distribution, so no extra exchange is added.
+
+    At 100 TB also scale the cell count with corpus density (cells
+    should bound vectors-per-cell, not be a constant) — the salt only
+    multiplies parallelism, it cannot shrink the per-cell O(n^2).
+    """
+    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     a = corpus.select(
         F.col(id_col).alias("vec_a"),
         F.col(cell_col).alias("cell_a"),
         F.col(vec_col).alias("emb_a"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets)).alias("salt_a"),
     )
     b = corpus.select(
         F.col(id_col).alias("vec_b"),
         F.col(cell_col).alias("cell_b"),
         F.col(vec_col).alias("emb_b"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+        ).alias("salt_b"),
     )
-    # corpus-sized on both sides: shuffle-hash on the cell key, never a
-    # broadcast of the full embedding table (tradeoff vs MERGE under
-    # heap pressure: see operators/dedup.py docstring)
-    pairs = a.hint("SHUFFLE_HASH").join(
-        b.hint("SHUFFLE_HASH"),
-        (F.col("cell_a") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")),
+    # corpus-sized on both sides: shuffle-hash on the (cell, salt) key,
+    # never a broadcast of the full embedding table (tradeoff vs MERGE
+    # under heap pressure: see operators/dedup.py docstring)
+    pairs = (
+        a.repartition(nparts, "cell_a", "salt_a")
+        .hint("SHUFFLE_HASH")
+        .join(
+            b.repartition(nparts, "cell_b", "salt_b").hint("SHUFFLE_HASH"),
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("salt_a") == F.col("salt_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
     )
     cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
     return pairs.where(cos >= threshold).select("vec_a", "vec_b", cos.alias("cos"))
