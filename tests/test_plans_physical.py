@@ -60,7 +60,15 @@ def test_nested_loop_joins_only_where_intended(spark):
     # else must never fall back to a nested loop — the reference's
     # disjunctive-predicate report join did (SURVEY.md J5), and staying
     # free of accidental ones is part of the rewrite's contract.
-    intended = {"range_join_bands", "embed_cosine_topk", "tfidf_top_terms"}
+    # decile_assign_range_join joins against a bounded 10-row percentile
+    # bands table on a non-equi condition — same intended broadcast-NLJ
+    # shape as range_join_bands
+    intended = {
+        "range_join_bands",
+        "embed_cosine_topk",
+        "tfidf_top_terms",
+        "decile_assign_range_join",
+    }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
     for name in sorted(REGISTRY):

@@ -126,3 +126,67 @@ def ntile_deciles_acctbal(spark, sf_dir):
         F.min("c_acctbal").alias("lo"),
         F.max("c_acctbal").alias("hi"),
     )
+
+
+_DECILE_PROBS = [i / 10.0 for i in range(1, 10)]
+
+
+@query(
+    "decile_assign_range_join",
+    sql="""
+    WITH cuts AS (
+        SELECT quantile_cont(c_acctbal, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+        FROM customer
+    ),
+    bands AS (
+        SELECT i AS decile,
+               CASE WHEN i = 1  THEN -1e308 ELSE cs[i - 1] END AS lo,
+               CASE WHEN i = 10 THEN  1e308 ELSE cs[i]     END AS hi
+        FROM cuts, UNNEST(range(1, 11)) AS t(i)
+    )
+    SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS lo_val, MAX(c_acctbal) AS hi_val
+    FROM customer JOIN bands ON c_acctbal > lo AND c_acctbal <= hi
+    GROUP BY decile
+    """,
+    tags=("window", "percentile", "range-join"),
+)
+def decile_assign_range_join(spark, sf_dir):
+    """GLOBAL decile assignment without a global sort — the scale path
+    promised in ntile_deciles_acctbal's docstring: nine exact percentile
+    cut points (one aggregate), a 10-row bands table derived from them,
+    and a broadcast range join assigning each row its decile (ties at a
+    cut boundary go to the lower band via the half-open (lo, hi]
+    intervals; +-1e308 sentinels close the ends). No single-partition
+    window anywhere: the only per-row work is a 10-row broadcast probe.
+    At 100 TB swap the exact percentile for percentile_approx and
+    nothing else changes — the cut points are the only sort-dependent
+    piece. The bands side is bounded (10 rows) at any SF, so the
+    broadcast nested loop this plans into is the intended shape, same
+    as range_join_bands.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    cuts = c.agg(F.percentile("c_acctbal", _DECILE_PROBS).alias("cs"))
+    d = F.col("decile")
+    bands = cuts.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"), "cs"
+    ).select(
+        "decile",
+        F.when(d == 1, F.lit(-1e308))
+        .otherwise(F.element_at("cs", (d - 1).cast("int")))
+        .alias("lo"),
+        F.when(d == 10, F.lit(1e308))
+        .otherwise(F.element_at("cs", d.cast("int")))
+        .alias("hi"),
+    )
+    return (
+        c.join(
+            F.broadcast(bands),
+            (F.col("c_acctbal") > F.col("lo")) & (F.col("c_acctbal") <= F.col("hi")),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("lo_val"),
+            F.max("c_acctbal").alias("hi_val"),
+        )
+    )
