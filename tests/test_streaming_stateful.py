@@ -40,3 +40,40 @@ def test_stateful_running_totals_match_batch(spark):
         assert got[uid][0] == n
         # float sum order differs (pandas per-batch vs spark partials)
         assert abs(got[uid][1] - want[uid][1]) < 1e-6
+
+
+def test_streaming_funnel_matches_batch_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.sources import read_table
+    from tvbigdataproject_spark.streaming import read_event_stream, run_to_memory_sink
+    from tvbigdataproject_spark.streaming.stateful import streaming_funnel_stage
+
+    stream = read_event_stream(
+        spark, f"{SF_DIR}/events.parquet", max_files_per_trigger=1
+    )
+    run_to_memory_sink(
+        streaming_funnel_stage(stream), "t_funnel", output_mode="update"
+    )
+    got = {r.user_id: r.stage for r in spark.table("t_funnel").collect()}
+
+    steps = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("tc"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+        )
+    )
+    want = {}
+    for r in steps.collect():
+        stage = 0
+        if r.tv is not None:
+            stage = 1
+            if r.tc is not None and r.tc > r.tv:
+                stage = 2
+                if r.tp is not None and r.tp > r.tc:
+                    stage = 3
+        want[r.user_id] = stage
+    assert got == want

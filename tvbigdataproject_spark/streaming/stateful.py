@@ -133,3 +133,73 @@ def streaming_user_profile(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("min_view", LongType()),
+        StructField("min_click", LongType()),
+        StructField("min_purchase", LongType()),
+    ]
+)
+
+
+def streaming_funnel_stage(events: DataFrame) -> DataFrame:
+    """Per-user view→click→purchase funnel stage maintained across
+    micro-batches — the streaming twin of
+    queries/temporal3.py::funnel_view_click_purchase.
+
+    The state is the three FIRST-TOUCH minima (as epoch micros; None
+    until seen), not a stage counter: minima are associative and
+    order-independent, so late or out-of-order events across
+    micro-batches can never wedge the state into a wrong stage — a
+    stage counter advanced on arrival order could miss a click that
+    arrives before the earlier view that qualifies it. The emitted
+    stage applies the exact comparisons of the batch query (click
+    strictly after first view, purchase strictly after first click),
+    so the last update per user equals the batch answer, which the
+    equivalence test asserts. State is three scalars per user —
+    fixed-width, NoTimeout because the user population is bounded
+    (ProcessingTimeTimeout for unbounded key spaces).
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        mv, mc, mp = state.get if state.exists else (None, None, None)
+
+        def merge(cur, series):
+            if series.empty:
+                return cur
+            new = int(series.min())
+            return new if cur is None else min(cur, new)
+
+        for pdf in pdf_iter:
+            micros = pdf["ts"].astype("int64") // 1000
+            mv = merge(mv, micros[pdf["event_type"] == "view"])
+            mc = merge(mc, micros[pdf["event_type"] == "click"])
+            mp = merge(mp, micros[pdf["event_type"] == "purchase"])
+        state.update((mv, mc, mp))
+        stage = 0
+        if mv is not None:
+            stage = 1
+            if mc is not None and mc > mv:
+                stage = 2
+                if mp is not None and mp > mc:
+                    stage = 3
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
