@@ -68,6 +68,8 @@ def test_nested_loop_joins_only_where_intended(spark):
         "embed_cosine_topk",
         "tfidf_top_terms",
         "decile_assign_range_join",
+        # one-row corpus-total attach, same shape as tfidf_top_terms
+        "rare_term_score",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name

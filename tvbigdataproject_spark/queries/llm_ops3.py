@@ -190,3 +190,62 @@ def decile_assign_range_join(spark, sf_dir):
             F.max("c_acctbal").alias("hi_val"),
         )
     )
+
+
+@query(
+    "rare_term_score",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS f FROM toks GROUP BY term),
+    tot AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT doc_id,
+           COUNT(*) AS n_tok,
+           SUM(f) AS sum_freq,
+           SUM(f) * 1.0 / (COUNT(*) * (SELECT total FROM tot)) AS mean_prob
+    FROM toks JOIN freq USING (term)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "unigram"),
+)
+def rare_term_score(spark, sf_dir):
+    """Mean unigram probability per document — the linear-space cousin
+    of the unigram log-likelihood quality proxy (documents full of rare
+    terms score low, boilerplate scores high). Linear instead of log for
+    the same reason as tfidf_top_terms: transcendentals are not
+    bit-reproducible across engines, and the RANKING under any monotone
+    transform is unchanged. Better still, the score is a ratio of exact
+    BIGINT sums (token-frequency sum over n_tok x corpus total), so the
+    single double division is bit-identical by construction — no
+    stable-sum scaffolding needed.
+
+    Scale shape: one token-frequency aggregate, one corpus-sized
+    equi-join on term (map-side partials absorb the fan-out on hot
+    terms), one per-doc aggregate. The one-row corpus total is attached
+    by Catalyst as a scalar subquery on the oracle side and a broadcast
+    in Spark — constant either way.
+    """
+    toks = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    per_doc = (
+        toks.hint("SHUFFLE_HASH")
+        .join(freq.hint("SHUFFLE_HASH"), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("f").alias("sum_freq"),
+        )
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tok",
+        "sum_freq",
+        (
+            F.col("sum_freq")
+            / (F.col("n_tok") * F.col("total")).cast("double")
+        ).alias("mean_prob"),
+    )
