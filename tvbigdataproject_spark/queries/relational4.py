@@ -218,3 +218,40 @@ def disjunctive_brand_revenue(spark, sf_dir):
             stable_sum(_revenue()).alias("revenue"),
         )
     )
+
+
+@query(
+    "variant_props_stats",
+    sql="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(CASE WHEN k % 2 = 0 THEN 1 END) AS n_even_k,
+           COUNT(CASE WHEN k % 2 = 1 THEN 1 END) AS n_odd_k,
+           SUM(k) AS sum_k
+    FROM x GROUP BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def variant_props_stats(spark, sf_dir):
+    """Semi-structured access via Spark 4's VariantType: parse_json once
+    into a variant column, then typed variant_get extraction — the
+    modern path beside json_props' from_json-with-schema (variant keeps
+    the full document queryable without pre-declaring a schema, at a
+    binary encoding that extracts fields without re-parsing text, which
+    is what makes it viable over petabyte JSON lakes). Exact integer
+    aggregates, so the oracle (plain JSON extraction — DuckDB has no
+    variant, the VALUES must agree regardless of encoding) matches
+    bitwise.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    x = ev.select("event_type", k.alias("k"))
+    return x.groupBy("event_type").agg(
+        F.count(F.when(F.col("k") % 2 == 0, F.lit(1))).alias("n_even_k"),
+        F.count(F.when(F.col("k") % 2 == 1, F.lit(1))).alias("n_odd_k"),
+        F.sum("k").alias("sum_k"),
+    )
