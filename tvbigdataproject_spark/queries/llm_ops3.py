@@ -249,3 +249,44 @@ def rare_term_score(spark, sf_dir):
             / (F.col("n_tok") * F.col("total")).cast("double")
         ).alias("mean_prob"),
     )
+
+
+# GPT-2-style pretokenization, reduced to disjoint character classes:
+# letter runs, digit runs, single non-alphanumeric marks. Disjointness
+# makes greedy alternation behave identically in Java regex (Spark) and
+# RE2 (DuckDB) — leftmost-first vs leftmost-longest cannot differ when
+# no alternative's match can extend another's.
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "text_regex_tokens",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE}') AS ts
+        FROM documents
+    )
+    SELECT doc_id,
+           len(ts) AS n_tok,
+           len(list_distinct(ts)) AS n_distinct,
+           len(ts) - len(list_distinct(ts)) AS n_repeated
+    FROM toks
+    """,
+    tags=("llm", "tokenize"),
+)
+def text_regex_tokens(spark, sf_dir):
+    """BPE-style pretokenizer counts per document (SURVEY north star:
+    token counting beyond whitespace): letter runs, digit runs, and
+    single punctuation marks — the class structure GPT-2's
+    pretokenization regex induces, reduced to a dialect-safe core (see
+    _TOKEN_RE). Token and distinct-token counts are the inputs to
+    context-window budgeting and repetition screens; all scan-stage
+    array expressions, zero shuffles.
+    """
+    ts = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_RE), F.lit(0))
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ts).alias("n_tok"),
+        F.size(F.array_distinct(ts)).alias("n_distinct"),
+        (F.size(ts) - F.size(F.array_distinct(ts))).alias("n_repeated"),
+    )
