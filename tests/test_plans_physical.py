@@ -172,13 +172,33 @@ def test_aggregates_have_partial_phase(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+# Queries whose plans carry a *declared* Arrow-batched Python stage:
+# the multimodal tier (mapInPandas over binary payloads) and the
+# embedding pair/sweep queries, whose scoring kernel is the vectorized
+# cosine_arrow pandas_udf (bitwise-equal to the JVM HOF form — see
+# functions/vectors.py; chosen by A/B, 4.2x on the pair join). Every
+# fence must be Arrow-batched: row-at-a-time BatchEvalPython is never
+# sanctioned.
+_DECLARED_MAPINPANDAS = (
+    "multimodal_features", "multimodal_resize", "multimodal_frame_sample",
+)
+_DECLARED_ARROW_KERNEL = (
+    "embed_cosine_topk", "embed_ivf_topk", "embed_ivf_learned_topk",
+    "embed_neardup_pairs",
+)
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_no_python_udf_fences_outside_multimodal(spark, name):
-    # the engine's core promise: everything JVM-side except the declared
-    # Arrow-batched multimodal stage
+def test_no_python_udf_fences_outside_declared(spark, name):
+    # the engine's core promise: everything JVM-side except declared
+    # Arrow-batched stages
     plan = _plan(spark, name)
-    if name in ("multimodal_features", "multimodal_resize", "multimodal_frame_sample"):
+    if name in _DECLARED_MAPINPANDAS:
         assert "MapInPandas" in plan
+        return
+    if name in _DECLARED_ARROW_KERNEL:
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
         return
     for fence in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert fence not in plan, f"{name} has a Python fence: {fence}"

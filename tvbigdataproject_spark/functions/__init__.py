@@ -21,6 +21,7 @@ from tvbigdataproject_spark.functions.hashing import (  # noqa: F401
 )
 from tvbigdataproject_spark.functions.text import simple_tokens  # noqa: F401
 from tvbigdataproject_spark.functions.vectors import (  # noqa: F401
+    cosine_arrow,
     cosine_similarity,
     dot_product,
     l2_norm,

@@ -20,11 +20,15 @@ Design for 100 TB:
 - both join sides are corpus-sized, so the shuffle-hash strategy is
   pinned (a size misestimate must never broadcast a per-node table;
   tradeoff vs MERGE under heap pressure: operators/dedup.py docstring).
-- lineage is truncated every round with ``localCheckpoint`` — without
-  it the plan doubles per iteration and the driver, not the data,
-  becomes the bottleneck. On a real cluster prefer reliable
-  ``checkpoint()`` with a checkpoint dir (localCheckpoint ties the
-  result to executor lifetime).
+- lineage is truncated with ``localCheckpoint`` every
+  ``checkpoint_interval`` rounds — without truncation the plan grows
+  per iteration and the driver, not the data, becomes the bottleneck;
+  truncating *every* round instead pays a fixed materialization job per
+  round, which dominates when rounds are cheap (measured ~1 s/round of
+  pure job overhead at bench scale — VERDICT r3). The interval
+  amortizes both: in-span lineage growth is linear and bounded by k.
+  On a real cluster prefer reliable ``checkpoint()`` with a checkpoint
+  dir (localCheckpoint ties the result to executor lifetime).
 - each round's checkpoint is released **deterministically** once the
   next round is materialized: a checkpointed DataFrame's backing RDD
   lives outside the cacheManager, so it is otherwise freed only when
@@ -71,6 +75,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component is the
     minimum node id reachable from the node (undirected).
@@ -79,6 +84,17 @@ def connected_components(
     not enough (monotone-decreasing labels make the fixpoint the true
     component minimum, so a clean exit is a correctness proof, not a
     heuristic stop).
+
+    ``checkpoint_interval`` amortizes the per-round fixed cost: the
+    label table is materialized (eager localCheckpoint) and convergence
+    is checked only every that-many rounds, so a span of k rounds costs
+    2 jobs instead of 2k. Lineage within a span grows linearly (each
+    round references the previous label plan a constant number of
+    times) and is truncated at the span boundary. The span-end
+    convergence check is exact, not delayed-by-up-to-k: labels are
+    monotone non-increasing, so "no change across the whole span" is
+    equivalent to "no change in any round of it". Results are
+    checkpoint-placement-independent; only job count changes.
     """
     sc = edges.sparkSession.sparkContext
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -89,41 +105,48 @@ def connected_components(
         .withColumn("label", F.col("node")),
         sc,
     )
-    for _ in range(max_iter):
-        # min label over the neighborhood (node itself included below)
-        nbr_min = (
-            sym.hint("SHUFFLE_HASH")
-            .join(
-                labels.select(F.col("node").alias("b"), "label").hint("SHUFFLE_HASH"),
-                "b",
+    rounds_done = 0
+    while rounds_done < max_iter:
+        span = min(max(1, checkpoint_interval), max_iter - rounds_done)
+        plan = labels
+        for _ in range(span):
+            # min label over the neighborhood (node itself included below)
+            nbr_min = (
+                sym.hint("SHUFFLE_HASH")
+                .join(
+                    plan.select(F.col("node").alias("b"), "label").hint(
+                        "SHUFFLE_HASH"
+                    ),
+                    "b",
+                )
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        stepped = (
-            labels.hint("SHUFFLE_HASH")
-            .join(nbr_min.hint("SHUFFLE_HASH"), "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+            stepped = (
+                plan.hint("SHUFFLE_HASH")
+                .join(nbr_min.hint("SHUFFLE_HASH"), "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
             )
-        )
-        # pointer jumping: node -> label -> label(label), halves chain depth
-        parent = stepped.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        jumped, jumped_ids = _checkpoint_tracked(
-            stepped.hint("SHUFFLE_HASH")
-            .join(
-                parent.hint("SHUFFLE_HASH"),
-                stepped.label == parent.p_node,
-                "left",
+            # pointer jumping: node -> label -> label(label), halves chain depth
+            parent = stepped.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
             )
-            .select("node", F.coalesce("p_label", "label").alias("label")),
-            sc,
-        )
+            plan = (
+                stepped.hint("SHUFFLE_HASH")
+                .join(
+                    parent.hint("SHUFFLE_HASH"),
+                    stepped.label == parent.p_node,
+                    "left",
+                )
+                .select("node", F.coalesce("p_label", "label").alias("label"))
+            )
+        jumped, jumped_ids = _checkpoint_tracked(plan, sc)
+        rounds_done += span
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")
@@ -131,9 +154,9 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # the old round's checkpoint is dead the moment `changed` is
+        # the old span's checkpoint is dead the moment `changed` is
         # computed — release it now instead of waiting for Python GC to
-        # reach the async ContextCleaner (O(rounds) cached label tables
+        # reach the async ContextCleaner (O(spans) cached label tables
         # on a long-lived session otherwise)
         _unpersist_ids(sc, labels_ids)
         labels, labels_ids = jumped, jumped_ids

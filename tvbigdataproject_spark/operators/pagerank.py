@@ -58,6 +58,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Ranks for every node appearing as a source in `edges` (feed a
     bidirectional edge list for undirected semantics — then the src set
@@ -66,6 +67,14 @@ def pagerank(
     `base_num` is the literal teleport numerator (1 - damping); it is a
     parameter, not computed, for cross-engine bit-identity (see module
     docstring).
+
+    `checkpoint_interval` amortizes the fixed ~1 s/job materialization
+    cost: ranks are localCheckpointed every that-many rounds instead of
+    every round. Each round references the previous rank plan exactly
+    once (join → agg → left join), so in-span lineage grows linearly —
+    k can be higher here than in the self-referencing BFS/k-core loops.
+    Ranks are bitwise independent of checkpoint placement (the
+    scaled-integer sums are exact); only the job count changes.
     """
     sc = edges.sparkSession.sparkContext
     e = edges.select(
@@ -90,32 +99,35 @@ def pagerank(
         nodes.select("node", F.lit(1.0 / n).alias("rank")), sc
     )
     try:
-        for _ in range(n_iter):
-            contrib = (
-                shares.join(ranks, shares.src == ranks.node)
-                .groupBy("dst")
-                .agg(
-                    (
-                        F.sum(
-                            F.round(F.col("rank") * F.col("share") * _SCALE).cast(
-                                "long"
+        rounds_done = 0
+        while rounds_done < n_iter:
+            span = min(max(1, checkpoint_interval), n_iter - rounds_done)
+            plan = ranks
+            for _ in range(span):
+                contrib = (
+                    shares.join(plan, shares.src == plan.node)
+                    .groupBy("dst")
+                    .agg(
+                        (
+                            F.sum(
+                                F.round(
+                                    F.col("rank") * F.col("share") * _SCALE
+                                ).cast("long")
                             )
-                        )
-                        / float(_SCALE)
-                    ).alias("contrib")
+                            / float(_SCALE)
+                        ).alias("contrib")
+                    )
                 )
-            )
-            stepped, stepped_ids = _checkpoint_tracked(
-                nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+                plan = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
                     "node",
                     (
                         F.lit(base)
                         + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
                     ).alias("rank"),
-                ),
-                sc,
-            )
-            # the superseded round is dead the moment the new one is
+                )
+            stepped, stepped_ids = _checkpoint_tracked(plan, sc)
+            rounds_done += span
+            # the superseded span is dead the moment the new one is
             # materialized — release it now, don't wait for GC
             _unpersist_ids(sc, ranks_ids)
             ranks, ranks_ids = stepped, stepped_ids

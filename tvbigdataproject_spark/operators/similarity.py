@@ -8,8 +8,10 @@ instantiations):
                      the candidate set to the probed cell(s)
   cosine_neardup_pairs  near-dup pairs blocked by cell
 
-All vector math is zip_with/aggregate over array<double>
-(functions/vectors.py) — JVM-side, no Python.
+Per-pair scoring goes through a selectable kernel (``_KERNELS``): the
+JVM-side zip_with/aggregate HOF form, or the bitwise-identical
+Arrow-batched numpy kernel that the quadratic pair paths default to —
+see functions/vectors.py for the equivalence argument.
 """
 
 from __future__ import annotations
@@ -17,7 +19,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from tvbigdataproject_spark.functions import cosine_similarity
+from tvbigdataproject_spark.functions import cosine_arrow, cosine_similarity
+
+# Per-pair scoring kernel, selectable per call site. Both are
+# bit-identical (tests/test_similarity.py); they differ only in cost
+# model:
+#   "hof"   zip_with/aggregate — zero Python fences, but CodegenFallback
+#           interpreted eval per element: right when pair counts are
+#           modest or a Python fence is unacceptable in the plan.
+#   "arrow" Arrow-batched numpy (functions/vectors.cosine_arrow) — one
+#           Python fence per stage, then memory-bandwidth math: wins
+#           where the pair space is quadratic (near-dup joins,
+#           brute-force top-k sweeps). A/B at sf0.1 (2026-08-14, warm
+#           medians of 3): embed_neardup_pairs 3.51s -> 0.83s (4.2x),
+#           embed_cosine_topk 1.01s -> 0.50s (2.0x), identical rows;
+#           sf1 numbers in SCALE.md. Defaults follow that.
+_KERNELS = {"hof": cosine_similarity, "arrow": cosine_arrow}
 
 
 def cosine_topk(
@@ -26,12 +43,15 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (brute force).
 
     ``queries`` must be broadcast-sized (it is replicated to every
     corpus partition); ranking carries an id tiebreak so top-k is
-    deterministic at any parallelism.
+    deterministic at any parallelism. The scoring sweep touches
+    |queries| x |corpus| pairs, so it defaults to the vectorized Arrow
+    kernel (see _KERNELS).
     """
     q = queries.select(
         F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_emb")
@@ -42,7 +62,7 @@ def cosine_topk(
         .select(
             "q_vec_id",
             F.col(id_col).alias("vec_id"),
-            cosine_similarity(F.col("q_emb"), F.col(vec_col)).alias("cos"),
+            _KERNELS[kernel](F.col("q_emb"), F.col(vec_col)).alias("cos"),
         )
     )
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -58,6 +78,7 @@ def cell_pruned_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """IVF-style top-k: candidates restricted to the query's coarse cell.
 
@@ -76,7 +97,7 @@ def cell_pruned_topk(
         .select(
             "q_vec_id",
             F.col(id_col).alias("vec_id"),
-            cosine_similarity(F.col("q_emb"), F.col(vec_col)).alias("cos"),
+            _KERNELS[kernel](F.col("q_emb"), F.col(vec_col)).alias("cos"),
         )
     )
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -204,6 +225,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     cache_key: object = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Learned-IVF approximate top-k: KMeans cells, corpus-side
     multi-assignment, query-side multi-probe.
@@ -255,7 +277,7 @@ def ivf_topk(
         .select(
             "q_vec_id",
             "vec_id",
-            cosine_similarity(F.col("q_emb"), F.col("emb")).alias("cos"),
+            _KERNELS[kernel](F.col("q_emb"), F.col("emb")).alias("cos"),
         )
         .distinct()
     )
@@ -272,6 +294,7 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     cell_col: str = "label",
     salt_buckets: int = 8,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Embedding-space near-duplicate pairs (cos ≥ threshold), blocked by
     the coarse cell so the pair space is per-cell, not global.
@@ -281,13 +304,14 @@ def cosine_neardup_pairs(
     100x larger and AQE coalesced the join to ONE task for 25+ minutes:
 
     - **Salted pair parallelism.** The join's output is quadratic per
-      cell while its *input* is tiny, and the cosine runs in interpreted
-      eval (array HOFs are CodegenFallback) — so per-pair cost, not
-      input bytes, dominates. The a-side is salted into `salt_buckets`
-      hash buckets and the b-side replicated across them, turning each
-      cell's pair space into `salt_buckets` independent tasks. Each pair
-      still appears exactly once (it is matched only at the a-vector's
-      salt).
+      cell while its *input* is tiny — per-pair scoring cost, not input
+      bytes, dominates (with the default Arrow kernel the per-pair cost
+      is vectorized numpy; with kernel="hof" it is interpreted
+      CodegenFallback eval and ~an order of magnitude worse). The
+      a-side is salted into `salt_buckets` hash buckets and the b-side
+      replicated across them, turning each cell's pair space into
+      `salt_buckets` independent tasks. Each pair still appears exactly
+      once (it is matched only at the a-vector's salt).
     - **AQE-proof partitioning.** AQE's partition coalescing keys off
       shuffle input bytes and is blind to join fan-out; a few MB of
       vectors collapse to one partition no matter how many pairs they
@@ -299,7 +323,13 @@ def cosine_neardup_pairs(
     should bound vectors-per-cell, not be a constant) — the salt only
     multiplies parallelism, it cannot shrink the per-cell O(n^2).
     """
-    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # shuffle.partitions may be non-numeric on managed platforms (e.g.
+    # "auto" under Databricks AQE auto-optimized shuffle) — fall back to
+    # the cluster's default parallelism rather than crashing
+    try:
+        nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = corpus.sparkSession.sparkContext.defaultParallelism
     a = corpus.select(
         F.col(id_col).alias("vec_a"),
         F.col(cell_col).alias("cell_a"),
@@ -327,5 +357,5 @@ def cosine_neardup_pairs(
             & (F.col("vec_a") < F.col("vec_b")),
         )
     )
-    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    cos = _KERNELS[kernel](F.col("emb_a"), F.col("emb_b"))
     return pairs.where(cos >= threshold).select("vec_a", "vec_b", cos.alias("cos"))

@@ -45,6 +45,7 @@ def bfs_levels(
     max_hops: int,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """Minimum hop count from `source` to every node reachable within
     `max_hops` directed hops. Returns (node, hop) with hop in
@@ -52,12 +53,15 @@ def bfs_levels(
 
     Each round is one equi-join (frontier onto out-edges) + distinct +
     anti-join against the visited set — all shuffle-partitioned by node
-    id. The visited set is checkpointed per round (it is re-read by
-    every later anti-join) and the superseded round's blocks are
-    released the moment the next round materializes. At 100 TB the
-    frontier join inherits whatever partitioning `edges` carries; for
-    repeated BFS over one graph, pre-bucket `edges` by `src` so every
-    round's join is co-located.
+    id. The visited set is checkpointed every ``checkpoint_interval``
+    hops (each hop references the previous visited plan three times —
+    anti-join, union, frontier filter — so in-span lineage grows
+    ~3^k; keep k small, the default 2 halves the fixed per-job cost
+    without plan blowup) and the superseded span's blocks are released
+    the moment the next span materializes. At 100 TB the frontier join
+    inherits whatever partitioning `edges` carries; for repeated BFS
+    over one graph, pre-bucket `edges` by `src` so every round's join
+    is co-located.
     """
     sc = edges.sparkSession.sparkContext
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
@@ -66,22 +70,25 @@ def bfs_levels(
         [(int(source), 0)], schema="node long, hop int"
     )
     visited, visited_ids = _checkpoint_tracked(start, sc)
-    frontier = visited
     try:
-        for hop in range(1, max_hops + 1):
-            nxt = (
-                frontier.join(e, frontier.node == e.src)
-                .select(F.col("dst").alias("node"))
-                .distinct()
-                .join(visited, "node", "left_anti")
-                .select("node", F.lit(hop).cast("int").alias("hop"))
-            )
-            stepped, stepped_ids = _checkpoint_tracked(
-                visited.unionByName(nxt), sc
-            )
+        hop = 0
+        while hop < max_hops:
+            span = min(max(1, checkpoint_interval), max_hops - hop)
+            plan = visited
+            for _ in range(span):
+                hop += 1
+                frontier = plan.where(F.col("hop") == hop - 1)
+                nxt = (
+                    frontier.join(e, frontier.node == e.src)
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
+                    .join(plan, "node", "left_anti")
+                    .select("node", F.lit(hop).cast("int").alias("hop"))
+                )
+                plan = plan.unionByName(nxt)
+            stepped, stepped_ids = _checkpoint_tracked(plan, sc)
             _unpersist_ids(sc, visited_ids)
             visited, visited_ids = stepped, stepped_ids
-            frontier = visited.where(F.col("hop") == hop)
     except Exception:
         _unpersist_ids(sc, visited_ids)
         raise
@@ -94,6 +101,7 @@ def kcore_peel(
     rounds: int,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """Bounded-round k-core peel: `rounds` iterations of "drop every
     node with degree < k, recompute degrees". Returns (node, deg) for
@@ -106,25 +114,34 @@ def kcore_peel(
     operators/pagerank.py docstring). Each round is one keyed aggregate
     (degrees) + two semi-joins (filter both endpoints), all partitioned
     by node id; the edge set only shrinks, so per-round cost is
-    monotonically decreasing. Lineage is truncated per round with the
-    checkpoint-release discipline of operators/components.py.
+    monotonically decreasing. Lineage is truncated every
+    ``checkpoint_interval`` rounds (each round references the previous
+    edge plan three times — degree agg + both semi-joins — so in-span
+    lineage grows ~3^k; the default 2 halves the fixed per-job cost
+    without plan blowup) with the checkpoint-release discipline of
+    operators/components.py.
     """
     sc = edges.sparkSession.sparkContext
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e, e_ids = _checkpoint_tracked(e, sc)
     try:
-        for _ in range(rounds):
-            keep = (
-                e.groupBy("src")
-                .agg(F.count(F.lit(1)).alias("deg"))
-                .where(F.col("deg") >= k)
-                .select(F.col("src").alias("node"))
-            )
-            pruned = (
-                e.join(keep, e.src == keep.node, "left_semi")
-                .join(keep, F.col("dst") == keep.node, "left_semi")
-            )
-            stepped, stepped_ids = _checkpoint_tracked(pruned, sc)
+        rounds_done = 0
+        while rounds_done < rounds:
+            span = min(max(1, checkpoint_interval), rounds - rounds_done)
+            plan = e
+            for _ in range(span):
+                keep = (
+                    plan.groupBy("src")
+                    .agg(F.count(F.lit(1)).alias("deg"))
+                    .where(F.col("deg") >= k)
+                    .select(F.col("src").alias("node"))
+                )
+                plan = (
+                    plan.join(keep, plan.src == keep.node, "left_semi")
+                    .join(keep, F.col("dst") == keep.node, "left_semi")
+                )
+            stepped, stepped_ids = _checkpoint_tracked(plan, sc)
+            rounds_done += span
             _unpersist_ids(sc, e_ids)
             e, e_ids = stepped, stepped_ids
     except Exception:
