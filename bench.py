@@ -51,7 +51,9 @@ HEADLINE = [
     "embed_cosine_topk",        # brute-force ANN baseline
     "embed_ivf_topk",           # pruned ANN
     "embed_ivf_learned_topk",   # learned IVF (KMeans fit + probe)
+    "embed_neardup_pairs",      # salted quadratic pair join (arrow kernel)
     "pagerank_trade_graph",     # iterative (checkpointed rounds)
+    "bfs_hops_trade",           # iterative frontier expansion
     "triangle_count_neardup",   # degree-ordered wedge join
     "dedup_containment",        # asymmetric shingle containment
     "gap_fill_forward",         # grid explode + forward-fill window
@@ -67,7 +69,12 @@ def main() -> None:
     from tvbigdataproject_spark.queries import REGISTRY
     from tvbigdataproject_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # no console progress bars: the gate artifact is parsed from this
+    # process's output, and progress rewrites have corrupted it before
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -126,23 +133,43 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold": cold,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "spread": spread,
-                "warm_reps": reps,
-                "suspect_inversions": suspect,
-                "sf": sf,
-                "n_queries": len(timings),
-            }
-        )
+    # Transport contract: the consumer keeps only a ~2000-char TAIL of
+    # stdout, so stdout carries exactly ONE compact JSON line — the gate
+    # keys (metric/value/queries) and nothing else — emitted last.
+    # Everything bulky (cold times, spreads, inversion list) goes to
+    # bench_detail.json next to this script and to stderr; inlining it
+    # once pushed the warm-medians dict past the tail window and the
+    # round artifact recorded "parsed": null.
+    gate_line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "n_queries": len(timings),
+        },
+        separators=(",", ":"),
     )
+    detail = {
+        "cold": cold,
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "spread": spread,
+        "warm_reps": reps,
+        "suspect_inversions": suspect,
+    }
+    detail_path = os.path.join(REPO, "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+    if len(gate_line) > 1900:
+        print(
+            f"WARN gate line is {len(gate_line)} chars — nearing the "
+            "2000-char stdout tail window; trim HEADLINE or shorten names",
+            file=sys.stderr,
+        )
+    sys.stderr.flush()
+    print(gate_line, flush=True)
     spark.stop()
 
 

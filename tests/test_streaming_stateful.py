@@ -55,7 +55,13 @@ def test_streaming_funnel_matches_batch_semantics(spark):
     run_to_memory_sink(
         streaming_funnel_stage(stream), "t_funnel", output_mode="update"
     )
-    got = {r.user_id: r.stage for r in spark.table("t_funnel").collect()}
+    # an update-mode memory sink holds one row per micro-batch per
+    # updated user, and collect() order across batches is not
+    # contractual — take max(stage) per user (valid because stage is
+    # monotone nondecreasing) instead of relying on last-row-wins
+    got: dict = {}
+    for r in spark.table("t_funnel").collect():
+        got[r.user_id] = max(got.get(r.user_id, 0), r.stage)
 
     steps = (
         read_table(spark, SF_DIR, "events")

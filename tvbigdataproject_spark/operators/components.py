@@ -98,7 +98,24 @@ def connected_components(
     """
     sc = edges.sparkSession.sparkContext
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the (static) symmetric edge set once: every round's
+    # neighborhood join re-reads it, and the upstream plan is typically
+    # the expensive part — for dedup_components it is the shingle
+    # self-join pair generator, which must not be replayed per round
+    sym, sym_ids = _checkpoint_tracked(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))), sc
+    )
+    try:
+        return _cc_loop(sym, sc, max_iter, checkpoint_interval)
+    finally:
+        # the returned labels are materialized (checkpointed) — the edge
+        # blocks are dead on every exit path
+        _unpersist_ids(sc, sym_ids)
+
+
+def _cc_loop(
+    sym: DataFrame, sc, max_iter: int, checkpoint_interval: int
+) -> DataFrame:
     labels, labels_ids = _checkpoint_tracked(
         sym.select(F.col("a").alias("node"))
         .distinct()

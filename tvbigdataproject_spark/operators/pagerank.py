@@ -33,8 +33,9 @@ localCheckpoint and the superseded round's blocks are released
 deterministically (components' _checkpoint_tracked/_unpersist_ids —
 VERDICT r2 item 5 discipline); on a real cluster prefer reliable
 checkpoint() with a checkpoint dir. Skewed in-degree (celebrity nodes)
-salts the contribution aggregate exactly like salted_type_counts; not
-needed at bench scales.
+is handled by the opt-in `salt_buckets` two-phase contribution sum —
+bitwise-identical to the unsalted path and off by default at bench
+scales (see the function docstring).
 """
 
 from __future__ import annotations
@@ -59,6 +60,7 @@ def pagerank(
     dst: str = "dst",
     weight: str = "w",
     checkpoint_interval: int = 3,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Ranks for every node appearing as a source in `edges` (feed a
     bidirectional edge list for undirected semantics — then the src set
@@ -75,23 +77,62 @@ def pagerank(
     k can be higher here than in the self-referencing BFS/k-core loops.
     Ranks are bitwise independent of checkpoint placement (the
     scaled-integer sums are exact); only the job count changes.
+
+    `salt_buckets` spreads each destination's contribution sum over
+    that many reducers (two-phase: groupBy(dst, salt) partials, then
+    groupBy(dst) of at most `salt_buckets` partial rows) — the
+    mitigation for celebrity nodes whose in-degree makes one reducer
+    the straggler, same shape as salted_type_counts. The salt is a
+    deterministic hash of the *source* id, so it is stable under
+    retries and varies within a hot destination. Because the partials
+    are scaled-integer (exact, associative) sums, the salted result is
+    bitwise identical to the unsalted one at any bucket count
+    (tests/test_pagerank.py proves it on a ~1e5-in-degree hub). Off by
+    default: the extra shuffle stage only pays for itself under real
+    skew.
     """
     sc = edges.sparkSession.sparkContext
-    e = edges.select(
-        F.col(src).alias("src"),
-        F.col(dst).alias("dst"),
-        F.col(weight).cast("double").alias("w"),
-    )
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    # normalized once up front: contribution of u→v is rank(u) * share(u,v);
-    # checkpointed because every iteration re-reads it
-    shares, shares_ids = _checkpoint_tracked(
-        e.join(outw, "src").select(
-            "src", "dst", (F.col("w") / F.col("ow")).alias("share")
+    # The input plan may be arbitrarily expensive (a join chain, a
+    # near-dup pair generator) — materialize it ONCE. Without this every
+    # reference to the derived static tables (nodes in each round's left
+    # join, shares, the node count) replays the upstream plan: at sf0.1
+    # that recompute, not per-round job overhead, dominated the query.
+    e, e_ids = _checkpoint_tracked(
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("w"),
         ),
         sc,
     )
+    try:
+        # out-weights double as the node set (the node set IS the src
+        # set — see docstring), so one grouped materialization serves
+        # both every round's left join and the normalization join; no
+        # separate distinct pass
+        outw, outw_ids = _checkpoint_tracked(
+            e.groupBy("src").agg(F.sum("w").alias("ow")), sc
+        )
+    except Exception:
+        _unpersist_ids(sc, e_ids)
+        raise
+    nodes = outw.select(F.col("src").alias("node"))
+    try:
+        # normalized once up front: contribution of u→v is
+        # rank(u) * share(u,v); checkpointed because every iteration
+        # re-reads it
+        shares, shares_ids = _checkpoint_tracked(
+            e.join(outw, "src").select(
+                "src", "dst", (F.col("w") / F.col("ow")).alias("share")
+            ),
+            sc,
+        )
+    except Exception:
+        _unpersist_ids(sc, e_ids | outw_ids)
+        raise
+    # every iteration consumer reads shares/nodes — the raw edge blocks
+    # are dead the moment shares is materialized
+    _unpersist_ids(sc, e_ids)
 
     n = nodes.count()
     base = base_num / n
@@ -104,20 +145,25 @@ def pagerank(
             span = min(max(1, checkpoint_interval), n_iter - rounds_done)
             plan = ranks
             for _ in range(span):
-                contrib = (
-                    shares.join(plan, shares.src == plan.node)
-                    .groupBy("dst")
-                    .agg(
-                        (
-                            F.sum(
-                                F.round(
-                                    F.col("rank") * F.col("share") * _SCALE
-                                ).cast("long")
-                            )
-                            / float(_SCALE)
-                        ).alias("contrib")
-                    )
+                scaled = F.round(F.col("rank") * F.col("share") * _SCALE).cast(
+                    "long"
                 )
+                joined = shares.join(plan, shares.src == plan.node)
+                if salt_buckets:
+                    contrib = (
+                        joined.withColumn(
+                            "_salt",
+                            F.pmod(F.xxhash64("src"), F.lit(salt_buckets)),
+                        )
+                        .groupBy("dst", "_salt")
+                        .agg(F.sum(scaled).alias("_part"))
+                        .groupBy("dst")
+                        .agg((F.sum("_part") / float(_SCALE)).alias("contrib"))
+                    )
+                else:
+                    contrib = joined.groupBy("dst").agg(
+                        (F.sum(scaled) / float(_SCALE)).alias("contrib")
+                    )
                 plan = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
                     "node",
                     (
@@ -132,5 +178,5 @@ def pagerank(
             _unpersist_ids(sc, ranks_ids)
             ranks, ranks_ids = stepped, stepped_ids
     finally:
-        _unpersist_ids(sc, shares_ids)
+        _unpersist_ids(sc, shares_ids | outw_ids)
     return ranks

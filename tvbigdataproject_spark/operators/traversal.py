@@ -64,12 +64,21 @@ def bfs_levels(
     is co-located.
     """
     sc = edges.sparkSession.sparkContext
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # materialize the (static) edge set once — every hop's frontier join
+    # re-reads it, and the upstream plan may be an expensive join chain
+    e, e_ids = _checkpoint_tracked(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        sc,
+    )
     spark = edges.sparkSession
     start = spark.createDataFrame(
         [(int(source), 0)], schema="node long, hop int"
     )
-    visited, visited_ids = _checkpoint_tracked(start, sc)
+    try:
+        visited, visited_ids = _checkpoint_tracked(start, sc)
+    except Exception:
+        _unpersist_ids(sc, e_ids)
+        raise
     try:
         hop = 0
         while hop < max_hops:
@@ -92,6 +101,10 @@ def bfs_levels(
     except Exception:
         _unpersist_ids(sc, visited_ids)
         raise
+    finally:
+        # the returned visited set is materialized — the edge blocks are
+        # dead regardless of how we leave the loop
+        _unpersist_ids(sc, e_ids)
     return visited
 
 
@@ -153,7 +166,10 @@ def kcore_peel(
 
 
 def triangle_corner_counts(
-    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph
     given as unique (a, b) pairs. Returns (node, n_triangles) for every
@@ -169,11 +185,19 @@ def triangle_corner_counts(
     The oriented edge table is consumed three times (both wedge sides +
     the closing probe); only the wedge sides share a partitioning, so
     Spark's exchange reuse cannot collapse the closing branch and the
-    upstream of `pairs` is recomputed once more. When the pair generator
-    is expensive (e.g. a shingle self-join), materialize it first —
-    in production the near-dup pair table is a dedup output that already
-    exists on disk; this operator deliberately stays lazy so plan-only
-    callers (explain, tests) never trigger a job.
+    upstream of `pairs` is recomputed once more. ``materialize=True``
+    caches the oriented table (``persist``, MEMORY_AND_DISK) so the pair
+    generator runs once and all three branches read the cache — use it
+    when the generator is expensive (e.g. a shingle self-join).
+    ``persist`` rather than an eager localCheckpoint, deliberately: it
+    keeps the operator lazy (plan-only callers — explain, tests — still
+    trigger no job), it dedupes all three references within the single
+    downstream action, and because this is a one-shot operator (not an
+    O(rounds) loop) the ContextCleaner releasing the blocks when the
+    result goes out of scope is sufficient — there is no accumulation
+    for the iterative tier's tracked-release discipline to prevent. In
+    production the near-dup pair table is a dedup output that already
+    exists on disk, and the default stays lazy for that case.
     """
     e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
     deg = (
@@ -209,6 +233,8 @@ def triangle_corner_counts(
         F.when(u_lower, F.col("v")).otherwise(F.col("u")).alias("hi"),
         F.when(u_lower, F.struct("dv", "v")).otherwise(F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))).alias("hi_rank"),
     ).select("lo", "hi", "hi_rank")
+    if materialize:
+        oriented = oriented.persist()
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = (
         x.hint("SHUFFLE_HASH")

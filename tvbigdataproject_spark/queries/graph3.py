@@ -199,4 +199,6 @@ def triangle_count_neardup(spark, sf_dir):
     pairs = ngram_jaccard_pairs(
         read_table(spark, sf_dir, "documents"), n=3, threshold=0.4
     )
-    return triangle_corner_counts(pairs, a="doc_a", b="doc_b")
+    # the pair generator is the expensive shingle self-join — cache the
+    # oriented edges so the closing branch doesn't recompute it
+    return triangle_corner_counts(pairs, a="doc_a", b="doc_b", materialize=True)

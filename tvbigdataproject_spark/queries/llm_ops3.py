@@ -163,6 +163,16 @@ def decile_assign_range_join(spark, sf_dir):
     piece. The bands side is bounded (10 rows) at any SF, so the
     broadcast nested loop this plans into is the intended shape, same
     as range_join_bands.
+
+    Known oracle-parity assumption: Spark ``percentile()`` and DuckDB
+    ``quantile_cont`` must produce bitwise-identical linearly
+    interpolated cut points — a last-ulp difference would flip a row
+    sitting exactly on a cut into the neighboring decile. It holds here
+    because c_acctbal is 2-decimal data whose interpolation arithmetic
+    (both engines: lo + frac * (hi - lo) in float64) is exact at this
+    precision; do NOT round the cuts "for safety" (Spark
+    BigDecimal-rounds, DuckDB multiply-rints — they disagree at
+    boundaries, see queries/_stable.py).
     """
     c = read_table(spark, sf_dir, "customer")
     cuts = c.agg(F.percentile("c_acctbal", _DECILE_PROBS).alias("cs"))

@@ -38,11 +38,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # micros column surface as raw micros — so sniff the footer once
         # per file and scale accordingly. Integer `div` for nanos — a
         # double division would lose precision (nanos exceed 2^53) and
-        # round the last microsecond.
-        if _ts_unit(path) == "ns":
+        # round the last microsecond. The unit map is explicit and
+        # closed: an unrecognized unit must fail loudly here, not be
+        # silently read 1000x off by a catch-all branch.
+        unit = _ts_unit(path)
+        if unit == "ns":
             micros = F.expr("ts div 1000")
-        else:
+        elif unit == "us":
             micros = F.col("ts")
+        elif unit == "ms":
+            micros = F.col("ts") * 1000
+        else:
+            raise ValueError(
+                f"events.ts at {path} has unsupported parquet time unit "
+                f"{unit!r} (expected ns/us/ms)"
+            )
         df = df.withColumn(
             "ts", F.timestamp_micros(micros).cast("timestamp_ntz")
         )
@@ -68,12 +78,24 @@ def _ts_unit(path: str) -> str:
 
 
 def _first_parquet_file(path: str) -> str:
-    """`path` may be a single parquet file or a directory of part files."""
-    if os.path.isdir(path):
-        for entry in sorted(os.listdir(path)):
-            if entry.endswith(".parquet"):
-                return os.path.join(path, entry)
-    return path
+    """`path` may be a single parquet file or a directory of part files
+    (one level of partition subdirectories is searched too). Raises a
+    clear FileNotFoundError when the directory holds no parquet file —
+    an empty stream-source dir or a _SUCCESS-only dir would otherwise
+    surface as an obscure pyarrow error far from the cause."""
+    if not os.path.isdir(path):
+        return path
+    entries = sorted(os.listdir(path))
+    for entry in entries:
+        if entry.endswith(".parquet"):
+            return os.path.join(path, entry)
+    for entry in entries:
+        sub = os.path.join(path, entry)
+        if os.path.isdir(sub):
+            for inner in sorted(os.listdir(sub)):
+                if inner.endswith(".parquet"):
+                    return os.path.join(sub, inner)
+    raise FileNotFoundError(f"no *.parquet file under {path}")
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
