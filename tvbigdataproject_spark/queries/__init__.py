@@ -39,3 +39,4 @@ from tvbigdataproject_spark.queries import llm_ops3  # noqa: F401,E402
 from tvbigdataproject_spark.queries import temporal3  # noqa: F401,E402
 from tvbigdataproject_spark.queries import profile  # noqa: F401,E402
 from tvbigdataproject_spark.queries import relational4  # noqa: F401,E402
+from tvbigdataproject_spark.queries import tpch_sub  # noqa: F401,E402
