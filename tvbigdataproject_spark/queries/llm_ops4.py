@@ -1,0 +1,315 @@
+"""Training-data pipeline operators, batch 4: winsorized length stats,
+deterministic weighted sampling, Zipf rank-band mass, duplicate-span
+coverage, and per-label embedding centroids.
+
+Five more first-class LLM-corpus operations, each with a DuckDB oracle:
+
+- winsorize_token_stats  percentile-clipped per-language length stats
+                         (outlier-robust corpus statistics)
+- sample_weighted_hash   reproducible per-source Bernoulli sampling in
+                         pure integer space (corpus mixture control)
+- zipf_band_mass         token mass per log2 rank band — the Zipf curve
+                         without a single floating-point log
+- dup_span_coverage      fraction of each document's 8-gram spans that
+                         recur elsewhere (substring-level dup signal, the
+                         scalable cousin of suffix-array span dedup)
+- embed_centroid_by_label  class centroids of the embedding table
+                         (the seed computation for IVF / k-means / label
+                         drift monitoring)
+
+Scale notes: all but zipf's final ranking are scan-stage maps or keyed
+aggregations. The Zipf ranking is a global window over the VOCABULARY
+(orders of magnitude below the corpus; at extreme vocab sizes the rank
+would come from a range-partitioned sort, same result). Cross-engine
+determinism: sampling and band edges are integer-exact (md5-prefix
+buckets, bit-length bands), and every accumulated double goes through
+the scaled-integer stable forms in queries/_stable.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.functions.hashing import hex16_hash
+from tvbigdataproject_spark.functions.text import shingles, simple_tokens
+from tvbigdataproject_spark.queries._stable import sql_stable_sum, stable_sum
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+
+@query(
+    "winsorize_token_stats",
+    sql="""
+    WITH sized AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    cuts AS (
+        SELECT lang,
+               quantile_cont(n_tok, 0.05) AS lo,
+               quantile_cont(n_tok, 0.95) AS hi
+        FROM sized
+        GROUP BY lang
+    )
+    SELECT sized.lang,
+           COUNT(*) AS n_docs,
+           MIN(lo) AS cut_lo,
+           MIN(hi) AS cut_hi,
+           {stable_mean} AS w_mean
+    FROM sized JOIN cuts ON sized.lang = cuts.lang
+    GROUP BY sized.lang
+    """.format(
+        stable_mean=sql_stable_sum(
+            "LEAST(GREATEST(CAST(n_tok AS DOUBLE), lo), hi)", 4
+        )
+        + " / COUNT(*)"
+    ),
+    tags=("llm", "winsorize", "percentile"),
+)
+def winsorize_token_stats(spark, sf_dir):
+    """Winsorized (5%/95% clipped) mean document length per language —
+    the outlier-robust statistic quality dashboards want, since a few
+    pathological documents can move a plain mean by orders of magnitude.
+
+    Shape: one grouped percentile pass over the per-doc token counts
+    (languages are bounded, so the cuts table is tiny), a broadcast
+    join attaching each language's cuts, a clamp, and a grouped stable
+    mean. The clamp values interpolate between INTEGER order statistics
+    with the same h = p*(n-1) rule in both engines, so the cut doubles
+    are bitwise-identical (same reliance as decile_assign_range_join);
+    clipped values then accumulate via scaled-integer sums.
+    """
+    sized = read_table(spark, sf_dir, "documents").select(
+        "lang", F.size(simple_tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    cuts = sized.groupBy("lang").agg(
+        F.percentile("n_tok", 0.05).alias("lo"),
+        F.percentile("n_tok", 0.95).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("n_tok").cast("double"), F.col("lo")), F.col("hi"))
+    return (
+        sized.join(F.broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("lo").alias("cut_lo"),
+            F.min("hi").alias("cut_hi"),
+            (stable_sum(clipped, 4) / F.count(F.lit(1))).alias("w_mean"),
+        )
+    )
+
+
+@query(
+    "sample_weighted_hash",
+    sql="""
+    WITH rated AS (
+        SELECT doc_id, source,
+               CAST(substr(source, 4) AS BIGINT) % 10 + 1 AS rate10,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS h
+        FROM documents
+    )
+    SELECT source,
+           MIN(rate10) / 10.0 AS rate,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN h * 10 < 65536 * rate10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM rated
+    GROUP BY source
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def sample_weighted_hash(spark, sf_dir):
+    """Deterministic weighted (per-source rate) Bernoulli sampling — the
+    mixture-control primitive: downsample each source to its target
+    rate so the training mix matches a recipe, reproducibly. A document
+    is kept iff its 16-bit md5 bucket falls under the source's rate,
+    so membership is a pure function of (doc_id, source): re-runs,
+    repartitioning, and incremental corpus growth never change a
+    decision, and the keep test is INTEGER (h*10 < 65536*rate10) — no
+    float threshold to disagree about. Here the rate derives from the
+    source's numeric suffix ((k % 10 + 1)/10); in production it comes
+    from a recipe table joined the same way. Scan-stage map + one
+    grouped count; zero extra shuffles at any scale.
+    """
+    src_num = F.substring("source", 4, 10).cast("long")
+    rate10 = src_num % 10 + 1
+    h = hex16_hash(F.col("doc_id").cast("string"))
+    kept = h * 10 < F.lit(65536) * rate10
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", rate10.alias("rate10"), kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            (F.min("rate10") / 10.0).alias("rate"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "zipf_band_mass",
+    sql="""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+    ),
+    counts AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+    ranked AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rnk
+        FROM counts
+    )
+    SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS band,
+           COUNT(*) AS n_types,
+           SUM(cnt) AS mass,
+           MAX(cnt) AS top_count
+    FROM ranked
+    GROUP BY band
+    """,
+    tags=("llm", "zipf", "vocab"),
+)
+def zipf_band_mass(spark, sf_dir):
+    """Zipf profile of the corpus vocabulary: total token mass per
+    geometric rank band (ranks 1, 2-3, 4-7, 8-15, ...). Under a Zipf
+    law each band carries roughly equal mass, so the band table IS the
+    fitted curve — readable by eye and comparable across corpus
+    versions — without the log-log regression whose floating-point logs
+    (libm vs StrictMath) are not bitwise portable across engines. The
+    band index floor(log2(rank)) is computed as bit_length(rank)-1 via
+    ``bin()`` string length: pure integer arithmetic in both engines.
+
+    Scale: token counting is the map-heavy part (scan + one keyed agg);
+    the ROW_NUMBER ranking runs over the distinct VOCABULARY, orders of
+    magnitude smaller than the corpus. The single-partition window is
+    deliberate at this vocab size; at web-corpus vocabularies the same
+    rank comes from a range-partitioned sort (rank = partition offset +
+    local row number) with identical output.
+    """
+    tok = read_table(spark, sf_dir, "documents").select(
+        F.explode(simple_tokens(F.lower(F.col("text")))).alias("t")
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = counts.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("t")))
+        .alias("rnk"),
+    )
+    band = (F.length(F.bin(F.col("rnk"))) - 1).cast("long")
+    return (
+        ranked.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("cnt").alias("mass"),
+            F.max("cnt").alias("top_count"),
+        )
+    )
+
+
+@query(
+    "dup_span_coverage",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                     || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+                     || ' ' || ws[i+7] AS s
+        FROM t, UNNEST(range(1, len(ws) - 6)) AS u(i)
+        WHERE len(ws) >= 8
+    ),
+    gram_docs AS (SELECT s, COUNT(*) AS nd FROM sh GROUP BY s)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM sh JOIN gram_docs USING (s)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "span"),
+)
+def dup_span_coverage(spark, sf_dir):
+    """Duplicate-span coverage: for each document, the fraction of its
+    distinct word-8-gram spans that also occur in some other document.
+    This is the distributable stand-in for suffix-array substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): documents with high dup_frac are boilerplate-heavy or
+    near-copies even when no single whole-document match exists, and
+    the per-doc fraction is the usual removal threshold.
+
+    Shape: one shingle pass (array expression, exploded once), a gram-
+    keyed count — since the shingle set is per-doc distinct, COUNT(*)
+    per gram IS its document frequency — and a join back on the gram
+    to fold per-doc numerators. Both heavy stages key on the gram
+    string, so the exchange is reused; no all-pairs anything.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), n=8, distinct=True)).alias("s"),
+    )
+    gram_docs = sh.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        sh.join(gram_docs, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(dup).cast("long").alias("n_dup"),
+            (
+                F.sum(dup).cast("long")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "embed_centroid_by_label",
+    sql=f"""
+    SELECT label,
+           CAST(i AS BIGINT) AS pos,
+           COUNT(*) AS n,
+           {sql_stable_sum('CAST(embedding[i] AS DOUBLE)', 6)} / COUNT(*)
+               AS centroid
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY label, CAST(i AS BIGINT)
+    """,
+    tags=("llm", "embedding", "centroid"),
+)
+def embed_centroid_by_label(spark, sf_dir):
+    """Per-label embedding centroids, one row per (label, dimension) —
+    the seed computation for IVF cell assignment, k-means init, and
+    label-drift monitoring. Emitting (label, pos, centroid) rows keeps
+    the result engine-neutral (no array construction whose ordering an
+    oracle could disagree on).
+
+    Shape: posexplode fans each vector into (dim, value) rows that ride
+    the scan stage — the groupBy on (label, pos) then map-side combines
+    to |labels| x |dims| rows per task before one shuffle. float32
+    inputs are cast to double (exact) and averaged via scaled-integer
+    sums, so 32-way partials equal the oracle bitwise. At 100 TB the
+    same plan holds: the fan-out factor is the dimension count, and the
+    output is bounded by labels x dims regardless of row count.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (stable_sum(F.col("v"), 6) / F.count(F.lit(1))).alias("centroid"),
+        )
+    )
