@@ -59,6 +59,11 @@ HEADLINE = [
     "gap_fill_forward",         # grid explode + forward-fill window
     "rolling_24h_stats",        # RANGE-frame rolling window
     "heavy_hitter_terms",       # token fan-out + top-k
+    "order_priority_exists",    # decorrelated EXISTS (semi + non-equi residual)
+    "cust_order_distribution",  # outer join through double aggregation
+    "min_cost_supplier_per_part",  # correlated-min decorrelation (Q2 shape)
+    "dup_span_coverage",        # substring-span dedup signal
+    "zipf_band_mass",           # vocab ranking + integer band agg
 ]
 
 
