@@ -232,7 +232,7 @@ def min_cost_supplier_per_part(spark, sf_dir):
         p.join(cost, cost["l_partkey"] == F.col("p_partkey"))
         .join(best, F.col("_best_partkey") == F.col("p_partkey"))
         .where(F.col("unit_cost") == F.col("best_cost"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("p_partkey", "p_brand", "s_name", "unit_cost")
         .orderBy("unit_cost", "p_partkey", "s_name")
         .limit(100)
@@ -375,7 +375,10 @@ def supplier_count_by_part_attr(spark, sf_dir):
     avoid NOT IN's null-semantics nested loop. Part filters prune
     before the join; COUNT(DISTINCT) runs as Spark's two-phase
     distinct-expand aggregate, partitioned by the group keys. The anti
-    side is projected to the single key column before broadcasting.
+    side is projected to its single key column before the join; it
+    scales with the supplier table, so no broadcast is pinned — AQE
+    picks broadcast at bench scale and falls back to a keyed shuffle
+    when the runtime size warrants.
     """
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part").where(
@@ -390,7 +393,7 @@ def supplier_count_by_part_attr(spark, sf_dir):
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+            bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
         )
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -452,7 +455,7 @@ def dominant_supplier_parts(spark, sf_dir):
     return (
         pq.join(tot, "l_partkey")
         .where(F.col("qty") * F.col("nsupp") > F.col("total_qty") * 2)
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("dominant_parts"))
         .orderBy(F.col("dominant_parts").desc(), "s_suppkey")

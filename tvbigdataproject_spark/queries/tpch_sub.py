@@ -201,8 +201,11 @@ def large_volume_orders(spark, sf_dir):
     scan. Quantities are integral-valued doubles, summed as BIGINT so
     the HAVING threshold is an exact integer comparison in both engines.
     The big-orders set is a tiny fraction of orders (>300 units is the
-    p99.9 tail), so it broadcasts into the orders join; the customer
-    join shuffles on custkey. Total order + key tiebreak before LIMIT.
+    p99.9 tail) and AQE broadcasts it at bench scale — but it GROWS
+    with SF (0.1% of orders is still millions of rows at 100 TB), so
+    the hint is deliberately not pinned and the join falls back to a
+    keyed shuffle when the runtime size says so. The customer join
+    shuffles on custkey. Total order + key tiebreak before LIMIT.
     """
     li = read_table(spark, sf_dir, "lineitem")
     big = (
@@ -213,7 +216,7 @@ def large_volume_orders(spark, sf_dir):
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
@@ -296,7 +299,7 @@ def waiting_supplier_counts(spark, sf_dir):
     )
     s = read_table(spark, sf_dir, "supplier")
     return (
-        sole.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        sole.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
