@@ -70,6 +70,13 @@ def test_nested_loop_joins_only_where_intended(spark):
         "decile_assign_range_join",
         # one-row corpus-total attach, same shape as tfidf_top_terms
         "rare_term_score",
+        # one-row scalar-subquery attaches compared by INEQUALITY (Q11
+        # fraction-of-total, Q22 avg threshold): a broadcast cross join
+        # with a one-row aggregate is the decorrelated plan. (The Q15
+        # max attach is an EQUALITY — Catalyst rewrites crossJoin +
+        # equality filter into a broadcast hash join, so it is not here.)
+        "important_part_value",
+        "idle_customer_balance",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
@@ -212,3 +219,35 @@ def test_whole_stage_codegen_covers_scalar_queries(spark):
     # codegen markers, so only exchange-free plans are asserted here)
     for name in ("string_funcs", "filter_pushdown_project"):
         assert "codegen id" in _plan(spark, name), name
+
+
+def test_q6_is_single_scan_no_join(spark):
+    # TPC-H Q6's whole point: three pushed range predicates and one
+    # global aggregate — no join anywhere, and the only exchange is the
+    # partial→final single-partition gather.
+    plan = _plan(spark, "forecast_revenue_change")
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    # the correlated EXISTS must become one LEFT SEMI hash join (the
+    # non-equi part rides as the join residual), never a per-row probe
+    # or a nested loop
+    plan = _plan(spark, "order_priority_exists")
+    assert "LeftSemi" in plan
+    assert "NestedLoopJoin" not in plan
+
+
+def test_topk_queries_use_take_ordered_not_global_sort(spark):
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject: a global
+    # Sort before the limit materializes the full result on one node's
+    # worth of ordering work at 100 TB
+    for name in ("large_volume_orders", "returned_item_losses",
+                 "min_cost_supplier_per_part", "supplier_count_by_part_attr"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
