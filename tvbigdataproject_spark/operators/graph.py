@@ -20,6 +20,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tvbigdataproject_spark.operators.skew import shuffle_partition_count
+
 
 @dataclass(frozen=True)
 class Graph:
@@ -163,13 +165,18 @@ def pair_candidates(
             .select("item")
         )
         pairs_src = pairs_src.join(keep, "item", "left_semi")
-    a, b = pairs_src.alias("a"), pairs_src.alias("b")
+    nparts = shuffle_partition_count(pairs_src)
+    a = pairs_src.repartition(nparts, "item").alias("a")
+    b = pairs_src.repartition(nparts, "item").alias("b")
     return (
         # both sides are the full (entity, item) edge table: broadcast
         # would ship the corpus to every executor (and the driver) —
         # shuffle-hash on the item key is right at every scale, and the
         # identical shuffles collapse via ReusedExchange (tradeoff vs
-        # MERGE under heap pressure: see operators/dedup.py docstring)
+        # MERGE under heap pressure: see operators/dedup.py docstring).
+        # The explicit repartition-by-number is the AQE-coalescing guard
+        # (see skew.shuffle_partition_count): without it a few MB of
+        # shuffle input collapse the quadratic pair fan-out to one task.
         a.hint("SHUFFLE_HASH")
         .join(
             b.hint("SHUFFLE_HASH"),

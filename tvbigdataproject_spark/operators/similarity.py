@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tvbigdataproject_spark.operators.skew import shuffle_partition_count
+
 from tvbigdataproject_spark.functions import cosine_arrow, cosine_similarity
 
 # Per-pair scoring kernel, selectable per call site. Both are
@@ -323,13 +325,7 @@ def cosine_neardup_pairs(
     should bound vectors-per-cell, not be a constant) — the salt only
     multiplies parallelism, it cannot shrink the per-cell O(n^2).
     """
-    # shuffle.partitions may be non-numeric on managed platforms (e.g.
-    # "auto" under Databricks AQE auto-optimized shuffle) — fall back to
-    # the cluster's default parallelism rather than crashing
-    try:
-        nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        nparts = corpus.sparkSession.sparkContext.defaultParallelism
+    nparts = shuffle_partition_count(corpus)
     a = corpus.select(
         F.col(id_col).alias("vec_a"),
         F.col(cell_col).alias("cell_a"),

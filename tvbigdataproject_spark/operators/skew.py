@@ -24,6 +24,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def shuffle_partition_count(df: DataFrame) -> int:
+    """The session's shuffle partition count, for explicit
+    repartition-by-number on fan-out-quadratic joins.
+
+    AQE's partition coalescing keys off shuffle input BYTES and is
+    blind to join fan-out: a few MB of keys that explode into millions
+    of pairs coalesce to one task (observed twice at sf1 — the
+    embedding pair join in round 3, the shared-part pair join in round
+    4, each stuck 15+ minutes on one core). A REPARTITION_BY_NUM-origin
+    exchange is exempt from coalescing and already satisfies a
+    shuffle-hash join's distribution, so pre-partitioning both sides by
+    the join key pins the parallelism without adding an exchange.
+
+    spark.sql.shuffle.partitions may be non-numeric on managed
+    platforms (e.g. "auto" under adaptive auto-optimized shuffle) —
+    fall back to the cluster's default parallelism.
+    """
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,

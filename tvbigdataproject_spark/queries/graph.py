@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.operators.skew import shuffle_partition_count
 from tvbigdataproject_spark.sources import read_table
 
 
@@ -92,11 +93,16 @@ def pair_candidates_shared_parts(spark, sf_dir):
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
     )
-    a = cp.alias("a")
-    b = cp.alias("b")
+    nparts = shuffle_partition_count(cp)
+    a = cp.repartition(nparts, "part").alias("a")
+    b = cp.repartition(nparts, "part").alias("b")
     return (
         # (cust, part) is corpus-sized on both sides — shuffle-hash, not
-        # an AQE broadcast, and the twin exchanges reuse
+        # an AQE broadcast, and the twin exchanges reuse. The explicit
+        # repartition-by-number pins 32-way parallelism on the pair
+        # fan-out: AQE coalesces by input bytes and is blind to join
+        # fan-out (this exact query: one task, 15+ min at sf1 — see
+        # skew.shuffle_partition_count)
         a.hint("SHUFFLE_HASH")
         .join(
             b.hint("SHUFFLE_HASH"),
