@@ -1,0 +1,188 @@
+"""Data-quality operators: a dbt-style checks table and robust
+(median-based) dispersion statistics.
+
+- dq_orders_checks        one pass of declarative data tests over the
+                          orders/customer/lineitem universe — null
+                          rates, referential integrity, key uniqueness,
+                          domain and range violations — returned as a
+                          (check_name, n_violations) table. The shape a
+                          warehouse runs nightly on every fact load.
+- mad_acctbal_by_segment  median absolute deviation per segment: the
+                          outlier-robust dispersion measure (stddev is
+                          dominated by the tails it is supposed to
+                          flag). Two grouped percentile passes with a
+                          broadcast median attach between them.
+
+Every check counts in exact integer space; the MAD relies on the same
+cross-engine percentile-interpolation agreement as
+decile_assign_range_join (h = p*(n-1) over identical value sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+
+@query(
+    "dq_orders_checks",
+    sql="""
+    SELECT 'orders_null_custkey' AS check_name,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE NOT EXISTS (
+        SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders
+          GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'orders_priority_domain',
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonneg_total',
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+    tags=("quality", "dq", "integrity"),
+)
+def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over one load: null checks,
+    referential integrity (anti joins), primary-key uniqueness (grouped
+    surplus count), domain membership, and range checks, emitted as one
+    (check_name, n_violations) table.
+
+    Shapes by check class: null/domain/range checks are conditional
+    sums folded into ONE scan per table (orders' four single-table
+    checks share a single pass via a multi-aggregate — not four scans);
+    FK checks are LEFT ANTI joins keyed on the FK (the join's natural
+    shuffle, dim side projected to its key column); uniqueness is a
+    grouped count emitting surplus rows (sum(n-1), an exact integer).
+    At 100 TB each check stays one keyed pass; the union glues
+    seven one-row results, which is free.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, cnt) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    prio_ok = F.col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+    )
+    # one scan, four conditional aggregates
+    scans = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.sum(F.when(~prio_ok, 1).otherwise(0)).alias("domain"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("range"),
+    )
+    fk_cust = one(
+        "orders_fk_customer",
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"), "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    pk = one(
+        "orders_pk_unique",
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n")),
+    )
+    fk_li = one(
+        "lineitem_fk_orders",
+        li.join(
+            o.select("o_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    disc = one(
+        "lineitem_discount_range",
+        li.agg(
+            F.sum(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)
+                .otherwise(0)
+            ).alias("n")
+        ),
+    )
+    return (
+        one("orders_null_custkey", scans.select(F.col("nulls").alias("n")))
+        .unionAll(fk_cust)
+        .unionAll(pk)
+        .unionAll(
+            one("orders_priority_domain", scans.select(F.col("domain").alias("n")))
+        )
+        .unionAll(one("orders_nonneg_total", scans.select(F.col("range").alias("n"))))
+        .unionAll(fk_li)
+        .unionAll(disc)
+    )
+
+
+@query(
+    "mad_acctbal_by_segment",
+    sql="""
+    WITH med AS (
+        SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS m
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT customer.c_mktsegment,
+           COUNT(*) AS n,
+           MIN(m) AS med_acctbal,
+           quantile_cont(abs(c_acctbal - m), 0.5) AS mad
+    FROM customer JOIN med ON customer.c_mktsegment = med.c_mktsegment
+    GROUP BY customer.c_mktsegment
+    """,
+    tags=("quality", "robust-stats", "percentile"),
+)
+def mad_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of account balance per market segment —
+    the robust dispersion measure monitoring dashboards should use
+    where stddev is dragged by the very outliers it is meant to flag.
+
+    Two grouped percentile passes with a broadcast attach between: the
+    per-segment median (bounded groups → tiny cuts table), joined back
+    to compute |x - m|, then the grouped median of those deviations.
+    Cross-engine the medians interpolate between identical order
+    statistics with the same h = p*(n-1) rule (the
+    decile_assign_range_join reliance); the deviation arithmetic is the
+    same subtraction in both engines.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    med = c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", 0.5).alias("m")
+    )
+    return (
+        c.join(F.broadcast(med), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("m").alias("med_acctbal"),
+            F.percentile(F.abs(F.col("c_acctbal") - F.col("m")), 0.5).alias("mad"),
+        )
+    )
