@@ -131,3 +131,32 @@ def test_range_clustered_write_skips_row_groups(spark, tmp_path):
         read_table(spark, SF_DIR, "lineitem").where(F.col("l_orderkey") < 100).count()
     )
     assert df.count() == want
+
+
+def test_orc_roundtrip_preserves_values(spark, tmp_path):
+    # format coverage beyond parquet: ORC is the other columnar format a
+    # lakehouse ingests; write/read must preserve schema and values
+    # exactly (timestamps included — orders carries timestamp_ntz)
+    src = read_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_jsonlines_roundtrip_with_explicit_schema(spark, tmp_path):
+    # JSON-lines sink/source with schema-on-read: reading back through
+    # the WRITTEN schema (not inference) is the production contract —
+    # inference over JSON silently widens/narrows types
+    src = read_table(spark, SF_DIR, "customer")
+    path = str(tmp_path / "customer_jsonl")
+    src.write.mode("overwrite").json(path)
+    back = spark.read.schema(src.schema).json(path)
+    assert back.schema == src.schema
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
