@@ -192,15 +192,37 @@ def jaccard_user_similarity(spark, sf_dir):
             F.explode("types").alias("event_type"),
         )
     )
+    # The blocking key here has only |event_types| distinct values, so
+    # an unsalted equi-join funnels the ENTIRE quadratic pair fan-out
+    # through ≤5 tasks — at sf1 (15k users, every user in every type:
+    # ~560M pairs) those 5 concurrent partial-aggregate maps OOMed a
+    # 16g heap before spilling could help. Salt the a-side by user hash
+    # and replicate the b-side across the salts (each pair still meets
+    # exactly once, at the a-user's salt): parallelism × salt_buckets,
+    # and each task's aggregate map shrinks to spill-friendly size.
+    # Same guard pattern as cosine_neardup_pairs; repartition-by-number
+    # additionally pins the partition count against AQE's fan-out-blind
+    # coalescing.
+    salt_buckets = 8
+    nparts = shuffle_partition_count(ut)
+    a_side = ut.select(
+        "user_id", "n", "event_type",
+        F.pmod(F.hash("user_id"), F.lit(salt_buckets)).alias("salt"),
+    ).repartition(nparts, "event_type", "salt")
+    b_side = ut.select(
+        "user_id", "n", "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("salt"),
+    ).repartition(nparts, "event_type", "salt")
     inter = (
         # per-user rows on both sides — shuffle-hash on the shared
         # element, never a broadcast of a per-entity table (tradeoff vs
         # MERGE under heap pressure: see operators/dedup.py docstring)
-        ut.alias("a")
+        a_side.alias("a")
         .hint("SHUFFLE_HASH")
         .join(
-            ut.alias("b").hint("SHUFFLE_HASH"),
+            b_side.alias("b").hint("SHUFFLE_HASH"),
             (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.user_id") < F.col("b.user_id")),
         )
         .groupBy(
