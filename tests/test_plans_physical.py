@@ -138,6 +138,8 @@ def test_corpus_self_joins_are_shuffle_hash(spark):
         ("dedup_containment", 1),
         # wedge join + closing join + 2 degree attaches, all pinned
         ("triangle_count_neardup", 4),
+        # ER word-blocking self-join
+        ("fuzzy_name_pairs", 1),
     ):
         plan = _plan(spark, name)
         assert plan.count("ShuffledHashJoin") >= n_shj, name
