@@ -102,3 +102,34 @@ def test_shingles_empty_and_short(spark):
     assert got[0] == []  # too short
     assert got[1] == []
     assert sorted(got[2]) == ["a b c", "b c d"]
+
+
+def test_udtf_split_sentences_matches_native_form(spark):
+    # API-parity surface (SURVEY §2.8/D7): the Python UDTF must emit
+    # exactly what the native posexplode form emits — the equivalence
+    # that lets a user swap the slow path for the fast one
+    from tvbigdataproject_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "a b. c d. e"), (2, ""), (3, None), (4, " x .. y ")],
+        "id int, text string",
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    got = {
+        (r.id, r.pos, r.sentence)
+        for r in spark.sql(
+            "SELECT d.id, s.* FROM udtf_docs d, LATERAL split_sentences(d.text) s"
+        ).collect()
+    }
+    native = df.select(
+        "id",
+        F.posexplode(
+            F.filter(
+                F.transform(F.split("text", r"\."), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ).alias("pos", "sentence"),
+    )
+    want = {(r.id, r.pos, r.sentence) for r in native.collect()}
+    assert got == want
