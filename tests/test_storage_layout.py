@@ -160,3 +160,35 @@ def test_jsonlines_roundtrip_with_explicit_schema(spark, tmp_path):
     a = {tuple(r) for r in src.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    # Runtime-filter scale lever: a selective dim-side predicate should
+    # inject a bloom MightContain filter onto the fact scan, pruning
+    # rows before the join shuffle. The trigger thresholds are sized
+    # for the real regime (application side >= 10GB scan), so the test
+    # lowers them to simulate it at test SF; production sessions keep
+    # the defaults and get the filter exactly when the scan is big
+    # enough for it to matter.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = read_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = read_table(spark, SF_DIR, "lineitem")
+        plan = _explain(
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
