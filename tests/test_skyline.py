@@ -1,0 +1,61 @@
+"""skyline_2d: exactness vs a brute-force dominance check, tie
+handling, and the phase-2 broadcast shape."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.operators.skyline import skyline_2d
+
+
+def _brute_skyline(rows):
+    out = []
+    for p in rows:
+        dominated = any(
+            q[1] <= p[1]
+            and q[2] >= p[2]
+            and (q[1] < p[1] or q[2] > p[2])
+            for q in rows
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+def test_skyline_matches_brute_force(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, round(rng.uniform(1, 100), 2), rng.randint(1, 50))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size long").repartition(8)
+    got = sorted(tuple(r) for r in skyline_2d(df, "price", "size").collect())
+    assert got == _brute_skyline(rows)
+
+
+def test_skyline_keeps_duplicate_extent_ties(spark):
+    # two rows with the identical best (price, size) pair: neither
+    # dominates the other, so BOTH survive.
+    rows = [(1, 10.0, 9), (2, 10.0, 9), (3, 11.0, 9), (4, 10.0, 8)]
+    df = spark.createDataFrame(rows, "id long, price double, size long")
+    got = sorted(r["id"] for r in skyline_2d(df, "price", "size").collect())
+    assert got == [1, 2]
+
+
+def test_skyline_prefilter_never_drops_answers(spark):
+    # degenerate all-on-the-front data: every point incomparable, the
+    # pre-filter must pass all of them through.
+    # price and size both increase: paying more always buys more, so
+    # no point dominates any other.
+    rows = [(i, float(i), i) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, price double, size long").repartition(6)
+    assert skyline_2d(df, "price", "size").count() == 50
+
+
+def test_skyline_phase2_is_broadcast(spark):
+    rows = [(i, float(i % 9), i % 11) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, price double, size long")
+    plan = skyline_2d(df, "price", "size")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
