@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from tvbigdataproject_spark.operators.traversal import (
     bfs_levels,
     kcore_peel,
+    sssp_bounded,
     triangle_corner_counts,
 )
 
@@ -86,3 +87,38 @@ def test_iterative_ops_release_their_checkpoints(spark):
     # (8 BFS rounds + 5 peel rounds) must all have been released — an
     # unreleased loop would show ~13 extra entries here
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before + 2
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, schema="src long, dst long, w long")
+
+
+def test_sssp_relaxation_beats_hop_count(spark):
+    # 1→2→3 costs 1+1=2; direct 1→3 costs 5: more hops, shorter path.
+    e = _wedges(spark, [(1, 2, 1), (2, 3, 1), (1, 3, 5)])
+    got = {r.node: r.dist for r in sssp_bounded(e, source=1, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_sssp_round_bound_limits_path_length(spark):
+    # with a single relaxation round only 1-edge paths exist: 3 costs 5.
+    e = _wedges(spark, [(1, 2, 1), (2, 3, 1), (1, 3, 5)])
+    got = {r.node: r.dist for r in sssp_bounded(e, source=1, rounds=1).collect()}
+    assert got == {1: 0, 2: 1, 3: 5}
+
+
+def test_sssp_parallel_edges_collapse_to_min(spark):
+    e = _wedges(spark, [(1, 2, 7), (1, 2, 3)])
+    got = {r.node: r.dist for r in sssp_bounded(e, source=1, rounds=2).collect()}
+    assert got == {1: 0, 2: 3}
+
+
+def test_sssp_releases_checkpoint_blocks(spark):
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    e = _wedges(spark, [(1, 2, 1), (2, 3, 2), (3, 4, 3)])
+    out = sssp_bounded(e, source=1, rounds=4, checkpoint_interval=2)
+    assert out.count() == 4
+    after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    # only the final result's blocks may remain pinned
+    assert after - before <= 1

@@ -262,3 +262,73 @@ def triangle_corner_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    source: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """Single-source shortest path bounded to ``rounds`` relaxation
+    rounds (Bellman-Ford): (node, dist) where dist is the minimum total
+    integer edge weight over any path from ``source`` using at most
+    ``rounds`` edges. With rounds >= |V|-1 this is the exact SSSP on a
+    non-negative-weight graph; at a fixed small bound it is the
+    deterministic "distance within k hops" semantics that an unrolled
+    SQL oracle can mirror layer-for-layer.
+
+    Each round is one equi-join (current distances onto out-edges) +
+    union + min-aggregate, all shuffle-partitioned by node id — the
+    same per-round shape as pagerank (one join, one keyed agg), so the
+    same checkpoint-every-k discipline bounds lineage while halving
+    fixed per-job overhead. Parallel edges are pre-collapsed to their
+    minimum weight so the per-round join fan-out is the simple-edge
+    count.
+    """
+    sc = edges.sparkSession.sparkContext
+    e, e_ids = _checkpoint_tracked(
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w")),
+        sc,
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(int(source), 0)], schema="node long, dist long")
+    try:
+        dist, dist_ids = _checkpoint_tracked(dist, sc)
+    except Exception:
+        _unpersist_ids(sc, e_ids)
+        raise
+    try:
+        done = 0
+        while done < rounds:
+            span = min(max(1, checkpoint_interval), rounds - done)
+            plan = dist
+            for _ in range(span):
+                done += 1
+                relaxed = plan.join(e, plan.node == e.src).select(
+                    F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"),
+                )
+                plan = (
+                    plan.unionByName(relaxed)
+                    .groupBy("node")
+                    .agg(F.min("dist").alias("dist"))
+                )
+            stepped, stepped_ids = _checkpoint_tracked(plan, sc)
+            _unpersist_ids(sc, dist_ids)
+            dist, dist_ids = stepped, stepped_ids
+    except Exception:
+        _unpersist_ids(sc, dist_ids)
+        raise
+    finally:
+        _unpersist_ids(sc, e_ids)
+    return dist

@@ -452,3 +452,56 @@ def skyline_parts(spark, sf_dir):
         "p_partkey", "p_retailprice", "p_size"
     )
     return skyline_2d(part, minimize="p_retailprice", maximize="p_size")
+
+
+@query(
+    "incremental_rollup_merge",
+    sql=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_stable_sum('o_totalprice', 2)} AS total_price,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY 1
+    """,
+    tags=("analytics", "incremental", "rollup"),
+)
+def incremental_rollup_merge(spark, sf_dir):
+    """Incremental materialized-rollup maintenance: the per-priority
+    order rollup computed as MERGE(partial state over the historical
+    slice, partial state over the new batch) — the production shape
+    where yesterday's aggregate state is stored and only the new
+    partition is scanned. The oracle is the full recompute, proving
+    the partial states are genuinely algebraic (count/scaled-sum add,
+    min/max combine; the finalizing division happens only after the
+    merge, so re-merging never re-rounds).
+
+    Scale shape: each slice is one keyed aggregate with map-side
+    partials; the merge is a keyed aggregate over (2 x groups) rows —
+    nothing global. At 100 TB the historical side is a stored state
+    table read, not a scan; here both sides derive from the same scan
+    with partition-prunable date predicates.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+            F.min("o_orderdate").alias("lo"),
+            F.max("o_orderdate").alias("hi"),
+        )
+
+    hist = partial(orders.where(F.col("o_orderdate") < cutoff))
+    batch = partial(orders.where(F.col("o_orderdate") >= cutoff))
+    return (
+        hist.unionByName(batch)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("total_price"),
+            F.min("lo").alias("first_order"),
+            F.max("hi").alias("last_order"),
+        )
+    )
