@@ -64,6 +64,10 @@ HEADLINE = [
     "min_cost_supplier_per_part",  # correlated-min decorrelation (Q2 shape)
     "dup_span_coverage",        # substring-span dedup signal
     "zipf_band_mass",           # vocab ranking + integer band agg
+    "cohort_retention",         # co-partitioned double agg + join
+    "basket_lift_pairs",        # bounded-fan-out self-join + lift
+    "sssp_trade_graph",         # iterative weighted relaxation
+    "skyline_parts",            # mapInPandas prefilter + broadcast anti
 ]
 
 
