@@ -77,6 +77,18 @@ def test_nested_loop_joins_only_where_intended(spark):
         # equality filter into a broadcast hash join, so it is not here.)
         "important_part_value",
         "idle_customer_balance",
+        # one-row grand-total / global-stats attaches (same shape as
+        # tfidf_top_terms)
+        "basket_lift_pairs",
+        "bigram_lift",
+        "zscore_anomaly_days",
+        # broadcast bounded probe set x corpus sketches IS the
+        # brute-force top-k algorithm (same rationale as
+        # embed_cosine_topk)
+        "simhash_hamming_topk",
+        # phase-2 dominance anti-join over the broadcast union of local
+        # pareto fronts — non-equi by nature, candidate set bounded
+        "skyline_parts",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
@@ -190,6 +202,8 @@ def test_aggregates_have_partial_phase(spark):
 # sanctioned.
 _DECLARED_MAPINPANDAS = (
     "multimodal_features", "multimodal_resize", "multimodal_frame_sample",
+    # scan-local pareto pre-filter (operators/skyline.py)
+    "skyline_parts",
 )
 _DECLARED_ARROW_KERNEL = (
     "embed_cosine_topk", "embed_ivf_topk", "embed_ivf_learned_topk",
@@ -253,3 +267,45 @@ def test_topk_queries_use_take_ordered_not_global_sort(spark):
                  "min_cost_supplier_per_part", "supplier_count_by_part_attr"):
         plan = _plan(spark, name)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_blocklist_join_is_broadcast(spark):
+    # the term list is bounded by the query — it must never shuffle the
+    # exploded token stream.
+    plan = _plan(spark, "blocklist_hits")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_basket_lift_no_cartesian(spark):
+    # the pair generator must key on l_orderkey (bounded per-basket
+    # fan-out); a cartesian/NLJ here is quadratic in lineitems.
+    plan = _plan(spark, "basket_lift_pairs")
+    assert "CartesianProduct" not in plan
+    # exactly one nested loop is allowed: the one-row grand-total
+    # attach; the pair generator itself must be a hash/merge join
+    # (formatted explain prints each node twice — tree + detail — so
+    # count the numbered detail headers only).
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert re.search(r"\(\d+\) (Broadcast|Shuffled)HashJoin|SortMergeJoin", plan)
+
+
+def test_cohort_retention_single_scan_keying(spark):
+    # both aggregates and the join key on user_id; no nested-loop, no
+    # global sort anywhere in the plan.
+    plan = _plan(spark, "cohort_retention")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_topk_probe_is_broadcast(spark):
+    # the probe set rides a broadcast; the corpus sketch stream must
+    # not shuffle for the scoring join.
+    plan = _plan(spark, "simhash_hamming_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_chunking_is_scan_local(spark):
+    # stride chunking is pure map work: no exchange in the plan at all.
+    plan = _plan(spark, "chunk_documents_stride")
+    assert "Exchange" not in plan
