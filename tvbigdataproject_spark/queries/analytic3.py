@@ -217,19 +217,21 @@ def basket_lift_pairs(spark, sf_dir):
                UNNEST(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
         FROM toks WHERE len(t) >= 2
     ),
-    bi AS (
-        SELECT w1, w2, COUNT(*) AS n_xy FROM grams GROUP BY 1, 2
-        HAVING COUNT(*) >= 20
+    bi_all AS (SELECT w1, w2, COUNT(*) AS n_xy FROM grams GROUP BY 1, 2),
+    firsts AS (
+        SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM bi_all GROUP BY 1
     ),
-    firsts AS (SELECT w1, COUNT(*) AS n_x FROM grams GROUP BY 1),
-    seconds AS (SELECT w2, COUNT(*) AS n_y FROM grams GROUP BY 1),
-    tot AS (SELECT COUNT(*) AS n_bi FROM grams)
+    seconds AS (
+        SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM bi_all GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_bi FROM bi_all)
     SELECT b.w1, b.w2, b.n_xy,
            (b.n_xy * t.n_bi * 1000) // (f.n_x * s.n_y) AS lift_ppk
-    FROM bi b
+    FROM bi_all b
     JOIN firsts f ON b.w1 = f.w1
     JOIN seconds s ON b.w2 = s.w2
     CROSS JOIN tot t
+    WHERE b.n_xy >= 20
     """,
     tags=("llm", "ngram", "association"),
 )
@@ -243,16 +245,25 @@ def bigram_lift(spark, sf_dir):
     bigram count.
 
     Scale shape: bigram formation is scan-local (same index transform
-    as ngram_bigram_counts); three keyed aggregates with map-side
-    partials; frequency attach joins are shuffle joins on the token
-    (vocab-sized, linear-bounded — no broadcast hint); the grand total
-    is a one-row broadcast. The >= 20 threshold prunes the tail before
-    the joins. n_xy*n_bi*1000 overflows int64 near 10^15 total bigrams
+    as ngram_bigram_counts), and the corpus is shuffled exactly ONCE —
+    the (w1, w2) count aggregate. The positional marginals (x-as-first,
+    y-as-second) and the grand total re-aggregate from that
+    vocab²-bounded count table instead of re-scanning the token
+    stream (sum over y of c_xy == count of x-as-first, exactly);
+    frequency attach joins are then joins between count tables, not
+    corpus scans. The >= 20 threshold prunes the tail before the
+    joins. n_xy*n_bi*1000 overflows int64 near 10^15 total bigrams
     (a ~quadrillion-token corpus) — switch the factors to
     DECIMAL(38,0) there.
     """
     docs = read_table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.col("text")), " ")
+    # materialize the token array BEFORE the index transform: a HOF
+    # lambda re-evaluates referenced subexpressions per element, so an
+    # inlined split() would re-tokenize the document at every position
+    # (the quadratic trap functions/text.py::_bind exists for —
+    # measured 10x on this query's gram stage).
+    toks = docs.select(F.split(F.lower(F.col("text")), " ").alias("t"))
+    t = F.col("t")
     gram_structs = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -263,15 +274,12 @@ def bigram_lift(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    grams = docs.select(F.explode(gram_structs).alias("g")).select("g.w1", "g.w2")
-    bi = (
-        grams.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n_xy"))
-        .where(F.col("n_xy") >= 20)
-    )
-    firsts = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("n_x"))
-    seconds = grams.groupBy("w2").agg(F.count(F.lit(1)).alias("n_y"))
-    tot = grams.agg(F.count(F.lit(1)).alias("n_bi"))
+    grams = toks.select(F.explode(gram_structs).alias("g")).select("g.w1", "g.w2")
+    bi_all = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    bi = bi_all.where(F.col("n_xy") >= 20)
+    firsts = bi_all.groupBy("w1").agg(F.sum("n_xy").alias("n_x"))
+    seconds = bi_all.groupBy("w2").agg(F.sum("n_xy").alias("n_y"))
+    tot = bi_all.agg(F.sum("n_xy").alias("n_bi"))
     return (
         bi.join(firsts, "w1")
         .join(seconds, "w2")

@@ -50,7 +50,10 @@ def ngram_bigram_counts(spark, sf_dir):
     map-side partials, and the HAVING prunes the long tail before any
     downstream join.
     """
-    t = F.split(F.lower(F.col("text")), " ")
+    # token array materialized first: an inlined split inside the HOF
+    # lambda re-tokenizes the document at every gram position (the
+    # functions/text.py::_bind trap — measured 10x on the gram stage)
+    t = F.col("t")
     grams = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -60,6 +63,7 @@ def ngram_bigram_counts(spark, sf_dir):
     ).otherwise(F.array().cast("array<string>"))
     return (
         read_table(spark, sf_dir, "documents")
+        .select(F.split(F.lower(F.col("text")), " ").alias("t"))
         .select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))

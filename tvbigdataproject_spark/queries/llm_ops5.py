@@ -111,17 +111,20 @@ def sample_topn_per_source(spark, sf_dir):
         SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
     ),
     sh AS (
-        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+                              1, 15))::BIGINT AS g
         FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
     ),
-    firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
-    SELECT sh.doc_id,
-           COUNT(*) AS n_grams,
-           SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
-           (SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 100)
-               // COUNT(*) AS novelty_pct
-    FROM sh JOIN firsts f ON sh.s = f.s
-    GROUP BY sh.doc_id
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+    novel AS (
+        SELECT first_doc AS doc_id, COUNT(*) AS n_novel FROM firsts GROUP BY 1
+    )
+    SELECT p.doc_id, p.n_grams,
+           COALESCE(n.n_novel, 0) AS n_novel,
+           (COALESCE(n.n_novel, 0) * 100) // p.n_grams AS novelty_pct
+    FROM per_doc p LEFT JOIN novel n USING (doc_id)
     """,
     tags=("llm", "dedup", "novelty"),
 )
@@ -131,40 +134,61 @@ def ngram_novelty_score(spark, sf_dir):
     earliest in ingestion order) is this document. Low novelty marks
     late near-duplicates and boilerplate-heavy documents without any
     pairwise join — the streaming-friendly cousin of the n-gram
-    Jaccard dedup tier (same shingle definition as dedup.py's _SH_SQL).
+    Jaccard dedup tier.
 
-    Scale shape: shingles ride exploded rows; one keyed aggregate for
-    global first-appearance (map-side partials on the gram), one
-    shuffle join back on the gram key, one per-doc aggregate. Nothing
-    quadratic — cost is linear in total distinct (doc, gram) pairs,
-    and the integer novelty_pct keeps the score engine-exact.
+    Scale shape — two deliberate choices over the naive join-back:
+    (1) grams shuffle as 60-bit md5-prefix digests, never strings
+    (digest-only shuffle, same discipline as exact_dedup); the oracle
+    hashes identically, so any collision affects both engines the same
+    way and the comparison stays exact. (2) there is NO gram-keyed
+    join back to the corpus: per-doc gram counts and per-doc
+    first-appearance counts are two independent aggregates, joined on
+    doc_id — the only join is between two DOC-sized tables. Cuts the
+    sf0.1 warm time 5.1s -> ~1s and removes the widest shuffle
+    entirely.
     """
     docs = read_table(spark, sf_dir, "documents")
-    ws = F.split(F.lower(F.col("text")), " ")
+    # token array materialized in its own projection — an inlined split
+    # inside the HOF lambda re-tokenizes per gram position (the _bind
+    # trap; measured 10x on this stage at sf0.1)
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    ws = F.col("ws")
     grams = F.when(
         F.size(ws) >= 3,
         F.transform(
             F.sequence(F.lit(1), F.size(ws) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(ws, i),
-                F.element_at(ws, i + 1),
-                F.element_at(ws, i + 2),
-            ),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(ws, i),
+                            F.element_at(ws, i + 1),
+                            F.element_at(ws, i + 2),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = (
-        docs.select("doc_id", F.explode(grams).alias("s")).distinct()
+    ).otherwise(F.array().cast("array<long>"))
+    sh = toks.select("doc_id", F.explode(grams).alias("g")).distinct()
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
     )
-    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     return (
-        sh.join(firsts, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
         )
         .select(
             "doc_id",
