@@ -47,3 +47,4 @@ from tvbigdataproject_spark.queries import quality  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic3  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph4  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops5  # noqa: F401,E402
+from tvbigdataproject_spark.queries import ops_maint  # noqa: F401,E402
