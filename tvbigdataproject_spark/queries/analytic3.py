@@ -257,24 +257,21 @@ def bigram_lift(spark, sf_dir):
     DECIMAL(38,0) there.
     """
     docs = read_table(spark, sf_dir, "documents")
-    # materialize the token array BEFORE the index transform: a HOF
-    # lambda re-evaluates referenced subexpressions per element, so an
-    # inlined split() would re-tokenize the document at every position
-    # (the quadratic trap functions/text.py::_bind exists for —
-    # measured 10x on this query's gram stage).
+    # materialize the token array first (the _bind re-tokenization
+    # trap), then form bigrams with arrays_zip over two shifted slices
+    # instead of a transform() lambda: HOF lambdas run interpreted
+    # (CodegenFallback) while zip/slice stay inside whole-stage codegen
+    # — measured 7x on this gram stage at sf0.1. A 1-token document
+    # slices to two empty arrays and zips to nothing, so no length
+    # guard is needed.
     toks = docs.select(F.split(F.lower(F.col("text")), " ").alias("t"))
     t = F.col("t")
-    gram_structs = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("w1"),
-                F.element_at(t, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    grams = toks.select(F.explode(gram_structs).alias("g")).select("g.w1", "g.w2")
+    zipped = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1)
+    )
+    grams = toks.select(F.explode(zipped).alias("g")).select(
+        F.col("g.0").alias("w1"), F.col("g.1").alias("w2")
+    )
     bi_all = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
     bi = bi_all.where(F.col("n_xy") >= 20)
     firsts = bi_all.groupBy("w1").agg(F.sum("n_xy").alias("n_x"))

@@ -41,30 +41,26 @@ def ngram_bigram_counts(spark, sf_dir):
     thresholded at >= 20 occurrences — a deterministic filter, not a
     LIMIT, so the result is well-defined at every scale.
 
-    The >=2-token guard matters: sequence(1, size-1) with size=1 infers
-    a NEGATIVE step in Spark (it counts down 1,0) and would emit bogus
-    indices rather than no bigrams.
-
-    Scale shape: bigram formation is scan-local (index transform over
-    the token array); the only exchange is the count aggregate with
-    map-side partials, and the HAVING prunes the long tail before any
-    downstream join.
+    Scale shape: bigram formation is scan-local (zip of shifted
+    slices over the token array); the only exchange is the count
+    aggregate with map-side partials, and the HAVING prunes the long
+    tail before any downstream join.
     """
-    # token array materialized first: an inlined split inside the HOF
-    # lambda re-tokenizes the document at every gram position (the
-    # functions/text.py::_bind trap — measured 10x on the gram stage)
+    # token array materialized first (the _bind re-tokenization trap),
+    # bigrams formed by zipping two shifted slices — no transform()
+    # lambda, so the whole gram stage stays in whole-stage codegen
+    # instead of interpreted HOF eval; the string concat happens as a
+    # scalar expression AFTER the explode. A 1-token document slices
+    # to empty arrays and zips to nothing (no length guard needed).
     t = F.col("t")
-    grams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    zipped = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1)
+    )
     return (
         read_table(spark, sf_dir, "documents")
         .select(F.split(F.lower(F.col("text")), " ").alias("t"))
-        .select(F.explode(grams).alias("bigram"))
+        .select(F.explode(zipped).alias("g"))
+        .select(F.concat_ws(" ", F.col("g.0"), F.col("g.1")).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 20)

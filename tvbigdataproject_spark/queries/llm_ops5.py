@@ -148,36 +148,34 @@ def ngram_novelty_score(spark, sf_dir):
     entirely.
     """
     docs = read_table(spark, sf_dir, "documents")
-    # token array materialized in its own projection — an inlined split
-    # inside the HOF lambda re-tokenizes per gram position (the _bind
-    # trap; measured 10x on this stage at sf0.1)
+    # token array materialized in its own projection (the _bind
+    # re-tokenization trap), 3-grams formed by zipping three shifted
+    # slices — lambda-free, so the gram stage stays in whole-stage
+    # codegen — and digested AFTER the explode as a scalar expression.
     toks = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
     )
     ws = F.col("ws")
-    grams = F.when(
-        F.size(ws) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 2),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            " ",
-                            F.element_at(ws, i),
-                            F.element_at(ws, i + 1),
-                            F.element_at(ws, i + 2),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
+    zipped = F.arrays_zip(
+        F.slice(ws, 1, F.size(ws) - 2),
+        F.slice(ws, 2, F.size(ws) - 2),
+        F.slice(ws, 3, F.size(ws) - 2),
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(" ", F.col("g.0"), F.col("g.1"), F.col("g.2"))),
+            1,
+            15,
         ),
-    ).otherwise(F.array().cast("array<long>"))
-    sh = toks.select("doc_id", F.explode(grams).alias("g")).distinct()
+        16,
+        10,
+    ).cast("long")
+    sh = (
+        toks.where(F.size(ws) >= 3)
+        .select("doc_id", F.explode(zipped).alias("g"))
+        .select("doc_id", digest.alias("g"))
+        .distinct()
+    )
     per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
