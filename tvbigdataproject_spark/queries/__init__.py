@@ -48,3 +48,4 @@ from tvbigdataproject_spark.queries import analytic3  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph4  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops5  # noqa: F401,E402
 from tvbigdataproject_spark.queries import ops_maint  # noqa: F401,E402
+from tvbigdataproject_spark.queries import analytic4  # noqa: F401,E402

@@ -1,0 +1,333 @@
+"""Round-4 analytics depth: marketing attribution, graph assortativity,
+burstiness scoring, and equi-width histograms. Same exactness
+discipline as analytic3 — every statistic reaching the value-hash is
+either pure integer arithmetic or a deterministic float derived from
+exact integer sums."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+
+@query(
+    "attribution_last_touch",
+    sql="""
+    WITH ordered AS (
+        SELECT event_id, user_id, event_type, ts,
+               LAST_VALUE(CASE WHEN event_type = 'view'
+                               THEN event_id END IGNORE NULLS)
+                   OVER w AS view_id,
+               LAST_VALUE(CASE WHEN event_type = 'view'
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS view_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, view_id,
+           date_diff('second', view_ts, ts) // 60 AS gap_minutes
+    FROM ordered
+    WHERE event_type = 'purchase'
+      AND view_id IS NOT NULL
+      AND date_diff('second', view_ts, ts) <= 86400
+    """,
+    tags=("analytics", "attribution", "asof"),
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: every purchase is credited to the same
+    user's most recent preceding 'view' within 24 hours — the
+    event-to-event as-of join every marketing pipeline runs, expressed
+    as one running LAST(... ignore nulls) window instead of a join.
+
+    Scale shape: a single hash exchange on user_id feeds one ordered
+    window pass; no self-join of the event stream at all (the naive
+    as-of join shuffles the stream twice and risks a per-user
+    quadratic range probe). The (ts, event_id) key totalizes the
+    order, so "most recent" is engine-exact; the gap is integer
+    seconds DIV 60.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    ordered = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("view_id"),
+        F.last(F.when(is_view, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("view_ts"),
+    )
+    # timestampdiff is timezone-free on TIMESTAMP_NTZ (a long cast is
+    # not even legal on NTZ, and an epoch cast would drag the session
+    # timezone into the result). Both operands are truncated to whole
+    # seconds first: Spark's timestampdiff truncates the TRUE
+    # difference while DuckDB's date_diff counts second boundaries —
+    # they disagree by one whenever the purchase's fractional second
+    # is smaller than the view's.
+    gap_sec = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', view_ts),"
+        " date_trunc('second', ts))"
+    )
+    return (
+        ordered.where(
+            (F.col("event_type") == "purchase")
+            & F.col("view_id").isNotNull()
+            & (gap_sec <= 86400)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "view_id",
+            F.expr(
+                "timestampdiff(SECOND, date_trunc('second', view_ts),"
+                " date_trunc('second', ts)) DIV 60"
+            ).alias("gap_minutes"),
+        )
+    )
+
+
+@query(
+    "degree_assortativity_trade",
+    sql="""
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT src AS node FROM e0
+            UNION ALL
+            SELECT dst AS node FROM e0
+        ) GROUP BY node
+    ),
+    xy AS (
+        SELECT ds.d AS x, dd.d AS y
+        FROM e0 JOIN deg ds ON e0.src = ds.node
+                JOIN deg dd ON e0.dst = dd.node
+    ),
+    sums AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM xy
+    )
+    SELECT n AS n_edges,
+           (n * sxy - sx * sy)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
+    FROM sums
+    """,
+    tags=("graph", "analytics", "assortativity"),
+)
+def degree_assortativity_trade(spark, sf_dir):
+    """Degree assortativity of the customer↔supplier trade graph:
+    Pearson correlation between the endpoint degrees of every edge
+    (Newman 2002) — negative for hub-and-spoke bipartite trade,
+    positive for degree-homophilous graphs. Every moment is an exact
+    BIGINT sum of integer degrees, so the final float is one
+    deterministic expression over exact inputs.
+
+    Scale shape: degrees are one keyed aggregate over the (exploded)
+    edge endpoint list; attaching them to edges is two shuffle joins
+    on the node id (degree table is one row per node — linear, no
+    broadcast hint); the moments collapse in a single one-row
+    aggregate with map-side partials. n*Σxy stays under int64 until
+    ~10^9 edges with hub degree ~10^4 — past that, lift the sums to
+    DECIMAL(38,0).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("src").alias("node"))
+        .unionAll(e0.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ds = deg.withColumnRenamed("node", "src").withColumnRenamed("d", "x")
+    dd = deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "y")
+    xy = e0.join(ds, "src").join(dd, "dst")
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return sums.select(
+        F.col("n").alias("n_edges"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "temporal_burstiness",
+    sql="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, COUNT(*) AS n_hours,
+               CAST(SUM(c) AS BIGINT) AS sc,
+               CAST(SUM(c * c) AS BIGINT) AS scc
+        FROM hourly GROUP BY 1
+    )
+    SELECT event_type, n_hours,
+           (CAST(scc AS DOUBLE) / n_hours
+            - (CAST(sc AS DOUBLE) / n_hours) * (CAST(sc AS DOUBLE) / n_hours))
+               / (CAST(sc AS DOUBLE) / n_hours) AS fano_factor
+    FROM m
+    """,
+    tags=("analytics", "temporal", "burstiness"),
+)
+def temporal_burstiness(spark, sf_dir):
+    """Burstiness (Fano factor — variance/mean of hourly event counts)
+    per event type over the OBSERVED hours: ~1 for Poisson-like
+    arrivals, >>1 for bursty types. Counts are integers so both
+    moments are exact; the float is a single deterministic expression.
+
+    Scale shape: one keyed aggregate to hourly counts (map-side
+    partials absorb the per-hour fan-in), then a per-type one-row
+    moment aggregate — the classic two-level aggregation that never
+    moves raw events twice.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    mean = F.col("sc").cast("double") / F.col("n_hours")
+    var = F.col("scc").cast("double") / F.col("n_hours") - mean * mean
+    return m.select(
+        "event_type", "n_hours", (var / mean).alias("fano_factor")
+    )
+
+
+@query(
+    "histogram_equiwidth_value",
+    sql="""
+    WITH ext AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    )
+    SELECT CAST(LEAST(19, floor((e.value - x.lo) * 20 / (x.hi - x.lo)))
+                AS INT) AS bucket,
+           COUNT(*) AS n,
+           MIN(e.value) AS bucket_min,
+           MAX(e.value) AS bucket_max
+    FROM events e CROSS JOIN ext x
+    GROUP BY 1
+    """,
+    tags=("analytics", "histogram"),
+)
+def histogram_equiwidth_value(spark, sf_dir):
+    """20-bucket equi-width histogram of events.value with global
+    min/max edges. Bucket assignment is one float expression over the
+    exact min/max (IEEE-deterministic, identical in both engines); the
+    top edge folds into bucket 19 via LEAST, matching the closed upper
+    bound convention.
+
+    Scale shape: the extent is a ONE-ROW aggregate broadcast back over
+    the scan (the same attach pattern as zscore_anomaly_days); the
+    histogram itself is a 20-group keyed aggregate with map-side
+    partials — two passes over the data, no sort, no shuffle of raw
+    rows.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    ext = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = F.least(
+        F.lit(19),
+        F.floor((F.col("value") - F.col("lo")) * 20 / (F.col("hi") - F.col("lo"))),
+    ).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(ext))  # one-row extent: bounded
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("bucket_min"),
+            F.max("value").alias("bucket_max"),
+        )
+    )
+
+
+@query(
+    "pyds_synthetic_agg",
+    sql=f"""
+    WITH synth AS (
+        SELECT i AS id, CAST(i // 1000 AS INT) AS part,
+               ((i * 2654435761) % 1000003) / 100.0 AS value
+        FROM range(8000) t(i)
+    )
+    SELECT part, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+           MIN(id) AS min_id, MAX(id) AS max_id
+    FROM synth GROUP BY part
+    """,
+    tags=("source", "python-datasource"),
+)
+def pyds_synthetic_agg(spark, sf_dir):
+    """Aggregation over a CUSTOM PYTHON DATA SOURCE (Spark 4
+    DataSource API, sources/pydatasource.py): 8 planned input
+    partitions x 1000 deterministic rows, aggregated per partition.
+    The oracle regenerates the identical rows from DuckDB's range() —
+    a full value-hash gate over a user-defined connector, proving the
+    partition planning covers the id space exactly once.
+
+    Scale shape: partition planning is the connector's contract — one
+    InputPartition per split means the scan parallelizes like any
+    file source and the aggregate takes map-side partials per split.
+    (sf_dir is unused: the source generates its data.)
+    """
+    from tvbigdataproject_spark.sources.pydatasource import register_synth_source
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("synthrange")
+        .option("parts", 8)
+        .option("rows_per_part", 1000)
+        .load()
+    )
+    return df.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "sum_value"
+        ),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
