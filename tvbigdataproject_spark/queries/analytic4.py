@@ -119,14 +119,12 @@ def attribution_last_touch(spark, sf_dir):
     ),
     sums AS (
         SELECT COUNT(*) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx,
-               CAST(SUM(y * y) AS BIGINT) AS syy
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
         FROM xy
     )
     SELECT n AS n_edges,
-           (n * sxy - sx * sy)
+           CAST(n * sxy - sx * sy AS DOUBLE)
                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                       * CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
     FROM sums
@@ -145,9 +143,12 @@ def degree_assortativity_trade(spark, sf_dir):
     edge endpoint list; attaching them to edges is two shuffle joins
     on the node id (degree table is one row per node — linear, no
     broadcast hint); the moments collapse in a single one-row
-    aggregate with map-side partials. n*Σxy stays under int64 until
-    ~10^9 edges with hub degree ~10^4 — past that, lift the sums to
-    DECIMAL(38,0).
+    aggregate with map-side partials. The moment COMBINATION (n·Σxy
+    etc.) runs in 128-bit space on both engines — DECIMAL(38,0) here,
+    HUGEINT sums in DuckDB — because it overflows int64 already at a
+    few million edges with realistic hub degrees; the exact integers
+    convert to double once, correctly rounded, so the final float is
+    engine-identical.
     """
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
@@ -176,19 +177,15 @@ def degree_assortativity_trade(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (dec("n") * dec("sxy") - dec("sx") * dec("sy")).cast("double")
+    vx = (dec("n") * dec("sxx") - dec("sx") * dec("sx")).cast("double")
+    vy = (dec("n") * dec("syy") - dec("sy") * dec("sy")).cast("double")
     return sums.select(
         F.col("n").alias("n_edges"),
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                    "double"
-                )
-                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-                    "double"
-                )
-            )
-        ).alias("assortativity"),
+        (num / F.sqrt(vx * vy)).alias("assortativity"),
     )
 
 
