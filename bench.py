@@ -68,6 +68,9 @@ HEADLINE = [
     "basket_lift_pairs",        # bounded-fan-out self-join + lift
     "sssp_trade_graph",         # iterative weighted relaxation
     "skyline_parts",            # mapInPandas prefilter + broadcast anti
+    "ngram_novelty_score",      # digest-only shuffles, doc-keyed join
+    "bigram_lift",              # zip-slice grams + count-table marginals
+    "attribution_last_touch",   # running last-ignore-nulls window
 ]
 
 

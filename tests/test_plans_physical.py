@@ -82,6 +82,8 @@ def test_nested_loop_joins_only_where_intended(spark):
         "basket_lift_pairs",
         "bigram_lift",
         "zscore_anomaly_days",
+        # one-row min/max extent attach for equi-width bucket edges
+        "histogram_equiwidth_value",
         # broadcast bounded probe set x corpus sketches IS the
         # brute-force top-k algorithm (same rationale as
         # embed_cosine_topk)
