@@ -76,3 +76,58 @@ def test_sssp_distances_never_increase_with_more_rounds(spark, es):
     d3 = {r.node: r.dist for r in sssp_bounded(df, source=1, rounds=3).collect()}
     assert set(d1) <= set(d3)
     assert all(d3[n] <= d1[n] for n in d1)
+
+
+# --- running-balance clamp laws (queries/analytic5.py) ---------------
+
+deltas = st.lists(st.integers(-8000, 8000), min_size=1, max_size=60)
+
+
+@given(ds=deltas)
+@settings(max_examples=200, deadline=None)
+def test_floor_clamp_closed_form_identity(ds):
+    # the window form used by capped_running_balance: bal_n =
+    # S_n - min(0, min_{k<=n} S_k) must equal the sequential
+    # definition bal_n = max(0, bal_{n-1} + d_n)
+    bal, seq = 0, []
+    for d in ds:
+        bal = max(0, bal + d)
+        seq.append(bal)
+    s = run_min = 0
+    closed = []
+    for d in ds:
+        s += d
+        run_min = min(run_min, s)
+        closed.append(s - min(0, run_min))
+    assert closed == seq
+
+
+@given(ds=deltas)
+@settings(max_examples=200, deadline=None)
+def test_two_sided_clamp_matches_pandas_walk(ds):
+    # the applyInPandas kernel (clamped_inventory_balance) against the
+    # sequential definition, and the cap/floor bounds always hold
+    import pandas as pd
+
+    from tvbigdataproject_spark.queries.analytic5 import (
+        _DRAIN_CENTS,
+        _INVENTORY_CAP_CENTS,
+        _clamped_walk,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * len(ds),
+            "ts": range(len(ds)),
+            "event_id": range(len(ds)),
+            # kernel recomputes d = round(value*100) - drain
+            "value": [(d + _DRAIN_CENTS) / 100.0 for d in ds],
+        }
+    )
+    got = _clamped_walk(pdf)["bal_cents"].tolist()
+    bal, want = 0, []
+    for d in ds:
+        bal = min(_INVENTORY_CAP_CENTS, max(0, bal + d))
+        want.append(bal)
+    assert got == want
+    assert all(0 <= b <= _INVENTORY_CAP_CENTS for b in got)

@@ -84,6 +84,8 @@ def test_nested_loop_joins_only_where_intended(spark):
         "zscore_anomaly_days",
         # one-row min/max extent attach for equi-width bucket edges
         "histogram_equiwidth_value",
+        # one-row global-max-date anchor attach for dyadic decay ages
+        "decayed_event_score",
         # broadcast bounded probe set x corpus sketches IS the
         # brute-force top-k algorithm (same rationale as
         # embed_cosine_topk)
@@ -207,6 +209,11 @@ _DECLARED_MAPINPANDAS = (
     # scan-local pareto pre-filter (operators/skyline.py)
     "skyline_parts",
 )
+# grouped sequential state (applyInPandas): the two-sided clamp has no
+# window closed form — the group walk IS the operator
+_DECLARED_GROUPED_PANDAS = (
+    "clamped_inventory_balance",
+)
 _DECLARED_ARROW_KERNEL = (
     "embed_cosine_topk", "embed_ivf_topk", "embed_ivf_learned_topk",
     "embed_neardup_pairs",
@@ -220,6 +227,9 @@ def test_no_python_udf_fences_outside_declared(spark, name):
     plan = _plan(spark, name)
     if name in _DECLARED_MAPINPANDAS:
         assert "MapInPandas" in plan
+        return
+    if name in _DECLARED_GROUPED_PANDAS:
+        assert "FlatMapGroupsInPandas" in plan
         return
     if name in _DECLARED_ARROW_KERNEL:
         assert "ArrowEvalPython" in plan

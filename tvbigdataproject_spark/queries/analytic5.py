@@ -1,0 +1,283 @@
+"""Round-4 sequential-state analytics: capped/clamped running balances
+(the classic "not expressible as a plain window" pair), rolling
+distinct reach, and exact dyadic time-decay scoring.
+
+Reference parity: the reference engine exposes running aggregates and
+per-entity stateful scans over its event log (reference main.py's
+sessionized aggregation loop); these queries re-express that tier's
+semantics in Spark's execution model and extend it with the
+training-data-pipeline shapes the north star asks for.
+
+Exactness discipline: every accumulated quantity is integer cents
+(ROUND(value*100) — both engines round the same because the underlying
+data is 2-decimal, never at a .5 boundary) and every clamp is integer
+LEAST/GREATEST, so recursion, closed form, and pandas loop all produce
+bit-identical BIGINTs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+# drain per event, in cents: balance loses 50.00 and gains the event
+# value, so the walk crosses both clamps at the observed value mix
+_DRAIN_CENTS = 5000
+_INVENTORY_CAP_CENTS = 10000
+
+
+@query(
+    "capped_running_balance",
+    sql=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) - {_DRAIN_CENTS} AS d,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    walk(user_id, rn, bal) AS (
+        SELECT user_id, rn, GREATEST(0, d) FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn, GREATEST(0, w.bal + o.d)
+        FROM walk w
+        JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT user_id, rn, bal AS bal_cents FROM walk
+    """,
+    tags=("analytics", "stateful", "window"),
+)
+def capped_running_balance(spark, sf_dir):
+    """Per-user running balance with a floor at zero: bal_n =
+    max(0, bal_{n-1} + delta_n), deltas in integer cents. The naive
+    semantics are sequential (each row depends on the previous), but
+    the one-sided clamp has a closed form:
+
+        bal_n = S_n - LEAST(0, MIN(S_k) for k <= n)
+
+    where S is the plain running sum — so the whole walk collapses to
+    two stacked window expressions over ONE sort. The oracle is the
+    recursive definition itself (a recursive CTE walking rn -> rn+1),
+    making this query a machine-checked proof of the identity on real
+    data.
+
+    Scale shape: one hash exchange on user_id, one sort, two window
+    functions sharing the frame — no self-join, no recursion, no
+    Python. This is why the closed form matters at 100 TB: the
+    recursive formulation is O(rounds) jobs, the window form is one.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ord_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = F.round(F.col("value") * 100).cast("long") - _DRAIN_CENTS
+    stepped = ev.select(
+        "user_id",
+        F.row_number().over(ord_w).alias("rn"),
+        F.sum(d).over(w).alias("s"),
+    )
+    return stepped.select(
+        "user_id",
+        "rn",
+        (F.col("s") - F.least(F.lit(0).cast("long"), F.min("s").over(
+            Window.partitionBy("user_id").orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))).alias("bal_cents"),
+    )
+
+
+def _clamped_walk(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sequential two-sided clamp per user. Runs once per group inside
+    applyInPandas; group sizes are events-per-user (bounded by user
+    activity, not by SF), so the Python loop is over a short array."""
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    deltas = (
+        (pdf["value"] * 100).round().astype("int64") - _DRAIN_CENTS
+    ).to_numpy()
+    bal = 0
+    out = []
+    for d in deltas:
+        bal = min(_INVENTORY_CAP_CENTS, max(0, bal + int(d)))
+        out.append(bal)
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].to_numpy(),
+            "rn": range(1, len(out) + 1),
+            "bal_cents": out,
+        }
+    )
+
+
+@query(
+    "clamped_inventory_balance",
+    sql=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) - {_DRAIN_CENTS} AS d,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    walk(user_id, rn, bal) AS (
+        SELECT user_id, rn,
+               LEAST({_INVENTORY_CAP_CENTS}, GREATEST(0, d))
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn,
+               LEAST({_INVENTORY_CAP_CENTS}, GREATEST(0, w.bal + o.d))
+        FROM walk w
+        JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT user_id, rn, bal AS bal_cents FROM walk
+    """,
+    tags=("analytics", "stateful", "pandas-udf"),
+)
+def clamped_inventory_balance(spark, sf_dir):
+    """Per-user running balance clamped to [0, cap] — the TWO-sided
+    clamp genuinely has no window closed form (each clamp event erases
+    state, and unlike the one-sided case the erasures interact), so
+    this is the canonical "drop to applyInPandas" operator: grouped by
+    user, Arrow-shipped, sequential inside the group only.
+
+    Scale shape: one hash exchange on user_id, then embarrassingly
+    parallel across users; per-group work is events-per-user, which is
+    bounded by entity activity, not by corpus size. This is the shape
+    applyInPandasWithState uses in streaming — same state, same keying
+    (streaming/stateful.py) — demonstrated here as a batch operator
+    with a recursive-CTE oracle proving the sequential semantics.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_clamped_walk, schema="user_id long, rn int, bal_cents long")
+    )
+
+
+@query(
+    "rolling_7d_distinct_users",
+    sql="""
+    SELECT d.day, COUNT(DISTINCT g.user_id) AS users_7d
+    FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+    JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+          FROM events) g
+      ON g.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+    tags=("analytics", "temporal", "distinct-window"),
+)
+def rolling_7d_distinct_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day — the windowed
+    COUNT(DISTINCT) that plain window functions cannot express (Spark
+    rejects DISTINCT aggregates over frames, and a collect_set frame
+    holds the whole window's users in one buffer).
+
+    Scale shape: dedup to (user, day) grain first (digest-only
+    shuffle), then each grain row fans out to the <=7 target days it
+    contributes to via an exploded date sequence — an EQUI-join shape,
+    not a range join — and one exact count-distinct per day closes it.
+    The per-day distinct agg is two-phase (partial sets are day-local).
+    The phantom trailing days (grain day + k past the calendar end)
+    are dropped by an inner join against the distinct-days list, which
+    is bounded by the calendar, not the corpus.
+
+    The oracle states the semantics directly as the range self-join.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    grain = ev.select(
+        F.col("user_id"), F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = grain.select("day").distinct()
+    fanned = grain.select(
+        "user_id",
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("day"),
+    )
+    return (
+        fanned.join(days, "day")  # calendar-bounded; drops phantom days
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
+
+
+# decay horizon: events older than this many days contribute zero
+# (weight 2^-age underflows relevance long before; 40 keeps the scaled
+# integer term within BIGINT for per-row values and DECIMAL(38,0) for
+# per-user sums)
+_DECAY_WINDOW_DAYS = 40
+_DECAY_SHIFT = 1 << _DECAY_WINDOW_DAYS  # 2^40
+
+
+@query(
+    "decayed_event_score",
+    sql=f"""
+    WITH anchor AS (
+        SELECT MAX(CAST(ts AS DATE)) AS horizon FROM events
+    ),
+    terms AS (
+        SELECT e.user_id,
+               CASE WHEN date_diff('day', CAST(e.ts AS DATE), a.horizon)
+                         <= {_DECAY_WINDOW_DAYS}
+                    THEN CAST(ROUND(e.value * 100) AS BIGINT)
+                         * (CAST(1 AS BIGINT) <<
+                            ({_DECAY_WINDOW_DAYS} -
+                             date_diff('day', CAST(e.ts AS DATE), a.horizon)))
+                    ELSE 0 END AS term
+        FROM events e CROSS JOIN anchor a
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(term) AS DECIMAL(38,0)) AS DOUBLE)
+               / {float(_DECAY_SHIFT)} / 100.0 AS decay_score
+    FROM terms
+    GROUP BY user_id
+    """,
+    tags=("analytics", "decay", "scoring"),
+)
+def decayed_event_score(spark, sf_dir):
+    """Exponential time-decay engagement score per user with half-life
+    = 1 day: score = sum(value * 2^-age_days), ages measured against
+    the global max event date. Recency scoring is how training-data
+    pipelines and rankers weight fresh documents/engagement.
+
+    Exactness: the weight 2^-age is DYADIC, so each term is computed
+    as integer cents left-shifted by (W - age) — exact 64-bit integer
+    arithmetic, summed into DECIMAL(38,0) (no float until the very
+    end). The single final division by 2^40 (exactly representable)
+    then 100.0 performs the identical two IEEE roundings on both
+    engines. No order-dependence anywhere.
+
+    Scale shape: the anchor is a ONE-ROW max attached by broadcast
+    cross join (the tfidf_top_terms pattern); the score is one keyed
+    agg with map-side partials. Weights are computed in the scan
+    stage — no window, no sort.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("horizon"))
+    age = F.datediff(F.col("horizon"), F.col("ts").cast("date"))
+    term = F.when(
+        age <= _DECAY_WINDOW_DAYS,
+        F.round(F.col("value") * 100).cast("long")
+        * F.expr(f"shiftleft(CAST(1 AS BIGINT), {_DECAY_WINDOW_DAYS} - "
+                 f"datediff(horizon, CAST(ts AS DATE)))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))  # one-row anchor: bounded
+        .select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col("term").cast("decimal(38,0)")).cast("double")
+                / float(_DECAY_SHIFT)
+                / 100.0
+            ).alias("decay_score"),
+        )
+    )
