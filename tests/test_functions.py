@@ -133,3 +133,23 @@ def test_udtf_split_sentences_matches_native_form(spark):
     )
     want = {(r.id, r.pos, r.sentence) for r in native.collect()}
     assert got == want
+
+
+def test_bpe_merge_round_left_bias_and_weighting(spark):
+    # "a a a" with merge (a,a) must become "aa a" (greedy left-to-right),
+    # and pair counts are weighted by word frequency
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.queries.llm_ops6 import _merge_round, _pair_counts
+
+    w = spark.createDataFrame(
+        [("|a||a||a|", 2), ("|a||b|", 3)], "s string, freq long"
+    )
+    pc = {(r.a, r.b): r.cnt for r in _pair_counts(w).collect()}
+    assert pc == {("a", "a"): 4, ("a", "b"): 3}
+    best, merged = _merge_round(w)
+    b = best.collect()[0]
+    assert (b.a, b.b, b.cnt) == ("a", "a", 4)
+    got = {r.s for r in merged.select("s").collect()}
+    # left-bias: the first pair merges, the trailing 'a' survives alone
+    assert got == {"|aa||a|", "|a||b|"}

@@ -86,6 +86,8 @@ def test_nested_loop_joins_only_where_intended(spark):
         "histogram_equiwidth_value",
         # one-row global-max-date anchor attach for dyadic decay ages
         "decayed_event_score",
+        # three one-row argmax-merge attaches — the BPE round structure
+        "bpe_merge_rounds",
         # broadcast bounded probe set x corpus sketches IS the
         # brute-force top-k algorithm (same rationale as
         # embed_cosine_topk)
