@@ -122,3 +122,36 @@ def test_sssp_releases_checkpoint_blocks(spark):
     after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
     # only the final result's blocks may remain pinned
     assert after - before <= 1
+
+
+def test_bfs_multi_equals_per_source_runs(spark):
+    from tvbigdataproject_spark.operators.traversal import bfs_levels_multi
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 2), (4, 5)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {
+        (r.landmark, r.node): r.hop
+        for r in bfs_levels_multi(edges, sources, max_hops=3).collect()
+    }
+    want = {}
+    for s in (1, 5):
+        for r in bfs_levels(edges, source=s, max_hops=3).collect():
+            want[(s, r.node)] = r.hop
+    assert got == want
+
+
+def test_bfs_multi_releases_checkpoint_blocks(spark):
+    from tvbigdataproject_spark.operators.traversal import bfs_levels_multi
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,), (2,)], "node long")
+    out = bfs_levels_multi(edges, sources, max_hops=4, checkpoint_interval=2)
+    assert out.count() == 6
+    after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before <= 1

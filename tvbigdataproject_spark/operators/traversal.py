@@ -108,6 +108,71 @@ def bfs_levels(
     return visited
 
 
+def bfs_levels_multi(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from EVERY node in `sources`
+    (a one-column DataFrame of node ids, column `node`) to every node
+    within `max_hops`. Returns (landmark, node, hop). This is the
+    landmark-distance primitive behind closeness/eccentricity estimates
+    and graph-diameter lower bounds: k BFS sweeps share one frontier
+    keyed by (landmark, node) instead of running k sequential BFS loops
+    — the round count stays max_hops, not k * max_hops.
+
+    Same per-round shape and checkpoint-release discipline as
+    bfs_levels; the visited set is composite-keyed, so memory is
+    bounded by k * |reachable| — choose k (the landmark count) small
+    and fixed, which is how landmark methods are used.
+    """
+    sc = edges.sparkSession.sparkContext
+    e, e_ids = _checkpoint_tracked(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        sc,
+    )
+    start = sources.select(
+        F.col("node").alias("landmark"),
+        F.col("node"),
+        F.lit(0).cast("int").alias("hop"),
+    )
+    try:
+        visited, visited_ids = _checkpoint_tracked(start, sc)
+    except Exception:
+        _unpersist_ids(sc, e_ids)
+        raise
+    try:
+        hop = 0
+        while hop < max_hops:
+            span = min(max(1, checkpoint_interval), max_hops - hop)
+            plan = visited
+            for _ in range(span):
+                hop += 1
+                frontier = plan.where(F.col("hop") == hop - 1)
+                nxt = (
+                    frontier.join(e, frontier.node == e.src)
+                    .select("landmark", F.col("dst").alias("node"))
+                    .distinct()
+                    .join(plan, ["landmark", "node"], "left_anti")
+                    .select(
+                        "landmark", "node", F.lit(hop).cast("int").alias("hop")
+                    )
+                )
+                plan = plan.unionByName(nxt)
+            stepped, stepped_ids = _checkpoint_tracked(plan, sc)
+            _unpersist_ids(sc, visited_ids)
+            visited, visited_ids = stepped, stepped_ids
+    except Exception:
+        _unpersist_ids(sc, visited_ids)
+        raise
+    finally:
+        _unpersist_ids(sc, e_ids)
+    return visited
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int,

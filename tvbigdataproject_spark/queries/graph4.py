@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tvbigdataproject_spark.operators.traversal import sssp_bounded
+from tvbigdataproject_spark.operators.traversal import bfs_levels_multi, sssp_bounded
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
 
@@ -81,3 +81,72 @@ def sssp_trade_graph(spark, sf_dir):
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w"))
     )
     return sssp_bounded(bi, source=_SSSP_SOURCE, rounds=_SSSP_ROUNDS)
+
+
+_LANDMARK_K = 3
+_LANDMARK_HOPS = 2
+
+
+@query(
+    "landmark_distances",
+    sql=f"""
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    bi AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    ),
+    lm AS (
+        SELECT src AS node FROM (SELECT DISTINCT src FROM bi WHERE src > 0)
+        ORDER BY node LIMIT {_LANDMARK_K}
+    ),
+    bfs(landmark, node, hop) AS (
+        SELECT node, node, 0 FROM lm
+        UNION
+        SELECT b.landmark, e.dst, b.hop + 1
+        FROM bfs b JOIN bi e ON e.src = b.node
+        WHERE b.hop < {_LANDMARK_HOPS}
+    )
+    SELECT landmark, node, MIN(hop) AS hop
+    FROM bfs GROUP BY landmark, node
+    """,
+    tags=("graph", "iterative", "bfs", "landmarks"),
+)
+def landmark_distances(spark, sf_dir):
+    """Hop distances from the 3 lowest-id customers (deterministic
+    landmark pick) to every node within 2 hops of the bidirectional
+    trade graph — the landmark/sketch primitive behind closeness
+    centrality estimates, graph-diameter lower bounds, and approximate
+    shortest-path oracles (Thorup-Zwick style): at 100 TB you never run
+    all-pairs BFS; you run k landmark sweeps and triangulate.
+
+    The DataFrame side is ONE multi-source frontier loop keyed by
+    (landmark, node) (operators/traversal.py::bfs_levels_multi), not k
+    sequential BFS runs — the job count stays max_hops. The oracle is
+    the recursive CTE with UNION-distinct recursion, whose state is
+    bounded by landmarks x nodes x hops, never the walk count.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    landmarks = (
+        bi.where(F.col("src") > 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(_LANDMARK_K)
+    )
+    return bfs_levels_multi(bi, landmarks, max_hops=_LANDMARK_HOPS)
