@@ -83,3 +83,75 @@ def test_streaming_funnel_matches_batch_semantics(spark):
                     stage = 3
         want[r.user_id] = stage
     assert got == want
+
+
+def test_streaming_clamped_balance_matches_batch_single_batch(spark):
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.queries.analytic5 import clamped_inventory_balance
+    from tvbigdataproject_spark.streaming.stateful import streaming_clamped_balance
+
+    stream = read_event_stream(spark, f"{SF_DIR}/events.parquet")
+    run_to_memory_sink(
+        streaming_clamped_balance(stream), "t_clamp1", output_mode="update"
+    )
+    got = {
+        r.user_id: (r.n_events, r.bal_cents)
+        for r in spark.table("t_clamp1").collect()
+    }
+    batch_last = (
+        clamped_inventory_balance(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.max_by("bal_cents", "rn").alias("bal"), F.max("rn").alias("n"))
+    )
+    want = {r.user_id: (r.n, r.bal) for r in batch_last.collect()}
+    assert got == want
+
+
+def test_streaming_clamped_balance_carries_state_across_batches(spark, tmp_path):
+    # split the event log into 3 time-ordered files; with
+    # maxFilesPerTrigger=1 each arrives as its own micro-batch, so the
+    # final emission proves the balance state survives batch boundaries
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.queries.analytic5 import clamped_inventory_balance
+    from tvbigdataproject_spark.streaming.stateful import streaming_clamped_balance
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    t = t.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    n = t.num_rows
+    d = tmp_path / "events_split"
+    d.mkdir()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        p = d / f"part-{i}.parquet"
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), p)
+        # file stream source orders by modification time: make it match
+        # the time split explicitly
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    run_to_memory_sink(
+        streaming_clamped_balance(stream), "t_clamp3", output_mode="update"
+    )
+    # update mode re-emits per batch; n_events is strictly increasing, so
+    # the max-n emission per user is the final state
+    emitted = (
+        spark.table("t_clamp3")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n"),
+            F.max_by("bal_cents", "n_events").alias("bal"),
+        )
+    )
+    got = {r.user_id: (r.n, r.bal) for r in emitted.collect()}
+    batch_last = (
+        clamped_inventory_balance(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.max_by("bal_cents", "rn").alias("bal"), F.max("rn").alias("n"))
+    )
+    want = {r.user_id: (r.n, r.bal) for r in batch_last.collect()}
+    assert got == want

@@ -203,3 +203,68 @@ def streaming_funnel_stage(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CLAMPED_BALANCE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("bal_cents", LongType()),
+    ]
+)
+
+_CLAMP_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("bal", LongType())]
+)
+
+
+def streaming_clamped_balance(events: DataFrame) -> DataFrame:
+    """Per-user running balance clamped to [0, cap], maintained across
+    micro-batches — the streaming twin of
+    queries/analytic5.py::clamped_inventory_balance (same drain, same
+    cap, same integer-cents walk).
+
+    Unlike the funnel's state (minima — order-independent), the clamp
+    walk is inherently ORDER-dependent, so the stream contract is the
+    one every sequential-state stream op carries: each micro-batch
+    must cover a time range at or after the previous one (a time-split
+    log; rows within a batch are sorted here before walking). Under
+    that contract the final emission per user is bitwise the batch
+    walk's last row, which the equivalence tests assert both for a
+    single batch and for a 3-way time-split arrival. Late data would
+    need buffering + event-time timers instead (transformWithState's
+    timer API is the tool; see streaming_user_profile).
+
+    State is two integers per user — fixed-width, NoTimeout because
+    the user population is bounded.
+    """
+    from tvbigdataproject_spark.queries.analytic5 import (
+        _DRAIN_CENTS,
+        _INVENTORY_CAP_CENTS,
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, bal = state.get if state.exists else (0, 0)
+        pdfs = list(pdf_iter)
+        pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        deltas = (
+            (pdf["value"] * 100).round().astype("int64") - _DRAIN_CENTS
+        ).to_numpy()
+        for d in deltas:
+            bal = min(_INVENTORY_CAP_CENTS, max(0, bal + int(d)))
+        n += len(pdf)
+        state.update((n, int(bal)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "bal_cents": [int(bal)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CLAMPED_BALANCE_SCHEMA,
+        stateStructType=_CLAMP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
