@@ -71,6 +71,10 @@ HEADLINE = [
     "ngram_novelty_score",      # digest-only shuffles, doc-keyed join
     "bigram_lift",              # zip-slice grams + count-table marginals
     "attribution_last_touch",   # running last-ignore-nulls window
+    "capped_running_balance",   # clamp walk via closed-form windows
+    "bpe_merge_rounds",         # vocab-compacted iterative argmax-merge
+    "inverted_index_terms",     # two-level pair->term posting build
+    "landmark_distances",       # multi-source composite-key frontier
 ]
 
 
