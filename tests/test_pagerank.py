@@ -111,3 +111,20 @@ def test_salted_hub_bitwise_equals_unsalted(spark):
         .count()
     )
     assert n_buckets == 16
+
+
+def test_personalized_pagerank_mass_stays_with_seed_component(spark):
+    # two disconnected 2-cycles; teleport set in the first — every node
+    # of the second component must rank exactly 0.0 (no teleport, no
+    # inflow), and seed-component ranks must be positive
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (10, 11, 1.0), (11, 10, 1.0)],
+        "src long, dst long, w double",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.rank for r in pagerank(edges, n_iter=4, sources=seeds).collect()}
+    assert got[10] == 0.0 and got[11] == 0.0
+    assert got[1] > 0.0 and got[2] > 0.0
+    # seed keeps the teleport mass: strictly above its non-seed peer
+    # after an even round count
+    assert got[1] > got[2]

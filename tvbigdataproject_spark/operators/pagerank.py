@@ -61,10 +61,22 @@ def pagerank(
     weight: str = "w",
     checkpoint_interval: int = 3,
     salt_buckets: int | None = None,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Ranks for every node appearing as a source in `edges` (feed a
     bidirectional edge list for undirected semantics — then the src set
     IS the node set). Returns (node, rank).
+
+    `sources` switches to PERSONALIZED PageRank: a one-column (`node`)
+    DataFrame of teleport targets. Init and teleport mass concentrate
+    uniformly on that set (1/|S| and base_num/|S|; zero elsewhere)
+    instead of spreading 1/N over all nodes — the random walk restarts
+    at the sources, so ranks measure proximity to them (the
+    recommendation / trust-propagation primitive). The set must be
+    small and bounded (landmarks, a user's seeds) — it is broadcast
+    onto the node table; everything else (contribution rounds, scaled
+    integer sums, checkpoint discipline) is byte-for-byte the same
+    loop, and the uniform variant is untouched when sources is None.
 
     `base_num` is the literal teleport numerator (1 - damping); it is a
     parameter, not computed, for cross-engine bit-identity (see module
@@ -134,11 +146,36 @@ def pagerank(
     # are dead the moment shares is materialized
     _unpersist_ids(sc, e_ids)
 
-    n = nodes.count()
-    base = base_num / n
-    ranks, ranks_ids = _checkpoint_tracked(
-        nodes.select("node", F.lit(1.0 / n).alias("rank")), sc
-    )
+    if sources is None:
+        n = nodes.count()
+        nodes = nodes.select("node", F.lit(base_num / n).alias("base"))
+        init = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    else:
+        # personalized: teleport mass concentrates on the source set.
+        # |S| is bounded by contract, so the membership mark is a
+        # broadcast left join; base_num/|S| and 1/|S| are plain double
+        # divisions (the oracle must force DOUBLE division too —
+        # DuckDB's 0.15/3 would be DECIMAL arithmetic)
+        s_cnt = sources.count()
+        marked = nodes.join(
+            F.broadcast(sources.select(F.col("node").alias("s_node"))),
+            nodes.node == F.col("s_node"),
+            "left",
+        )
+        in_s = F.col("s_node").isNotNull()
+        nodes = marked.select(
+            "node",
+            F.when(in_s, F.lit(base_num / float(s_cnt)))
+            .otherwise(F.lit(0.0))
+            .alias("base"),
+        )
+        init = marked.select(
+            "node",
+            F.when(in_s, F.lit(1.0 / float(s_cnt)))
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+        )
+    ranks, ranks_ids = _checkpoint_tracked(init, sc)
     try:
         rounds_done = 0
         while rounds_done < n_iter:
@@ -167,7 +204,7 @@ def pagerank(
                 plan = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
                     "node",
                     (
-                        F.lit(base)
+                        F.col("base")
                         + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
                     ).alias("rank"),
                 )

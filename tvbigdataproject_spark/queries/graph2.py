@@ -95,3 +95,105 @@ def pagerank_trade_graph(spark, sf_dir):
         )
     )
     return pagerank(bi, n_iter=_N_ITER, damping=0.85, base_num=0.15)
+
+
+_PPR_K = 3  # landmark count (the 3 lowest-id customers)
+
+_PPR_PRELUDE = f"""
+    WITH e0 AS (
+        SELECT o_custkey AS src, -l_suppkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    bi AS (
+        SELECT src, dst, w FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM e0
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM bi),
+    outw AS (SELECT src, SUM(w) AS ow FROM bi GROUP BY src),
+    shares AS (
+        SELECT b.src, b.dst, b.w / o.ow AS share FROM bi b JOIN outw o ON b.src = o.src
+    ),
+    lm AS (
+        SELECT node FROM nodes WHERE node > 0 ORDER BY node LIMIT {_PPR_K}
+    ),
+    r0 AS (
+        SELECT n.node,
+               CASE WHEN l.node IS NOT NULL
+                    THEN 1.0 / CAST({_PPR_K} AS DOUBLE) ELSE 0.0 END AS rank
+        FROM nodes n LEFT JOIN lm l ON n.node = l.node
+    )"""
+
+# DuckDB would evaluate 0.15 / 3 in DECIMAL arithmetic — force DOUBLE
+# division so both engines run the identical IEEE op
+_PPR_ITER = """,
+    c{k} AS (
+        SELECT s.dst AS node,
+               SUM(CAST(ROUND(r.rank * s.share * {scale}) AS BIGINT)) / {scale}.0
+                   AS contrib
+        FROM shares s JOIN r{prev} r ON s.src = r.node
+        GROUP BY s.dst
+    ),
+    r{k} AS (
+        SELECT n.node,
+               CASE WHEN l.node IS NOT NULL
+                    THEN 0.15 / CAST({kcount} AS DOUBLE) ELSE 0.0 END
+               + 0.85 * COALESCE(c.contrib, 0.0) AS rank
+        FROM nodes n
+        LEFT JOIN lm l ON n.node = l.node
+        LEFT JOIN c{k} c ON n.node = c.node
+    )"""
+
+_PPR_SQL = (
+    _PPR_PRELUDE
+    + "".join(
+        _PPR_ITER.format(k=k, prev=k - 1, scale=_S, kcount=_PPR_K)
+        for k in range(1, _N_ITER + 1)
+    )
+    + f"""
+    SELECT node, rank FROM r{_N_ITER}
+    """
+)
+
+
+@query(
+    "ppr_from_landmarks",
+    sql=_PPR_SQL,
+    tags=("graph", "iterative", "pagerank", "personalized"),
+)
+def ppr_from_landmarks(spark, sf_dir):
+    """Personalized PageRank with teleport restricted to the 3
+    lowest-id customers — proximity-to-seeds ranking, the
+    recommendation / trust-propagation primitive ("which suppliers
+    sit closest to these accounts' trading neighborhoods"). Same
+    iterative operator as pagerank_trade_graph with a `sources` set
+    (operators/pagerank.py): init and teleport mass concentrate on
+    the seeds, everything else — scaled-integer contribution sums,
+    checkpoint-every-k, literal damping constants — is the identical
+    loop, and the oracle replays all 3 rounds unrolled, so the
+    personalization is value-checked bitwise (the teleport division
+    is forced to DOUBLE in SQL; DuckDB's DECIMAL literals would
+    otherwise diverge in the last bits).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w"))
+    )
+    seeds = (
+        bi.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") > 0)
+        .orderBy("node")
+        .limit(_PPR_K)
+    )
+    return pagerank(bi, n_iter=_N_ITER, sources=seeds)
