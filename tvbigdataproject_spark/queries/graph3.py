@@ -202,3 +202,86 @@ def triangle_count_neardup(spark, sf_dir):
     # the pair generator is the expensive shingle self-join — cache the
     # oriented edges so the closing branch doesn't recompute it
     return triangle_corner_counts(pairs, a="doc_a", b="doc_b", materialize=True)
+
+
+@query(
+    "clustering_coeff_neardup",
+    sql=f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+    ),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ),
+    tcount AS (SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node),
+    degs AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT doc_a AS node FROM pairs
+            UNION ALL SELECT doc_b FROM pairs
+        ) GROUP BY node
+    )
+    SELECT t.node, t.n_triangles, d.deg,
+           CAST(2 * t.n_triangles AS DOUBLE)
+               / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS clustering_coeff
+    FROM tcount t JOIN degs d ON t.node = d.node
+    """,
+    tags=("graph", "dedup", "triangles", "clustering"),
+)
+def clustering_coeff_neardup(spark, sf_dir):
+    """Local clustering coefficient per document in the near-duplicate
+    graph: 2*T / (deg*(deg-1)) — the fraction of a node's neighbor
+    pairs that are themselves near-duplicates. Coefficient ~1 means the
+    document sits inside a closed duplication clique (template spam);
+    low coefficient with high degree means a hub bridging distinct
+    clusters (boilerplate shared across otherwise-unrelated pages) —
+    the two cases dedup policy treats differently, which the triangle
+    count alone cannot separate.
+
+    Exactness: T and deg are exact integers; the coefficient is ONE
+    double division of two exactly-converted integers — identical on
+    both engines. Scale shape: triangle counts from the degree-ordered
+    wedge join (O(m^1.5) bound, operators/traversal.py), degrees one
+    keyed agg over the pair list, one final equi-join on node id.
+    """
+    # the pair list feeds BOTH the triangle operator and the degree agg
+    # — persist it so the expensive shingle self-join runs once (lazy
+    # persist, same one-shot rationale as triangle_corner_counts'
+    # materialize flag)
+    pairs = ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), n=3, threshold=0.4
+    ).persist()
+    tcount = triangle_corner_counts(pairs, a="doc_a", b="doc_b", materialize=True)
+    degs = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return tcount.join(degs, "node").select(
+        "node",
+        "n_triangles",
+        "deg",
+        (
+            (2 * F.col("n_triangles")).cast("double")
+            / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+        ).alias("clustering_coeff"),
+    )
