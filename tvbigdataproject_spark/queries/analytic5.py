@@ -281,3 +281,110 @@ def decayed_event_score(spark, sf_dir):
             ).alias("decay_score"),
         )
     )
+
+
+@query(
+    "conversion_time_by_cohort",
+    sql="""
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS ts_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_conv
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > su.ts_signup
+        GROUP BY e.user_id
+    ),
+    pu AS (
+        SELECT su.user_id,
+               CAST(date_trunc('week', su.ts_signup) AS DATE) AS cohort_week,
+               CAST(date_diff('day', CAST(su.ts_signup AS DATE),
+                              CAST(c.ts_conv AS DATE)) AS BIGINT) AS days
+        FROM su LEFT JOIN conv c ON su.user_id = c.user_id
+    ),
+    ranked AS (
+        SELECT cohort_week, days, user_id,
+               ROW_NUMBER() OVER (PARTITION BY cohort_week
+                                  ORDER BY days, user_id) AS rn,
+               COUNT(*) OVER (PARTITION BY cohort_week) AS m
+        FROM pu WHERE days IS NOT NULL
+    ),
+    med AS (
+        SELECT cohort_week, days AS median_days FROM ranked
+        WHERE rn = (m + 1) // 2
+    ),
+    stats AS (
+        SELECT cohort_week, COUNT(*) AS n_users, COUNT(days) AS n_converted
+        FROM pu GROUP BY cohort_week
+    )
+    SELECT s.cohort_week, s.n_users, s.n_converted, m.median_days,
+           100 * s.n_converted // s.n_users AS pct_converted
+    FROM stats s LEFT JOIN med m ON s.cohort_week = m.cohort_week
+    """,
+    tags=("analytics", "survival", "cohort"),
+)
+def conversion_time_by_cohort(spark, sf_dir):
+    """Time-to-convert survival summary per signup-week cohort: users,
+    converters (first purchase strictly after first signup), the
+    discrete median days-to-convert, and an integer conversion rate —
+    the retention/activation readout every product pipeline computes.
+
+    Exactness: the median is SELECTED, not interpolated — rank the
+    converters by (days, user_id) and take the (m+1) DIV 2-th row, so
+    no float percentile math exists to diverge; the rate is integer
+    DIV (Spark DIV == DuckDB //). DuckDB's date_trunc('week') returns
+    DATE while Spark returns timestamp — cast on the Spark side (the
+    repo-wide convention).
+
+    Scale shape: two user-keyed aggs + one user equi-join build the
+    per-user row; the median is one window pass over CONVERTERS only,
+    partitioned by cohort (bounded weeks x converters, not the event
+    stream); nothing global sorts.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_signup"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") > F.col("ts_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_conv"))
+    )
+    pu = su.join(conv, "user_id", "left").select(
+        "user_id",
+        F.date_trunc("week", "ts_signup").cast("date").alias("cohort_week"),
+        F.datediff(
+            F.col("ts_conv").cast("date"), F.col("ts_signup").cast("date")
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    ranked = pu.where(F.col("days").isNotNull()).select(
+        "cohort_week",
+        "days",
+        F.row_number()
+        .over(Window.partitionBy("cohort_week").orderBy("days", "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cohort_week"))
+        .alias("m"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.expr("(m + 1) DIV 2")
+    ).select("cohort_week", F.col("days").alias("median_days"))
+    stats = pu.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("days").alias("n_converted"),
+    )
+    return stats.join(med, "cohort_week", "left").select(
+        "cohort_week",
+        "n_users",
+        "n_converted",
+        "median_days",
+        F.expr("100 * n_converted DIV n_users").alias("pct_converted"),
+    )

@@ -139,3 +139,90 @@ def trend_slope_by_type(spark, sf_dir):
     return m.select(
         "event_type", "n", (num / den / 100.0).alias("slope_per_day")
     )
+
+
+_CMS_W = 64  # buckets per row
+_CMS_D = 3   # hash rows
+
+
+@query(
+    "cms_term_counts",
+    sql=f"""
+    WITH vocab AS (
+        SELECT term, COUNT(*) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ) WHERE regexp_matches(term, '^[a-z]+$')
+        GROUP BY term
+    ),
+    buckets AS (
+        SELECT term, n, j,
+               ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || '|' || term),
+                               1, 4))::BIGINT % {_CMS_W} AS bucket
+        FROM vocab CROSS JOIN (VALUES (0), (1), (2)) s(j)
+    ),
+    cells AS (
+        SELECT j, bucket, CAST(SUM(n) AS BIGINT) AS total
+        FROM buckets GROUP BY j, bucket
+    ),
+    probes AS (
+        SELECT term, n FROM vocab ORDER BY n DESC, term LIMIT 20
+    )
+    SELECT p.term, p.n AS n_exact,
+           MIN(c.total) AS cms_estimate,
+           MIN(c.total) - p.n AS overestimate
+    FROM probes p
+    JOIN buckets b ON b.term = p.term
+    JOIN cells c ON c.j = b.j AND c.bucket = b.bucket
+    GROUP BY p.term, p.n
+    """,
+    tags=("llm", "sketch", "cms", "topk"),
+)
+def cms_term_counts(spark, sf_dir):
+    """Count-min sketch (w=64, d=3, md5-portable hashes) over corpus
+    term counts, probed at the 20 heaviest terms — with the EXACT
+    count beside each estimate, so the CMS overestimate guarantee
+    (estimate >= truth, tight for heavy hitters) rides the value hash.
+    Unlike the HLL/approx tier (rows-only checks), a CMS with
+    deterministic hashes is fully replayable in SQL: this is a sketch
+    with a bitwise oracle.
+
+    Scale shape: term counts compact the corpus to a vocab table
+    first (one exploded agg with map-side partials); the sketch build
+    then explodes 3 rows per VOCAB entry, not per token, and the cell
+    table is w*d = 192 rows total — constant-size state, the entire
+    point of a CMS at 100 TB (the cells would be merged across
+    partitions/days in production; SUM is associative so the merge is
+    the same agg).
+    """
+    from tvbigdataproject_spark.functions.hashing import hex16_hash
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term").rlike("^[a-z]+$"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bucket_cols = F.array(
+        *[
+            hex16_hash(F.concat(F.lit(f"cms{j}|"), F.col("term"))) % _CMS_W
+            for j in range(_CMS_D)
+        ]
+    )
+    buckets = vocab.select(
+        "term", "n", F.posexplode(bucket_cols).alias("j", "bucket")
+    )
+    cells = buckets.groupBy("j", "bucket").agg(F.sum("n").alias("total"))
+    probes = vocab.orderBy(F.desc("n"), "term").limit(20)
+    return (
+        probes.join(buckets.select("term", "j", "bucket"), "term")
+        .join(cells, ["j", "bucket"])
+        .groupBy("term", "n")
+        .agg(F.min("total").alias("cms_estimate"))
+        .select(
+            "term",
+            F.col("n").alias("n_exact"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n")).alias("overestimate"),
+        )
+    )
