@@ -153,3 +153,38 @@ def test_bpe_merge_round_left_bias_and_weighting(spark):
     got = {r.s for r in merged.select("s").collect()}
     # left-bias: the first pair merges, the trailing 'a' survives alone
     assert got == {"|aa||a|", "|a||b|"}
+
+
+def test_z_interleave16_known_values_and_tile_bound(spark):
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.functions.zorder import z_interleave16
+
+    df = spark.createDataFrame(
+        [(0xFFFF, 0), (0, 0xFFFF), (3, 1), (0, 0), (0xFFFF, 0xFFFF)],
+        "x long, y long",
+    )
+    got = [
+        r.z
+        for r in df.select(
+            z_interleave16(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+    # x on even bits, y on odd: x=0b11 y=0b01 -> z=0b0111
+    assert got == [0x55555555, 0xAAAAAAAA, 0b0111, 0, 0xFFFFFFFF]
+    # tile invariant: equal z>>16 implies both coords within a 256 tile
+    xs = spark.range(0, 4096).select(
+        (F.col("id") % 64 * 17).alias("x"), F.expr("id DIV 64 * 23").alias("y")
+    )
+    rows = (
+        xs.select(
+            "x", "y", F.shiftright(z_interleave16(F.col("x"), F.col("y")), 16).alias("zb")
+        )
+        .groupBy("zb")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    assert all(r.dx <= 255 and r.dy <= 255 for r in rows)
