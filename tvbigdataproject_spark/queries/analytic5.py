@@ -388,3 +388,147 @@ def conversion_time_by_cohort(spark, sf_dir):
         "median_days",
         F.expr("100 * n_converted DIV n_users").alias("pct_converted"),
     )
+
+
+@query(
+    "incremental_join_view",
+    sql="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0
+               AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("analytics", "incremental", "ivm", "join"),
+)
+def incremental_join_view(spark, sf_dir):
+    """Incremental maintenance of a JOIN view: the per-segment revenue
+    view orders⋈customer, computed as MERGE(stored state over the
+    historical order slice, delta-join of the NEW orders against the
+    dimension) — the delta rule dV = dFact ⋈ Dim for a view whose fact
+    side appends and whose dimension is stable. The oracle is the full
+    recompute, proving the join commutes with the delta split and the
+    partial aggregates merge algebraically (the rollup-merge twin,
+    incremental_rollup_merge, does this for a single table; this one
+    adds the join commutation a materialized-view engine relies on).
+
+    Scale shape: only the delta slice joins at refresh time (the
+    historical partials are a stored state table at 100 TB — here both
+    derive from the same scan with prunable date predicates); both
+    joins shuffle on custkey, the merge is a keyed agg over 2x
+    segments rows. Cents accumulate as exact integers and the single
+    finalizing division happens after the merge — re-merging never
+    re-rounds.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+
+    def partial(df):
+        return (
+            df.join(cust, df.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("cents"),
+            )
+        )
+
+    hist = partial(orders.where(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.where(F.col("o_orderdate") >= cutoff))
+    return (
+        hist.unionByName(delta)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum("n").alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "daily_corr_matrix",
+    sql="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.y AS ya, b.y AS yb
+        FROM daily a JOIN daily b
+          ON a.x = b.x AND a.event_type < b.event_type
+    ),
+    moments AS (
+        SELECT type_a, type_b, COUNT(*) AS n,
+               CAST(SUM(ya) AS DECIMAL(38,0)) AS sa,
+               CAST(SUM(yb) AS DECIMAL(38,0)) AS sb,
+               CAST(SUM(ya * yb) AS DECIMAL(38,0)) AS sab,
+               CAST(SUM(ya * ya) AS DECIMAL(38,0)) AS saa,
+               CAST(SUM(yb * yb) AS DECIMAL(38,0)) AS sbb
+        FROM pairs GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n,
+           CAST(n * sab - sa * sb AS DOUBLE)
+               / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                      * CAST(n * sbb - sb * sb AS DOUBLE)) AS corr
+    FROM moments
+    """,
+    tags=("analytics", "correlation", "matrix"),
+)
+def daily_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation of daily revenue between every
+    event-type pair over aligned days — the co-movement matrix behind
+    metric dashboards and anomaly triage ("did errors and purchases
+    spike together?").
+
+    Exactness: all five moments are integer sums over integer cents,
+    accumulated in DECIMAL(38,0); the combination casts to double and
+    then performs multiply, IEEE-correctly-rounded sqrt, and one
+    division — the identical op sequence on both engines (sqrt is
+    exactly rounded per IEEE-754, so determinism survives it).
+
+    Scale shape: the event stream collapses to (type, day) grain
+    first; the pair join runs on that bounded grain (types x days,
+    calendar-bounded) — never on raw events. Output is the C(k,2)
+    matrix, tiny at any SF.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("2024-01-01").cast("date")).alias("x"),
+            "y",
+        )
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "x", F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "x", F.col("y").alias("yb")
+    )
+    pairs = a.join(b, "x").where(F.col("type_a") < F.col("type_b"))
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ya").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("yb").cast("decimal(38,0)")).alias("sb"),
+        F.sum((F.col("ya") * F.col("yb")).cast("decimal(38,0)")).alias("sab"),
+        F.sum((F.col("ya") * F.col("ya")).cast("decimal(38,0)")).alias("saa"),
+        F.sum((F.col("yb") * F.col("yb")).cast("decimal(38,0)")).alias("sbb"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    dena = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    denb = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return m.select(
+        "type_a", "type_b", "n", (num / F.sqrt(dena * denb)).alias("corr")
+    )

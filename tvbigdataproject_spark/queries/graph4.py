@@ -150,3 +150,81 @@ def landmark_distances(spark, sf_dir):
         .limit(_LANDMARK_K)
     )
     return bfs_levels_multi(bi, landmarks, max_hops=_LANDMARK_HOPS)
+
+
+@query(
+    "harmonic_closeness_landmarks",
+    sql=f"""
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    bi AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    ),
+    lm AS (
+        SELECT src AS node FROM (SELECT DISTINCT src FROM bi WHERE src > 0)
+        ORDER BY node LIMIT {_LANDMARK_K}
+    ),
+    bfs(landmark, node, hop) AS (
+        SELECT node, node, 0 FROM lm
+        UNION
+        SELECT b.landmark, e.dst, b.hop + 1
+        FROM bfs b JOIN bi e ON e.src = b.node
+        WHERE b.hop < {_LANDMARK_HOPS}
+    ),
+    dist AS (
+        SELECT landmark, node, MIN(hop) AS hop FROM bfs
+        GROUP BY landmark, node
+    )
+    SELECT node, COUNT(*) AS n_reached,
+           CAST(SUM(12 // hop) AS BIGINT) AS harmonic_x12
+    FROM dist WHERE hop > 0 GROUP BY node
+    """,
+    tags=("graph", "iterative", "closeness", "landmarks"),
+)
+def harmonic_closeness_landmarks(spark, sf_dir):
+    """Landmark-estimated harmonic closeness: per node, sum of 1/d
+    over the landmark set (d = hop distance, unreached contributes 0)
+    — the centrality estimator that behaves sanely on disconnected
+    graphs, computed from k sweeps instead of all-pairs BFS.
+
+    Exactness trick: with hop depth capped at 2 (and sound to 4), 1/d
+    is emitted as the exact INTEGER 12/d (12 = lcm(1..4)) — the
+    harmonic sum becomes pure integer arithmetic, so an estimator
+    that textbooks write with floats rides the bitwise value hash.
+
+    Scale shape: one multi-source frontier loop (bfs_levels_multi)
+    plus a node-keyed agg over the k x reachable distance table.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    landmarks = (
+        bi.where(F.col("src") > 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(_LANDMARK_K)
+    )
+    dist = bfs_levels_multi(bi, landmarks, max_hops=_LANDMARK_HOPS)
+    return (
+        dist.where(F.col("hop") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(F.expr("12 DIV hop")).alias("harmonic_x12"),
+        )
+    )
