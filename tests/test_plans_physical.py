@@ -88,6 +88,8 @@ def test_nested_loop_joins_only_where_intended(spark):
         "decayed_event_score",
         # three one-row argmax-merge attaches — the BPE round structure
         "bpe_merge_rounds",
+        # one-row query-vector + one-row-per-round selection attaches
+        "mmr_diverse_topk",
         # broadcast bounded probe set x corpus sketches IS the
         # brute-force top-k algorithm (same rationale as
         # embed_cosine_topk)

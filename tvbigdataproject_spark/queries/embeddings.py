@@ -221,3 +221,142 @@ def embed_quantize_int8(spark, sf_dir):
             )
         ).alias("recon_err"),
     )
+
+
+def _dot_of(x: str, y: str) -> str:
+    return " + ".join(
+        f"{x}.embedding[{i}]::DOUBLE * {y}.embedding[{i}]::DOUBLE"
+        for i in range(1, _DIM + 1)
+    )
+
+
+def _norm_of(x: str) -> str:
+    return "sqrt(" + " + ".join(
+        f"{x}.embedding[{i}]::DOUBLE * {x}.embedding[{i}]::DOUBLE"
+        for i in range(1, _DIM + 1)
+    ) + ")"
+
+
+_MMR_LAMBDA = "0.5"  # exactly-representable tradeoff weight
+_MMR_POOL = 20
+
+
+def _mmr_sql() -> str:
+    cos_qb = f"({_dot_of('q', 'b')}) / ({_norm_of('q')} * {_norm_of('b')})"
+
+    def cos(p: str, s: str) -> str:
+        return f"(({_dot_of(p, s)}) / ({_norm_of(p)} * {_norm_of(s)}))"
+
+    return f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT b.vec_id, b.embedding, {cos_qb} AS rel
+        FROM embeddings b CROSS JOIN q WHERE b.vec_id <> 0
+    ),
+    pool AS (
+        SELECT vec_id, embedding, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_MMR_POOL}
+    ),
+    m1 AS (
+        SELECT vec_id, embedding, rel AS mmr FROM pool
+        ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    p2 AS (
+        SELECT p.vec_id, p.embedding,
+               p.rel - {_MMR_LAMBDA} * {cos('p', 's')} AS mmr
+        FROM pool p CROSS JOIN m1 s WHERE p.vec_id <> s.vec_id
+    ),
+    m2 AS (SELECT vec_id, embedding, mmr FROM p2 ORDER BY mmr DESC, vec_id LIMIT 1),
+    p3 AS (
+        SELECT p.vec_id, p.embedding,
+               p.rel - {_MMR_LAMBDA} *
+                   GREATEST({cos('p', 's1')}, {cos('p', 's2')}) AS mmr
+        FROM pool p CROSS JOIN m1 s1 CROSS JOIN m2 s2
+        WHERE p.vec_id <> s1.vec_id AND p.vec_id <> s2.vec_id
+    ),
+    m3 AS (SELECT vec_id, embedding, mmr FROM p3 ORDER BY mmr DESC, vec_id LIMIT 1)
+    SELECT CAST(1 AS INT) AS sel_round, vec_id, mmr FROM m1
+    UNION ALL SELECT CAST(2 AS INT), vec_id, mmr FROM m2
+    UNION ALL SELECT CAST(3 AS INT), vec_id, mmr FROM m3
+    """
+
+
+@query(
+    "mmr_diverse_topk",
+    sql=_mmr_sql(),
+    tags=("embeddings", "ann", "mmr", "diversity"),
+)
+def mmr_diverse_topk(spark, sf_dir):
+    """Maximal Marginal Relevance: select 3 results for query vector 0
+    that balance relevance against redundancy — each round picks
+    argmax of rel(d) - 0.5 * max_{s in selected} cos(d, s). The
+    diversity-aware re-ranking step retrieval pipelines run after ANN,
+    and a second iterative-argmax operator family beside BPE (select
+    one, update the objective, repeat).
+
+    Exactness: relevance and penalty cosines use the left-fold dot
+    (functions/vectors.py contract) that the oracle unrolls
+    term-by-term; the 0.5 weight is dyadic; the round-2/3 penalties
+    replay as CROSS JOINs against the one-row selections with the
+    identical GREATEST/max semantics — the whole greedy trajectory is
+    value-checked, so a single mis-ranked candidate in any round fails
+    the gate.
+
+    Scale shape: one corpus sweep scores relevance (broadcast
+    one-vector query), a TakeOrdered keeps the 20-candidate pool, and
+    each selection round runs on the bounded pool with one-row
+    broadcast attaches — at 100 TB the sweep is the only data-scale
+    stage, exactly like the production ANN-then-rerank split.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    pool = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))  # one-row query vector
+        .select(
+            "vec_id",
+            "embedding",
+            cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_POOL)
+    )
+    lam = 0.5
+    selected = pool.orderBy(F.desc("rel"), "vec_id").limit(1).select(
+        F.lit(1).cast("int").alias("sel_round"),
+        "vec_id",
+        "embedding",
+        F.col("rel").alias("mmr"),
+    )
+    out = selected
+    for r in (2, 3):
+        sel_vecs = F.broadcast(
+            out.select(
+                F.col("vec_id").alias("s_id"),
+                F.col("embedding").alias("s_emb"),
+            )
+        )
+        pen = (
+            pool.join(out.select(F.col("vec_id").alias("s_id")), pool.vec_id == F.col("s_id"), "left_anti")
+            .crossJoin(sel_vecs)
+            .select(
+                "vec_id",
+                cosine_similarity(F.col("embedding"), F.col("s_emb")).alias("sim"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        cand = pool.join(F.broadcast(pen), "vec_id").select(
+            "vec_id",
+            "embedding",
+            (F.col("rel") - lam * F.col("max_sim")).alias("mmr"),
+        )
+        pick = cand.orderBy(F.desc("mmr"), "vec_id").limit(1).select(
+            F.lit(r).cast("int").alias("sel_round"), "vec_id", "embedding", "mmr"
+        )
+        out = out.unionByName(pick)
+    return out.select("sel_round", "vec_id", "mmr")
