@@ -328,3 +328,46 @@ def pyds_synthetic_agg(spark, sf_dir):
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+@query(
+    "histogram_equidepth_value",
+    sql="""
+    SELECT bucket, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+    FROM (
+        SELECT value, NTILE(20) OVER (ORDER BY value, event_id) AS bucket
+        FROM events
+    )
+    GROUP BY bucket
+    """,
+    tags=("analytics", "histogram", "percentile"),
+)
+def histogram_equidepth_value(spark, sf_dir):
+    """20-bucket EQUI-DEPTH histogram of events.value (equal row counts
+    per bucket; the equi-width twin is histogram_equiwidth_value): the
+    bucket edges ARE the ventiles, so this doubles as an exact
+    quantile-sketch readout. NTILE over the (value, event_id) total
+    order is deterministic on ties; both engines implement the same
+    balanced-remainder NTILE split.
+
+    Scale note: a global NTILE is a total sort — acceptable when the
+    product IS the distribution summary (one pass, 20 output rows); at
+    100 TB you'd range-partition on value first (repartitionByRange)
+    so the sort is partition-local, which is exactly how Spark
+    executes a global window ORDER BY under AQE.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "value",
+            F.ntile(20)
+            .over(Window.orderBy("value", "event_id"))
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

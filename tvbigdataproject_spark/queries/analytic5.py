@@ -532,3 +532,98 @@ def daily_corr_matrix(spark, sf_dir):
     return m.select(
         "type_a", "type_b", "n", (num / F.sqrt(dena * denb)).alias("corr")
     )
+
+
+@query(
+    "session_path_topk",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+        FROM ordered
+    ),
+    steps AS (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM sessions
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               concat_ws('>',
+                   MAX(CASE WHEN rn = 1 THEN event_type END),
+                   MAX(CASE WHEN rn = 2 THEN event_type END),
+                   MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+        FROM steps WHERE rn <= 3 GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions FROM paths
+    GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+    tags=("analytics", "session", "sequence", "topk"),
+)
+def session_path_topk(spark, sf_dir):
+    """Top-10 session-opening paths: the first three event types of
+    each user session (30-minute inactivity gap), ranked by frequency
+    — the path-mining readout behind onboarding/funnel redesign
+    ("what do sessions actually start with?").
+
+    Determinism: sessionization is the standard lag-gap + running-sum
+    window over the (ts, event_id) total order; the first three steps
+    are pivoted by rank (MAX(CASE rn=k)) instead of an ordered string
+    agg, because collect_list/string_agg ordering is not contractual
+    in either engine; concat_ws skips the NULLs of 1- and 2-step
+    sessions identically on both.
+
+    Scale shape: two window passes over the user partition (the
+    sessionize_events shape), one keyed count, TakeOrdered(10) — no
+    global sort of the event stream.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))
+    new_s = F.when(
+        F.lag("ts").over(wu).isNull() | (gap > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(new_s)
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    steps = sessions.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+        )
+        .alias("rn"),
+    ).where(F.col("rn") <= 3)
+    paths = steps.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )

@@ -185,3 +185,58 @@ def null_safe_join_segments(spark, sf_dir):
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@query(
+    "table_checksum_buckets",
+    sql="""
+    SELECT o_orderkey % 64 AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               || '|' ||
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR)), 1, 8))::BIGINT)
+           AS BIGINT) AS checksum
+    FROM orders GROUP BY o_orderkey % 64
+    """,
+    tags=("maintenance", "checksum", "reconciliation"),
+)
+def table_checksum_buckets(spark, sf_dir):
+    """Bucketed content checksums of the orders table: per key-bucket,
+    the row count and the SUM of a 32-bit md5 row digest over the
+    business columns — the anti-entropy primitive behind replica
+    reconciliation and migration sign-off (compare 64 checksum rows
+    instead of re-shipping the table; a single changed row flips its
+    bucket's sum). SUM of per-row digests is order-free and
+    partition-associative, so the checksum is stable under any
+    physical layout — exactly what a cross-system comparison needs.
+
+    Portability: the digest input is a canonical string (integer
+    cents, ISO date — both engines render them identically); the
+    digest is the repo's md5-prefix integer idiom. Scale shape: pure
+    scan-stage hashing plus one 64-group keyed agg with map-side
+    partials.
+    """
+    from tvbigdataproject_spark.functions.hashing import hex_bits_hash
+
+    orders = read_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    return (
+        orders.select(
+            (F.col("o_orderkey") % 64).alias("bucket"),
+            hex_bits_hash(canon, 8).alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("checksum"),
+        )
+    )
