@@ -371,3 +371,141 @@ def histogram_equidepth_value(spark, sf_dir):
             F.max("value").alias("hi"),
         )
     )
+
+
+@query(
+    "theil_sen_slope",
+    sql="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s,
+               a.x AS xa, b.x AS xb
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    ranked AS (
+        SELECT event_type, s,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY s, xa, xb) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS m
+        FROM slopes
+    )
+    SELECT event_type, m AS n_pairs, s / 100.0 AS median_slope
+    FROM ranked WHERE rn = (m + 1) // 2
+    """,
+    tags=("analytics", "robust-stats", "trend"),
+)
+def theil_sen_slope(spark, sf_dir):
+    """Theil-Sen robust trend estimate per event type: the MEDIAN of
+    all pairwise slopes (y_j - y_i)/(x_j - x_i) over the daily-revenue
+    series — immune to the outlier days that drag the OLS fit
+    (trend_slope_by_type is the parametric twin).
+
+    Exactness: each pairwise slope is ONE double division of two exact
+    integers (identical both engines); the median is rank-SELECTED
+    over the (slope, xa, xb) total order, never interpolated — the
+    same discipline as conversion_time_by_cohort. Scale shape: the
+    pair join runs on the (type, day) GRAIN — calendar-bounded, so the
+    quadratic is over days, not events; at 100 TB the event stream
+    still only pays one pre-aggregation scan.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("2024-01-01").cast("date")).alias("x"),
+            "y",
+        )
+    )
+    a = daily.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("s"),
+            "xa",
+            "xb",
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "s",
+        F.row_number().over(wp.orderBy("s", "xa", "xb")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+    )
+    return ranked.where(F.col("rn") == F.expr("(m + 1) DIV 2")).select(
+        "event_type",
+        F.col("m").alias("n_pairs"),
+        (F.col("s") / 100.0).alias("median_slope"),
+    )
+
+
+@query(
+    "mann_kendall_trend",
+    sql="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT a.event_type,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                         WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_statistic
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.x < b.x
+    GROUP BY a.event_type
+    """,
+    tags=("analytics", "robust-stats", "trend", "nonparametric"),
+)
+def mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall trend statistic per event type: S = sum over day
+    pairs of sign(y_later - y_earlier) — the nonparametric
+    monotone-trend test (S near +max = consistently rising). PURE
+    integer arithmetic end to end: the one trend test that needs no
+    float at all, so the oracle is bitwise by construction.
+
+    Scale shape: same day-grain pair join as theil_sen_slope —
+    quadratic in days, linear in events.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("2024-01-01").cast("date")).alias("x"),
+            "y",
+        )
+    )
+    a = daily.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    return (
+        a.join(b, "event_type")
+        .where(F.col("xa") < F.col("xb"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ).alias("s_statistic"),
+        )
+    )
