@@ -1,0 +1,105 @@
+"""Custom Python DataSource WRITER (Spark 4 DataSource API): a
+JSON-lines directory sink with a real two-phase commit protocol.
+
+The reader twin (sources/pydatasource.py) exercises partition
+planning; this exercises the other half of the connector surface —
+per-task writes, commit messages, and the driver-side commit that
+makes the output atomic:
+
+- each task streams its partition to a TEMPORARY file named by task
+  (attempt) id — a speculative or retried task never collides;
+- the task returns a WriterCommitMessage carrying (temp path, rows);
+- only the driver-side commit() renames the temps to their final
+  ``part-NNNNN.jsonl`` names and writes a ``_SUCCESS`` manifest with
+  the total row count — so a reader that requires the manifest never
+  observes a partial write (the exactly-once story of
+  streaming/sinks.py, on the batch writer API);
+- abort() removes every temp of THIS JOB by its job-scoped prefix —
+  not from the commit messages: Spark's Python writer passes abort()
+  all-None messages (observed on 4.1), so per-job namespacing is the
+  only reliable cleanup handle. The job id is generated once on the
+  driver when the writer is constructed and serialized to every task.
+
+Local-filesystem rename is atomic per file; on an object store the
+same protocol runs with multipart-upload completion as the "rename".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _PartMessage(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class JsonDirDataSource(DataSource):
+    """``df.write.format("jsonldir").option("path", d).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonldir"
+
+    def writer(self, schema, overwrite: bool) -> "JsonDirWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonldir sink requires option 'path'")
+        return JsonDirWriter(path=path, columns=[f.name for f in schema.fields])
+
+
+class JsonDirWriter(DataSourceWriter):
+    def __init__(self, path: str, columns: list[str]) -> None:
+        self.path = path
+        self.columns = columns
+        # driver-side, once per write job; tasks inherit it via pickle
+        self.job_id = uuid.uuid4().hex
+
+    def write(self, iterator) -> _PartMessage:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f"_tmp-{self.job_id}-{uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        try:
+            with open(tmp, "w") as fh:
+                for row in iterator:
+                    rec = {c: row[i] for i, c in enumerate(self.columns)}
+                    fh.write(json.dumps(rec, default=str) + "\n")
+                    n += 1
+        except BaseException:
+            # a failing task's temp never reaches a commit message, so
+            # driver-side abort() cannot clean it — the task must
+            os.remove(tmp)
+            raise
+        return _PartMessage(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump({"rows": total, "parts": len(messages)}, fh)
+
+    def abort(self, messages) -> None:
+        import glob as _glob
+
+        for tmp in _glob.glob(os.path.join(self.path, f"_tmp-{self.job_id}-*")):
+            os.remove(tmp)
+
+
+def register_json_sink(spark) -> None:
+    """Idempotently register the sink on any session."""
+    spark.dataSource.register(JsonDirDataSource)
