@@ -192,3 +192,34 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_injects_runtime_filter(spark, tmp_path):
+    # date-partitioned fact + runtime-filtered dim: the optimizer must
+    # inject a dynamicpruning expression into the fact scan's
+    # PartitionFilters — at 100 TB this is the difference between
+    # scanning two months and scanning the table. (DPP needs the dim
+    # filter to be non-foldable at plan time, hence the join against a
+    # created DataFrame, and fires under the default
+    # spark.sql.optimizer.dynamicPartitionPruning.enabled.)
+    d = str(tmp_path / "dpp_orders")
+    orders = read_table(spark, SF_DIR, "orders")
+    (
+        orders.withColumn("omonth", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.mode("overwrite")
+        .partitionBy("omonth")
+        .parquet(d)
+    )
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [("1995-03", 1), ("1995-04", 1)], "omonth string, flag int"
+    )
+    j = (
+        fact.join(dim.where(F.col("flag") == 1), "omonth")
+        .groupBy("omonth")
+        .count()
+    )
+    plan = _explain(j)
+    assert "dynamicpruning" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("dynamicpruning" in ln for ln in pf)
