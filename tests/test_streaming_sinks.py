@@ -55,3 +55,65 @@ def test_drained_stream_lands_every_row_once(spark, tmp_path):
         for r in want.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got_counts == want_counts
+
+
+def test_streaming_join_view_matches_batch_ivm(spark, tmp_path):
+    from tvbigdataproject_spark.queries.analytic5 import incremental_join_view
+    from tvbigdataproject_spark.sources import read_table
+    from tvbigdataproject_spark.streaming.events import read_table_stream
+    from tvbigdataproject_spark.streaming.sinks import (
+        read_join_view,
+        start_join_view_maintenance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_table_stream(spark, f"{sf}/orders.parquet", "orders")
+    customers = read_table(spark, sf, "customer")
+    state = str(tmp_path / "view_state")
+    q = start_join_view_maintenance(
+        stream, customers, state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        r.segment: (r.n_orders, r.total_price)
+        for r in read_join_view(spark, state).collect()
+    }
+    want = {
+        r.segment: (r.n_orders, r.total_price)
+        for r in incremental_join_view(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_streaming_join_view_replay_is_idempotent(spark, tmp_path):
+    from tvbigdataproject_spark.sources import read_table
+    from tvbigdataproject_spark.streaming.sinks import read_join_view
+
+    # simulate a replayed micro-batch: write the same batch partials
+    # twice with the same batch_id — the fold must count them once
+    from tvbigdataproject_spark.streaming.sinks import write_batch_idempotent
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    orders = read_table(spark, sf, "orders")
+    cust = read_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    partial = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    state = str(tmp_path / "state")
+    write_batch_idempotent(partial, 0, state)
+    write_batch_idempotent(partial, 0, state)  # the replay
+    view = {r.segment: r.n_orders for r in read_join_view(spark, state).collect()}
+    direct = {
+        r.c_mktsegment: r.n
+        for r in partial.withColumnRenamed("segment", "c_mktsegment").collect()
+    }
+    assert view == direct

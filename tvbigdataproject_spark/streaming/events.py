@@ -203,3 +203,22 @@ def run_to_memory_sink(
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def read_table_stream(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based stream over any testdata table with its explicit
+    schema (streaming reads never infer). Unlike events, the TPC-H-ish
+    tables carry timestamp_ntz columns that parquet streams read
+    as-is — no unit conversion needed."""
+    reader = spark.readStream.schema(TESTDATA_SCHEMAS[table])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)

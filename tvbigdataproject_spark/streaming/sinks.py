@@ -53,3 +53,60 @@ def start_idempotent_parquet_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_join_view_maintenance(
+    order_stream: DataFrame,
+    customers: DataFrame,
+    state_path: str,
+    checkpoint: str,
+):
+    """STREAMING incremental maintenance of the per-segment revenue
+    join view (the streaming twin of
+    queries/analytic5.py::incremental_join_view): each micro-batch of
+    new orders delta-joins the stable customer dimension, aggregates
+    to algebraic partials (count, exact integer cents), and lands them
+    in that batch's own partition via the idempotent per-batch
+    overwrite above — so a replayed batch REPLACES its partials and
+    the view stays exactly-once.
+
+    The materialized state is a PARTIALS LOG, not the folded view:
+    folding (sum of counts/cents per segment) happens at read time in
+    ``read_join_view`` — associative merges mean the fold can also be
+    compacted asynchronously, which is how a 100 TB view avoids
+    rewriting its whole state every batch.
+    """
+    dim = customers.select("c_custkey", "c_mktsegment")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.join(dim, batch_df.o_custkey == dim.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("cents"),
+            )
+        )
+        write_batch_idempotent(partial, batch_id, state_path)
+
+    return (
+        order_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_join_view(spark, state_path: str) -> DataFrame:
+    """Fold the partials log into the current view — the algebraic
+    merge (sum counts, sum exact cents, divide once at the end)."""
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("segment")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("total_price"),
+        )
+    )
