@@ -186,3 +186,48 @@ def mad_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(F.abs(F.col("c_acctbal") - F.col("m")), 0.5).alias("mad"),
         )
     )
+
+
+@query(
+    "k_anonymity_audit",
+    sql="""
+    SELECT c_nationkey AS nation, c_mktsegment AS segment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           COUNT(*) AS n_members,
+           COUNT(DISTINCT c_name) AS l_distinct_names
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, FLOOR(c_acctbal / 1000)
+    HAVING COUNT(*) < 5
+    """,
+    tags=("quality", "privacy", "k-anonymity"),
+)
+def k_anonymity_audit(spark, sf_dir):
+    """Privacy audit before a data release: every quasi-identifier
+    group (nation x segment x coarse balance band) smaller than k=5,
+    with its l-diversity (distinct sensitive values — here the name
+    column) — the groups where a joiner with external knowledge can
+    re-identify individuals. Training-data and analytics releases run
+    exactly this gate; rows in these groups get suppressed or
+    generalized before export.
+
+    Determinism: the band edge FLOOR(bal/1000) divides a 2-decimal
+    value by an exact constant — identical on both engines (negative
+    balances floor toward -inf in both); counts are integers.
+
+    Scale shape: one keyed agg over the quasi-identifier tuple with
+    map-side partials + a HAVING filter; the audit output is bounded
+    by the number of small groups, which is the point.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("c_name").alias("l_distinct_names"),
+        )
+        .where(F.col("n_members") < 5)
+    )
