@@ -90,6 +90,9 @@ def test_nested_loop_joins_only_where_intended(spark):
         "bpe_merge_rounds",
         # one-row query-vector + one-row-per-round selection attaches
         "mmr_diverse_topk",
+        # broadcast 5-probe set x corpus, exact AND quantized sweeps —
+        # the same brute-force rationale as embed_cosine_topk
+        "quantize_recall_topk",
         # broadcast bounded probe set x corpus sketches IS the
         # brute-force top-k algorithm (same rationale as
         # embed_cosine_topk)

@@ -360,3 +360,121 @@ def mmr_diverse_topk(spark, sf_dir):
         )
         out = out.unionByName(pick)
     return out.select("sel_round", "vec_id", "mmr")
+
+
+def _qdot_sql() -> str:
+    return " + ".join(
+        f"CAST(round(a.embedding[{i}]::DOUBLE / a.scale) AS BIGINT)"
+        f" * CAST(round(b.embedding[{i}]::DOUBLE / b.scale) AS BIGINT)"
+        for i in range(1, _DIM + 1)
+    )
+
+
+@query(
+    "quantize_recall_topk",
+    sql=f"""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_aggregate(list_transform(embedding::DOUBLE[],
+                                             x -> abs(x)), 'max') / 127.0
+                   AS scale
+        FROM embeddings
+    ),
+    exact AS (
+        SELECT q, c FROM (
+            SELECT a.vec_id AS q, b.vec_id AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ({_DOT}) / ({_NORM_A} * {_NORM_B}) DESC,
+                                b.vec_id
+                   ) AS rn
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 5
+        ) WHERE rn <= 10
+    ),
+    quant AS (
+        SELECT q, c FROM (
+            SELECT a.vec_id AS q, b.vec_id AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ({_qdot_sql()}) DESC, b.vec_id
+                   ) AS rn
+            FROM s a JOIN s b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 5
+        ) WHERE rn <= 10
+    )
+    SELECT e.q AS q_vec_id, COUNT(qt.c) AS recall10_hits
+    FROM exact e LEFT JOIN quant qt ON e.q = qt.q AND e.c = qt.c
+    GROUP BY e.q
+    """,
+    tags=("embeddings", "quantize", "recall"),
+)
+def quantize_recall_topk(spark, sf_dir):
+    """Recall@10 of int8-quantized integer-dot retrieval against exact
+    cosine, for 5 query vectors — the accuracy side of the 4x storage
+    win embed_quantize_int8 prices out. The quantized ranking uses a
+    PURE INTEGER dot product of the per-vector-scaled int8 codes
+    (order-free, no float accumulation at all), so both rankings and
+    hence the overlap counts are engine-exact; a LEFT join keeps
+    queries with zero overlap visible.
+
+    Scale shape: both rankings are broadcast-query-set sweeps over the
+    corpus with per-query TakeOrdered windows; at 100 TB the quantized
+    sweep is the one you run (4x less memory bandwidth), and this
+    query IS the offline gate that says the recall cost of doing so.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    s = emb.select(
+        "vec_id",
+        e.alias("e"),
+        (F.array_max(F.transform(e, lambda x: F.abs(x))) / 127.0).alias("scale"),
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("e"), lambda x: F.round(x / F.col("scale")).cast("long")
+        ).alias("q8"),
+    )
+    probes = s.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q"), F.col("q8").alias("qa")
+    )
+    qpairs = probes.join(
+        s.select(F.col("vec_id").alias("c"), F.col("q8").alias("qb")),
+        F.col("q") != F.col("c"),
+    ).select(
+        "q",
+        "c",
+        F.aggregate(
+            F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qdot"),
+    )
+    wq = Window.partitionBy("q").orderBy(F.desc("qdot"), "c")
+    quant = qpairs.select(
+        "q", "c", F.row_number().over(wq).alias("rn")
+    ).where(F.col("rn") <= 10)
+
+    probes_f = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q"), F.col("embedding").alias("ea")
+    )
+    epairs = probes_f.join(
+        emb.select(F.col("vec_id").alias("c"), F.col("embedding").alias("eb")),
+        F.col("q") != F.col("c"),
+    ).select(
+        "q",
+        "c",
+        cosine_similarity(F.col("ea"), F.col("eb")).alias("cos"),
+    )
+    we = Window.partitionBy("q").orderBy(F.desc("cos"), "c")
+    exact = epairs.select(
+        "q", "c", F.row_number().over(we).alias("rn")
+    ).where(F.col("rn") <= 10)
+
+    hit = quant.select("q", "c", F.lit(1).alias("hit"))
+    return (
+        exact.select("q", "c")
+        .join(hit, ["q", "c"], "left")
+        .groupBy(F.col("q").alias("q_vec_id"))
+        .agg(F.count("hit").alias("recall10_hits"))
+    )
