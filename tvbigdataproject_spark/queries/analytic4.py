@@ -509,3 +509,161 @@ def mann_kendall_trend(spark, sf_dir):
             ).alias("s_statistic"),
         )
     )
+
+
+@query(
+    "weighted_median_price",
+    sql="""
+    WITH rows_w AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT flag, price, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY price, w
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumw,
+               SUM(w) OVER (PARTITION BY flag) AS totw
+        FROM rows_w
+    )
+    SELECT flag, MIN(price) AS weighted_median_price, MIN(totw) AS total_weight
+    FROM ranked WHERE 2 * cumw >= totw GROUP BY flag
+    """,
+    tags=("analytics", "robust-stats", "weighted-percentile"),
+)
+def weighted_median_price(spark, sf_dir):
+    """Quantity-weighted median of lineitem price per return flag —
+    "the price at which half the UNITS (not half the line items)
+    trade", the volume-aware center a pricing dashboard wants.
+
+    Determinism: integer cumulative weights over the (price, w) total
+    order; the median is the first row where 2*cumw >= totw — pure
+    integer selection, no interpolation (the rank-SELECT discipline).
+    MIN(price) over the qualifying suffix IS that first row's price,
+    which lets both engines express the selection without a second
+    window pass.
+
+    Scale shape: one hash exchange per flag partition, one sort, two
+    frame-sharing windows — the capped_running_balance shape applied
+    to weighted quantiles.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    wspec = Window.partitionBy("flag").orderBy("price", "w")
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+    ).select(
+        "flag",
+        "price",
+        "w",
+        F.sum("w")
+        .over(wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cumw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("totw"),
+    )
+    return (
+        ranked.where(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.min("totw").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "ab_test_zscore",
+    sql="""
+    WITH assigned AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                   % 2 AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 300
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS k
+        FROM assigned GROUP BY arm
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 0 THEN k END) AS k0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN k END) AS k1
+        FROM arms
+    )
+    SELECT n0, k0, n1, k1,
+           CASE WHEN (k0 + k1) > 0 AND (k0 + k1) < (n0 + n1) THEN
+               (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / sqrt(
+                   (CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                   * (1.0 - CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                   * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))
+               )
+           END AS z_score
+    FROM wide
+    """,
+    tags=("analytics", "experimentation", "ab-test"),
+)
+def ab_test_zscore(spark, sf_dir):
+    """Two-proportion z-test over a deterministic 50/50 experiment
+    split: users are assigned to arms by the md5-hash idiom (the
+    train_test_split_hash discipline — assignment survives re-runs and
+    corpus growth), conversion = any purchase event, and the pooled
+    z-score prices the arm difference. The experimentation readout
+    every product pipeline computes, with a fully deterministic
+    assignment so the oracle replays it.
+
+    Exactness: counts are integers; the z combination is a fixed
+    sequence of casts, divisions, multiplies, one IEEE-exact sqrt —
+    written identically on both engines (the daily_corr_matrix
+    contract). Scale shape: one user-keyed agg, one 2-group agg, one
+    pivot to a single row.
+    """
+    from tvbigdataproject_spark.functions.hashing import hex16_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 300), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (hex16_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+        "converted",
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("k")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k1"),
+    )
+    p0 = F.col("k0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("k1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("k0") + F.col("k1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (1.0 - pp)
+        * (1.0 / F.col("n0").cast("double") + 1.0 / F.col("n1").cast("double"))
+    )
+    kk = F.col("k0") + F.col("k1")
+    nn = F.col("n0") + F.col("n1")
+    return wide.select(
+        "n0",
+        "k0",
+        "n1",
+        "k1",
+        # degenerate experiment (p-pooled 0 or 1) -> NULL, not a crash:
+        # ANSI division by a zero standard error would abort the job
+        F.when((kk > 0) & (kk < nn), (p1 - p0) / se).alias("z_score"),
+    )
