@@ -627,3 +627,86 @@ def session_path_topk(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
     )
+
+
+@query(
+    "nearest_click_join",
+    sql="""
+    WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        WHERE event_type = 'click'
+    ),
+    cand AS (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               c.event_id AS click_id,
+               c.us - p.us AS gap_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY ABS(c.us - p.us), c.us, c.event_id
+               ) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id
+        WHERE ABS(c.us - p.us) <= 3600000000
+    )
+    SELECT purchase_id, user_id, click_id, gap_us // 1000000 AS gap_seconds
+    FROM cand WHERE rn = 1
+    """,
+    tags=("temporal", "asof", "nearest"),
+)
+def nearest_click_join(spark, sf_dir):
+    """Nearest-event join: each purchase matched to the same user's
+    CLOSEST click within +/-1 hour, in either direction — the
+    bidirectional generalization of the as-of join (asof_join /
+    attribution look only backward). Ties at equal distance resolve to
+    the earlier click, then event id — fully deterministic.
+
+    Exactness: gaps are exact integer microseconds (epoch_us /
+    unix_micros — second-granularity diffs would disagree on negative
+    gaps' truncation direction); the ntz->ltz cast unix_micros needs
+    shifts both sides by the same session-zone offset, so gaps,
+    the band filter, and the tie-break order are all zone-invariant.
+    The reported gap is integer DIV to seconds.
+
+    Scale shape: an EQUI hash join on user_id with the +/-1h band as a
+    post-filter — never a time-range nested loop; the per-purchase
+    candidate set is bounded by the user's clicks in a 2-hour window,
+    and one partitioned window pass picks the winner.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
+    )
+    gap = F.col("c_us") - F.col("p_us")
+    cand = (
+        p.join(c, p.user_id == c.c_user)
+        .where(F.abs(gap) <= 3_600_000_000)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            gap.alias("gap_us"),
+            F.row_number()
+            .over(
+                Window.partitionBy("purchase_id").orderBy(
+                    F.abs(gap), "c_us", "click_id"
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    return cand.where(F.col("rn") == 1).select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.expr("gap_us DIV 1000000").alias("gap_seconds"),
+    )
