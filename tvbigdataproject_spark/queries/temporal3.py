@@ -119,3 +119,80 @@ def rolling_24h_stats(spark, sf_dir):
             / float(factor)
         ).alias("sum_24h"),
     )
+
+
+_SPINE_SQL_DUCK = """
+    WITH RECURSIVE b AS (
+        SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+        FROM events
+    ),
+    spine(day) AS (
+        SELECT lo FROM b
+        UNION ALL
+        SELECT day + 1 FROM spine, b WHERE day < b.hi
+    ),
+    sparse AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events WHERE value > 480 GROUP BY CAST(ts AS DATE)
+    )
+    SELECT s.day,
+           COALESCE(p.n, 0) AS n_high_value,
+           COALESCE(p.cents, 0) AS cents
+    FROM spine s LEFT JOIN sparse p ON s.day = p.day
+"""
+
+
+@query(
+    "recursive_date_spine",
+    sql=_SPINE_SQL_DUCK,
+    tags=("temporal", "recursive-cte", "spine"),
+)
+def recursive_date_spine(spark, sf_dir):
+    """Gap-free calendar spine via Spark 4's NATIVE recursive CTE
+    (WITH RECURSIVE shipped in 4.0): generate every day between the
+    global min and max event date by linear recursion, then zero-fill
+    a sparse daily series (high-value events) against it — the
+    canonical "report every day, including the empty ones" shape.
+    gap_fill_forward solves the same problem with sequence(); this one
+    exercises the engine's recursive-query surface itself, so the
+    repo covers BOTH formulations a migrating user might bring.
+
+    Engine notes: Spark's recursive CTEs accept UNION ALL bodies only
+    (UNION-distinct recursion is rejected, which is why the iterative
+    graph tier stays on the DataFrame loop operators — a dense-graph
+    UNION ALL recursion enumerates walks, not nodes); a LINEAR
+    recursion like this one grows one row per step, so the restriction
+    costs nothing here. Spark spells the step DATE_ADD(day, 1) while
+    DuckDB uses day + 1 — same arithmetic.
+
+    Scale shape: the recursion materializes O(days) rows on a single
+    node-side CTE — bounded by the calendar; the sparse side is one
+    keyed agg; the join is spine x days, trivially broadcastable.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_spine_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE b AS (
+            SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+            FROM _spine_events
+        ),
+        spine(day) AS (
+            SELECT lo FROM b
+            UNION ALL
+            SELECT DATE_ADD(day, 1) FROM spine, b WHERE day < b.hi
+        ),
+        sparse AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM _spine_events WHERE value > 480 GROUP BY CAST(ts AS DATE)
+        )
+        SELECT s.day,
+               COALESCE(p.n, 0) AS n_high_value,
+               COALESCE(p.cents, 0) AS cents
+        FROM spine s LEFT JOIN sparse p ON s.day = p.day
+        """
+    )
