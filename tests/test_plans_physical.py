@@ -221,6 +221,10 @@ _DECLARED_MAPINPANDAS = (
 _DECLARED_GROUPED_PANDAS = (
     "clamped_inventory_balance",
 )
+# GROUPED_AGG pandas UDAF (ArrowAggregatePython) and mapInArrow — the
+# Arrow-bridge API-surface queries; the Python stage IS their point
+_DECLARED_ARROW_AGG = ("trimmed_mean_udaf",)
+_DECLARED_MAP_IN_ARROW = ("doc_bytes_arrow",)
 _DECLARED_ARROW_KERNEL = (
     "embed_cosine_topk", "embed_ivf_topk", "embed_ivf_learned_topk",
     "embed_neardup_pairs",
@@ -242,7 +246,20 @@ def test_no_python_udf_fences_outside_declared(spark, name):
         assert "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
         return
-    for fence in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+    if name in _DECLARED_ARROW_AGG:
+        assert "ArrowAggregatePython" in plan
+        return
+    if name in _DECLARED_MAP_IN_ARROW:
+        assert "MapInArrow" in plan
+        return
+    for fence in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "MapInArrow",
+        "ArrowAggregatePython",
+    ):
         assert fence not in plan, f"{name} has a Python fence: {fence}"
 
 
