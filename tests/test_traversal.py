@@ -155,3 +155,43 @@ def test_bfs_multi_releases_checkpoint_blocks(spark):
     assert out.count() == 6
     after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
     assert after - before <= 1
+
+
+def test_luby_mis_is_independent_and_deterministic(spark):
+    from tvbigdataproject_spark.operators.traversal import luby_mis
+
+    # path graph 1-2-3-4-5-6, bidirectional
+    und = [(i, i + 1) for i in range(1, 6)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {(r.node, r.round) for r in luby_mis(edges, rounds=3).collect()}
+    nodes = {n for n, _ in got}
+    # independence: no two selected nodes adjacent
+    for a, b in und:
+        assert not (a in nodes and b in nodes)
+    # determinism: a second run selects the identical set
+    again = {(r.node, r.round) for r in luby_mis(edges, rounds=3).collect()}
+    assert got == again
+    # 3 rounds on a 6-path always saturate: every unselected node has a
+    # selected neighbor (maximality at convergence)
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for n in range(1, 7):
+        assert n in nodes or adj[n] & nodes
+
+
+def test_luby_mis_releases_checkpoint_blocks(spark):
+    from tvbigdataproject_spark.operators.traversal import luby_mis
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    out = luby_mis(edges, rounds=2)
+    assert out.count() >= 1
+    after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before <= 1

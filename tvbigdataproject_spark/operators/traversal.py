@@ -397,3 +397,92 @@ def sssp_bounded(
     finally:
         _unpersist_ids(sc, e_ids)
     return dist
+
+
+def luby_mis(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_interval: int = 1,
+) -> DataFrame:
+    """Bounded-round Luby maximal-independent-set over an undirected
+    graph (feed a bidirectional edge list). Returns (node, round) for
+    every node selected into the MIS within `rounds` rounds.
+
+    Luby's algorithm, the canonical symmetry-breaking primitive of
+    distributed graph computing (coloring, scheduling, correlation
+    clustering all reduce to it): each round every still-active node
+    draws a priority, joins the set iff its priority beats every
+    active neighbor's, and winners plus their neighbors deactivate.
+    Here the "random" priority is the md5-portable 16-bit hash of the
+    node id, extended with the id itself to break hash collisions —
+    fully deterministic, so the unrolled SQL oracle replays the exact
+    run (the fixed-K reproducibility discipline of pagerank/kcore).
+
+    Per round: one neighbor-min keyed agg + two anti-joins, all
+    node-id-partitioned; the active set only shrinks. Lineage is
+    truncated per round (each round references the active plan three
+    times, so in-span growth is ~3^k — keep the interval small, as in
+    kcore_peel).
+    """
+    from tvbigdataproject_spark.functions.hashing import hex16_hash
+
+    sc = edges.sparkSession.sparkContext
+    e, e_ids = _checkpoint_tracked(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        sc,
+    )
+    # priority key: 16-bit hash in the high bits, the (shifted) node id
+    # in the low bits -> unique, positive, portable to SQL arithmetic
+    pkey = (
+        hex16_hash(F.col("node").cast("string")) * F.lit(4294967296).cast("long")
+        + (F.col("node") + F.lit(2147483648).cast("long"))
+    )
+    try:
+        active, active_ids = _checkpoint_tracked(
+            e.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", pkey.alias("pkey")),
+            sc,
+        )
+    except Exception:
+        _unpersist_ids(sc, e_ids)
+        raise
+    selected = None
+    selected_ids: set = set()
+    try:
+        for r in range(1, rounds + 1):
+            nb = active.select(
+                F.col("node").alias("nb_node"), F.col("pkey").alias("nb_pkey")
+            )
+            nbmin = (
+                e.join(nb, e.dst == nb.nb_node)
+                .groupBy("src")
+                .agg(F.min("nb_pkey").alias("m"))
+            )
+            sel = (
+                active.join(nbmin, active.node == nbmin.src, "left")
+                .where(F.col("m").isNull() | (F.col("pkey") < F.col("m")))
+                .select("node", F.lit(r).cast("int").alias("round"))
+            )
+            removed = (
+                e.join(sel.select(F.col("node").alias("s")), e.src == F.col("s"))
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            nxt = (
+                active.join(sel.select("node"), "node", "left_anti")
+                .join(removed, "node", "left_anti")
+            )
+            out = sel if selected is None else selected.unionByName(sel)
+            stepped, stepped_ids = _checkpoint_tracked(out, sc)
+            nxt_cp, nxt_ids = _checkpoint_tracked(nxt, sc)
+            _unpersist_ids(sc, active_ids | selected_ids)
+            active, active_ids = nxt_cp, nxt_ids
+            selected, selected_ids = stepped, stepped_ids
+    finally:
+        # the returned selected set stays materialized; everything else
+        # is dead
+        _unpersist_ids(sc, e_ids | active_ids)
+    return selected

@@ -6,7 +6,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tvbigdataproject_spark.operators.traversal import bfs_levels_multi, sssp_bounded
+from tvbigdataproject_spark.operators.traversal import (
+    bfs_levels_multi,
+    luby_mis,
+    sssp_bounded,
+)
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
 
@@ -228,3 +232,89 @@ def harmonic_closeness_landmarks(spark, sf_dir):
             F.sum(F.expr("12 DIV hop")).alias("harmonic_x12"),
         )
     )
+
+
+_MIS_ROUNDS = 2
+_MIS_PKEY = (
+    "('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 4))::BIGINT * 4294967296"
+    " + (node + 2147483648)"
+)
+
+
+def _mis_sql(rounds: int) -> str:
+    parts = [
+        f"""
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    bi AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    ),
+    a1 AS (
+        SELECT node, {_MIS_PKEY} AS pkey
+        FROM (SELECT DISTINCT src AS node FROM bi)
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    nbmin{r} AS (
+        SELECT e.src AS node, MIN(n.pkey) AS m
+        FROM bi e JOIN a{r} n ON e.dst = n.node GROUP BY e.src
+    ),
+    sel{r} AS (
+        SELECT a.node FROM a{r} a LEFT JOIN nbmin{r} b ON a.node = b.node
+        WHERE b.m IS NULL OR a.pkey < b.m
+    ),
+    rm{r} AS (
+        SELECT DISTINCT e.dst AS node
+        FROM bi e JOIN sel{r} s ON e.src = s.node
+    ),
+    a{r + 1} AS (
+        SELECT a.node, a.pkey FROM a{r} a
+        WHERE a.node NOT IN (SELECT node FROM sel{r})
+          AND a.node NOT IN (SELECT node FROM rm{r})
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT node, CAST({r} AS INT) AS round FROM sel{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@query(
+    "mis_trade_graph",
+    sql=_mis_sql(_MIS_ROUNDS),
+    tags=("graph", "iterative", "mis", "symmetry-breaking"),
+)
+def mis_trade_graph(spark, sf_dir):
+    """Luby maximal-independent-set (2 rounds) over the bidirectional
+    trade graph — the distributed symmetry-breaking primitive behind
+    graph coloring, parallel scheduling, and correlation clustering.
+    Each round a node joins the set iff its priority beats every
+    still-active neighbor's; winners and their neighbors deactivate.
+
+    The priority is the md5-portable 16-bit node hash extended with
+    the id (collision-proof, deterministic), so the oracle unrolls the
+    exact run — selection, removal, and round attribution are all
+    value-checked. DataFrame side: operators/traversal.py::luby_mis
+    with the iterative tier's checkpoint-release discipline.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return luby_mis(bi, rounds=_MIS_ROUNDS)
