@@ -135,3 +135,72 @@ def event_transitions(spark, sf_dir):
         "n",
         (F.col("n") / F.sum("n").over(norm).cast("double")).alias("p"),
     )
+
+
+@query(
+    "er_entity_clusters",
+    sql="""
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+    words AS (
+        SELECT p_name, unnest(string_split(p_name, ' ')) AS w FROM names
+    ),
+    cand AS (
+        SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+        FROM words a JOIN words b ON a.w = b.w AND a.p_name < b.p_name
+    ),
+    pairs AS (
+        SELECT name_a, name_b FROM cand
+        WHERE abs(len(name_a) - len(name_b)) <= 2
+          AND levenshtein(name_a, name_b) <= 2
+    ),
+    er_edges AS (
+        SELECT name_a AS a, name_b AS b FROM pairs
+        UNION ALL
+        SELECT name_b, name_a FROM pairs
+    ),
+    er_nodes AS (SELECT DISTINCT a AS node FROM er_edges),
+    reach(node, r) AS (
+        SELECT node, node FROM er_nodes
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN er_edges e ON e.a = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS entity FROM reach GROUP BY node)
+    SELECT n.p_name,
+           COALESCE(c.entity, n.p_name) AS entity,
+           COALESCE(c.entity, n.p_name) = n.p_name AS is_canonical
+    FROM names n LEFT JOIN comp c ON n.p_name = c.node
+    """,
+    tags=("matching", "entity-resolution", "components", "iterative"),
+)
+def er_entity_clusters(spark, sf_dir):
+    """The COMPLETE entity-resolution pipeline: block -> fuzzy-verify
+    (the fuzzy_name_pairs stage) -> TRANSITIVE CLUSTER. Pairwise
+    matches alone don't resolve entities — A~B and B~C must land A, B,
+    C in one cluster even when A and C differ by 4 edits. This runs
+    connected components (min-LEXICOGRAPHIC label propagation — the
+    operator is type-agnostic, so the canonical entity is the
+    alphabetically first name) over the match graph and emits every
+    distinct name with its canonical entity and a canonical flag —
+    the survivorship table an MDM/dedup pipeline materializes.
+
+    Scale shape: blocking bounds the pair space (sum-of-squares over
+    word groups), and the component loop is the same checkpointed
+    pointer-jumping as dedup_components; matched-name clusters are
+    attached back to the full name list by one left join.
+    """
+    from tvbigdataproject_spark.operators.components import connected_components
+
+    pairs = fuzzy_name_pairs(spark, sf_dir).select("name_a", "name_b")
+    comp = connected_components(pairs, src="name_a", dst="name_b")
+    names = read_table(spark, sf_dir, "part").select("p_name").distinct()
+    return names.join(
+        comp.select(F.col("node").alias("p_name"), F.col("label").alias("entity")),
+        "p_name",
+        "left",
+    ).select(
+        "p_name",
+        F.coalesce(F.col("entity"), F.col("p_name")).alias("entity"),
+        (
+            F.coalesce(F.col("entity"), F.col("p_name")) == F.col("p_name")
+        ).alias("is_canonical"),
+    )
