@@ -128,3 +128,29 @@ def test_personalized_pagerank_mass_stays_with_seed_component(spark):
     # seed keeps the teleport mass: strictly above its non-seed peer
     # after an even round count
     assert got[1] > got[2]
+
+
+def test_personalized_sources_outside_graph_are_dropped_from_mass(spark):
+    # seed set {1, 99}: node 99 has no edges, so it must NOT dilute the
+    # teleport mass — the run must equal a run seeded with {1} alone
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0)], "src long, dst long, w double"
+    )
+    with_ghost = spark.createDataFrame([(1,), (99,)], "node long")
+    only_real = spark.createDataFrame([(1,)], "node long")
+    a = {r.node: r.rank for r in pagerank(edges, n_iter=3, sources=with_ghost).collect()}
+    b = {r.node: r.rank for r in pagerank(edges, n_iter=3, sources=only_real).collect()}
+    assert a == b
+    # mass conservation: with the ghost dropped, total rank stays 1
+    assert abs(sum(a.values()) - 1.0) < 1e-12
+
+
+def test_personalized_all_sources_outside_graph_raises(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0)], "src long, dst long, w double"
+    )
+    ghosts = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="no source node"):
+        pagerank(edges, n_iter=2, sources=ghosts)

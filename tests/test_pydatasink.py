@@ -48,3 +48,37 @@ def test_jsonldir_failed_write_leaves_no_partial_output(spark, tmp_path):
     assert glob.glob(d + "/part-*.jsonl") == []
     assert glob.glob(d + "/_SUCCESS") == []
     assert glob.glob(d + "/_tmp*") == []
+
+
+def test_jsonldir_overwrite_removes_stale_parts(spark, tmp_path):
+    register_json_sink(spark)
+    d = str(tmp_path / "out_ow")
+    big = spark.range(0, 80, 1, 8).selectExpr("id")
+    big.write.format("jsonldir").option("path", d).mode("append").save()
+    assert len(glob.glob(d + "/part-*.jsonl")) == 8
+    small = spark.range(0, 10, 1, 2).selectExpr("id")
+    small.write.format("jsonldir").option("path", d).mode("overwrite").save()
+    # no stale part files from the larger previous job survive
+    parts = sorted(glob.glob(d + "/part-*.jsonl"))
+    assert len(parts) == 2
+    manifest = json.load(open(d + "/_SUCCESS"))
+    assert manifest == {"rows": 10, "parts": 2}
+    rows = [json.loads(line) for p in parts for line in open(p)]
+    assert {r["id"] for r in rows} == set(range(10))
+
+
+def test_jsonldir_append_never_clobbers_prior_parts(spark, tmp_path):
+    register_json_sink(spark)
+    d = str(tmp_path / "out_app")
+    spark.range(0, 10, 1, 2).write.format("jsonldir").option("path", d).mode(
+        "append"
+    ).save()
+    spark.range(10, 20, 1, 2).write.format("jsonldir").option("path", d).mode(
+        "append"
+    ).save()
+    parts = sorted(glob.glob(d + "/part-*.jsonl"))
+    assert len(parts) == 4
+    manifest = json.load(open(d + "/_SUCCESS"))
+    assert manifest == {"rows": 20, "parts": 4}
+    rows = [json.loads(line) for p in parts for line in open(p)]
+    assert {r["id"] for r in rows} == set(range(20))

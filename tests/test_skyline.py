@@ -59,3 +59,43 @@ def test_skyline_phase2_is_broadcast(spark):
     df = spark.createDataFrame(rows, "id long, price double, size long")
     plan = skyline_2d(df, "price", "size")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+
+
+def test_skyline_window_fallback_matches_broadcast_path(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.uniform(0, 100), rng.randint(0, 50)) for i in range(300)]
+    # force the guard to trip (limit 0 < any candidate count): the
+    # shuffle-window finisher must agree with the broadcast finisher,
+    # ties and all
+    df = spark.createDataFrame(rows, "id long, price double, size long").repartition(5)
+    broad = {tuple(r) for r in skyline_2d(df, "price", "size").collect()}
+    windowed = {
+        tuple(r)
+        for r in skyline_2d(df, "price", "size", broadcast_limit=0).collect()
+    }
+    assert windowed == broad
+
+
+def test_skyline_window_fallback_keeps_ties_on_degenerate_front(spark):
+    # every point on the front, with duplicated extents — the windowed
+    # path must keep whole tie-groups exactly like the broadcast path
+    rows = [(i, float(i // 2), i // 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, price double, size long")
+    got = sorted(
+        r["id"] for r in skyline_2d(df, "price", "size", broadcast_limit=0).collect()
+    )
+    assert got == list(range(40))
+
+
+def test_skyline_window_fallback_has_no_nlj(spark):
+    rows = [(i, float(i % 9), i % 11) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, price double, size long")
+    plan = (
+        skyline_2d(df, "price", "size", broadcast_limit=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -74,7 +74,11 @@ def pagerank(
     at the sources, so ranks measure proximity to them (the
     recommendation / trust-propagation primitive). The set must be
     small and bounded (landmarks, a user's seeds) — it is broadcast
-    onto the node table; everything else (contribution rounds, scaled
+    onto the node table. Sources not present in the graph's node set
+    are DROPPED before |S| is counted (a node with no out-edges has no
+    rank row to carry mass, so counting it would silently leak its
+    1/|S| share of the teleport mass); everything else (contribution
+    rounds, scaled
     integer sums, checkpoint discipline) is byte-for-byte the same
     loop, and the uniform variant is untouched when sources is None.
 
@@ -156,9 +160,22 @@ def pagerank(
         # broadcast left join; base_num/|S| and 1/|S| are plain double
         # divisions (the oracle must force DOUBLE division too —
         # DuckDB's 0.15/3 would be DECIMAL arithmetic)
-        s_cnt = sources.count()
+        # restrict to sources that exist in the graph FIRST: an
+        # out-of-graph source has no rank row, so counting it in |S|
+        # would silently drop its share of the teleport mass. One
+        # id-only semi join against the node table (sources is bounded;
+        # the shuffled side carries a single id column), and the
+        # reduced set is what both |S| and the membership mark see.
+        in_graph = sources.select(F.col("node").alias("s_node")).join(
+            nodes, F.col("s_node") == nodes.node, "left_semi"
+        )
+        s_cnt = in_graph.count()
+        if s_cnt == 0:
+            raise ValueError(
+                "personalized pagerank: no source node exists in the graph"
+            )
         marked = nodes.join(
-            F.broadcast(sources.select(F.col("node").alias("s_node"))),
+            F.broadcast(in_graph),
             nodes.node == F.col("s_node"),
             "left",
         )

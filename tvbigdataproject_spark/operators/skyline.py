@@ -27,11 +27,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
+def skyline_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    broadcast_limit: int | None = None,
+) -> DataFrame:
     """Rows of ``df`` not dominated by any other row, where domination
     means <= on ``minimize`` and >= on ``maximize`` with at least one
     strict. Duplicate (minimize, maximize) pairs never dominate each
-    other, so whole tie-groups survive together."""
+    other, so whole tie-groups survive together.
+
+    Degenerate-front bound: on anti-correlated data every row can sit
+    on the front, in which case the phase-2 candidate set equals the
+    full input and the broadcast nested-loop finisher turns quadratic
+    (and risks a driver/executor OOM at scale). ``broadcast_limit``
+    guards that: when set, the candidate set is counted first and, if
+    it exceeds the limit, the finisher switches to the shuffle-based
+    window formulation (group-max per distinct ``minimize`` value +
+    running max over the sorted group table — exact, no NLJ, no
+    broadcast; the single-task global window runs over one tiny 2-col
+    row per DISTINCT minimize value, not per input row). Default None
+    keeps the zero-extra-job broadcast path for correlated data, where
+    the front is provably small.
+    """
     cols = df.columns
 
     def local_front(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -46,6 +65,9 @@ def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
 
     candidates = df.mapInPandas(local_front, df.schema)
 
+    if broadcast_limit is not None and candidates.count() > broadcast_limit:
+        return _skyline_2d_window(candidates, minimize, maximize)
+
     p = candidates.alias("p")
     q = candidates.alias("q")
     pm, px = F.col(f"p.{minimize}"), F.col(f"p.{maximize}")
@@ -57,3 +79,32 @@ def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
     return p.join(F.broadcast(q), dominated_by, "left_anti").select(
         *[F.col(f"p.{c}").alias(c) for c in cols]
     )
+
+
+def _skyline_2d_window(
+    candidates: DataFrame, minimize: str, maximize: str
+) -> DataFrame:
+    """Shuffle-only exact 2-D skyline finisher for degenerate (huge)
+    fronts. A row p is dominated iff
+
+        max(maximize) over {q : q.minimize <  p.minimize} >= p.maximize
+     or max(maximize) over {q : q.minimize == p.minimize} >  p.maximize
+
+    Both maxima come from the per-distinct-``minimize`` group table:
+    ``gx`` (same-group max) and ``prev_gx`` (running max over strictly
+    smaller groups, a ROWS window over the one-row-per-group table).
+    The global window is single-task but over |distinct minimize|
+    2-column rows — bounded state, unlike the broadcast of a full-input
+    candidate set.
+    """
+    from pyspark.sql import Window
+
+    groups = candidates.groupBy(minimize).agg(F.max(maximize).alias("gx"))
+    w = Window.orderBy(minimize).rowsBetween(Window.unboundedPreceding, -1)
+    groups = groups.withColumn("prev_gx", F.max("gx").over(w))
+    keep = candidates.join(groups, on=minimize, how="inner").where(
+        (F.col("prev_gx").isNull() | (F.col("prev_gx") < F.col(maximize)))
+        & (F.col("gx") <= F.col(maximize))
+    )
+    # the USING join moved the key to the front — restore input order
+    return keep.select(*candidates.columns)

@@ -422,9 +422,9 @@ def luby_mis(
 
     Per round: one neighbor-min keyed agg + two anti-joins, all
     node-id-partitioned; the active set only shrinks. Lineage is
-    truncated per round (each round references the active plan three
-    times, so in-span growth is ~3^k — keep the interval small, as in
-    kcore_peel).
+    truncated every `checkpoint_interval` rounds (each round references
+    the active plan three times, so in-span growth is ~3^k — keep the
+    interval small, as in kcore_peel; default 1 = truncate every round).
     """
     from tvbigdataproject_spark.functions.hashing import hex16_hash
 
@@ -449,7 +449,11 @@ def luby_mis(
     except Exception:
         _unpersist_ids(sc, e_ids)
         raise
-    selected = None
+    # empty (node, round) frame with node's real type — so rounds=0
+    # returns a DataFrame (not None) and unions stay type-stable
+    selected = active.select(
+        "node", F.lit(0).cast("int").alias("round")
+    ).where(F.lit(False))
     selected_ids: set = set()
     try:
         for r in range(1, rounds + 1):
@@ -475,12 +479,20 @@ def luby_mis(
                 active.join(sel.select("node"), "node", "left_anti")
                 .join(removed, "node", "left_anti")
             )
-            out = sel if selected is None else selected.unionByName(sel)
-            stepped, stepped_ids = _checkpoint_tracked(out, sc)
-            nxt_cp, nxt_ids = _checkpoint_tracked(nxt, sc)
-            _unpersist_ids(sc, active_ids | selected_ids)
-            active, active_ids = nxt_cp, nxt_ids
-            selected, selected_ids = stepped, stepped_ids
+            out = selected.unionByName(sel)
+            if r % checkpoint_interval == 0 or r == rounds:
+                stepped, stepped_ids = _checkpoint_tracked(out, sc)
+                nxt_cp, nxt_ids = _checkpoint_tracked(nxt, sc)
+                _unpersist_ids(sc, active_ids | selected_ids)
+                active, active_ids = nxt_cp, nxt_ids
+                selected, selected_ids = stepped, stepped_ids
+                # the freshly tracked blocks become the new ancestors
+                # the next un-checkpointed spans build on
+            else:
+                # in-span round: keep the plan lazy; the last
+                # materialized ancestors (active_ids/selected_ids) must
+                # survive until the next truncation point
+                active, selected = nxt, out
     finally:
         # the returned selected set stays materialized; everything else
         # is dead

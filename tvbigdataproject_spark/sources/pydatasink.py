@@ -26,6 +26,7 @@ same protocol runs with multipart-upload completion as the "rename".
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -55,13 +56,20 @@ class JsonDirDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("jsonldir sink requires option 'path'")
-        return JsonDirWriter(path=path, columns=[f.name for f in schema.fields])
+        return JsonDirWriter(
+            path=path,
+            columns=[f.name for f in schema.fields],
+            overwrite=overwrite,
+        )
 
 
 class JsonDirWriter(DataSourceWriter):
-    def __init__(self, path: str, columns: list[str]) -> None:
+    def __init__(
+        self, path: str, columns: list[str], overwrite: bool = False
+    ) -> None:
         self.path = path
         self.columns = columns
+        self.overwrite = overwrite
         # driver-side, once per write job; tasks inherit it via pickle
         self.job_id = uuid.uuid4().hex
 
@@ -79,19 +87,52 @@ class JsonDirWriter(DataSourceWriter):
                     n += 1
         except BaseException:
             # a failing task's temp never reaches a commit message, so
-            # driver-side abort() cannot clean it — the task must
-            os.remove(tmp)
+            # driver-side abort() cannot clean it — the task must.
+            # Suppress FileNotFoundError: if the failure happened before
+            # open() created the file, removing it would mask the real
+            # task exception with a spurious cleanup error.
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(tmp)
             raise
         return _PartMessage(tmp_path=tmp, n_rows=n)
 
     def commit(self, messages) -> None:
+        import glob as _glob
+
+        existing = sorted(_glob.glob(os.path.join(self.path, "part-*.jsonl")))
+        prev_rows = 0
+        base = 0
+        if self.overwrite:
+            # truncate-and-replace semantics: a previous LARGER job's
+            # leftover part files must not survive alongside this job's
+            # output, or a manifest-trusting reader sees a directory
+            # whose part count disagrees with _SUCCESS. Deleting here —
+            # on the driver, after every task has succeeded — keeps the
+            # protocol atomic: an abort never deletes prior data.
+            for old in existing:
+                os.remove(old)
+            existing = []
+        elif existing:
+            # append mode: continue numbering past the prior job's parts
+            # (renaming onto part-00000 would silently clobber them) and
+            # fold prior row counts into the manifest.
+            base = 1 + max(
+                int(os.path.basename(p)[5:10]) for p in existing
+            )
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                with open(success) as fh:
+                    prev_rows = json.load(fh).get("rows", 0)
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{base + i:05d}.jsonl")
             os.replace(m.tmp_path, final)
             total += m.n_rows
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            json.dump({"rows": total, "parts": len(messages)}, fh)
+            json.dump(
+                {"rows": prev_rows + total, "parts": base + len(messages)},
+                fh,
+            )
 
     def abort(self, messages) -> None:
         import glob as _glob
