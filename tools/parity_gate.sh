@@ -20,8 +20,13 @@ else
     STATUS=FAIL
 fi
 SUMMARY="$(tail -2 "$OUT" | grep -E '[0-9]+ passed' || echo 'no summary')"
-printf -- '- %s parity gate (%s): %s [%s]\n' \
-    "$(date -u +%Y-%m-%d)" "$SF_DIR" "$SUMMARY" "$STATUS" >> COVERAGE.md
+# Bench-regression guard (round-4 verdict item 1): diff the most recent
+# local bench run (bench_detail.json) against the newest recorded round
+# artifact. Exit 1 = real >1.25x regression; advisory-only when the
+# session calibration says the numbers are weather-inflated.
+BENCHCMP="$(python tools/bench_compare.py >/dev/null 2>&1 && echo 'bench ok' || echo 'bench REGRESSION')"
+printf -- '- %s parity gate (%s): %s [%s] [%s]\n' \
+    "$(date -u +%Y-%m-%d)" "$SF_DIR" "$SUMMARY" "$STATUS" "$BENCHCMP" >> COVERAGE.md
 grep -E '^FAIL' "$OUT" || true
 echo "parity gate: $SUMMARY [$STATUS]"
 rm -f "$OUT"
