@@ -27,7 +27,7 @@ switching the pin to MERGE costs little and buys robustness headroom.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tvbigdataproject_spark.functions import lsh_bands, minhash_signature, shingles
@@ -430,3 +430,82 @@ def simhash_pairs(
         .select("doc_a", "doc_b", dist.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def max_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """Cross-document MAXIMAL repeated spans — the upgrade of the
+    fixed-granularity dup-span signal to what production substring
+    dedup removes (Lee et al. "Deduplicating Training Data Makes
+    Language Models Better"; RefinedWeb): for every document, the
+    maximal contiguous token regions in which EVERY token is covered
+    by some word n-gram that also occurs in another document.
+
+    Returns (doc_id, span_start, span_end, n_tokens, n_grams) with
+    1-based inclusive token positions; one row per maximal span.
+
+    Suffix arrays don't distribute; sorted-shingle run merging does,
+    and computes the same removable regions:
+
+    1. posexplode the (non-distinct) n-gram shingles — (doc, pos, gram)
+       with pos in token units; the gram travels as its md5 digest so
+       the two gram-keyed shuffles carry 32-byte keys, not 8-word
+       strings (same discipline as exact_dedup_groups);
+    2. grams in >= 2 distinct documents = duplicated (one digest-keyed
+       distinct + count — document frequency, not raw occurrences, so
+       a phrase repeated only inside one doc doesn't self-justify);
+    3. semi-join the positions against the duplicated digests, then
+       merge runs per document: the gram at pos covers tokens
+       [pos, pos+n-1], so coverage is contiguous exactly while
+       pos - prev_pos <= n; a lag/cumsum window over (doc, pos)
+       assigns run ids without any self-join.
+
+    Every shuffle keys on the gram digest or the doc id — nothing is
+    all-pairs, and the per-doc window state is bounded by document
+    length. At 100 TB the digest tables dominate; they are O(total
+    tokens) rows of (16B digest, 8B id, 4B pos) and partition freely.
+    """
+    toks_shingles = shingles(F.col(text_col), n=n, distinct=False)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks_shingles).alias("pos", "s"),
+    ).select("doc_id", "pos", F.md5("s").alias("g"))
+    dup_grams = (
+        sh.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") >= 2)
+        .select("g")
+    )
+    dup_pos = sh.join(dup_grams, "g", "left_semi").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w_ord) > n, F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = dup_pos.withColumn("brk", brk).withColumn(
+        "run_id",
+        F.sum("brk").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = runs.groupBy("doc_id", "run_id").agg(
+        (F.min("pos") + 1).cast("long").alias("span_start"),
+        (F.max("pos") + n).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    out = spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        "n_grams",
+    )
+    if min_tokens is not None:
+        out = out.where(F.col("n_tokens") >= min_tokens)
+    return out

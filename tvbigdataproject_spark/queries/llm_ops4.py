@@ -271,6 +271,68 @@ def dup_span_coverage(spark, sf_dir):
 
 
 @query(
+    "dedup_max_spans",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i,
+               md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                         || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+                         || ' ' || ws[i+7]) AS g
+        FROM t, UNNEST(range(1, len(ws) - 6)) AS u(i)
+        WHERE len(ws) >= 8
+    ),
+    dup_grams AS (
+        SELECT g FROM (
+            SELECT g, COUNT(DISTINCT doc_id) AS df_ FROM pos GROUP BY g
+        ) WHERE df_ >= 2
+    ),
+    dup_pos AS (
+        SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup_grams)
+    ),
+    marked AS (
+        SELECT doc_id, i,
+               CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup_pos
+    ),
+    runs AS (
+        SELECT doc_id, i,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM marked
+    )
+    SELECT doc_id,
+           MIN(i) AS span_start,
+           MAX(i) + 7 AS span_end,
+           MAX(i) + 7 - MIN(i) + 1 AS n_tokens,
+           COUNT(*) AS n_grams
+    FROM runs
+    GROUP BY doc_id, run_id
+    """,
+    tags=("llm", "dedup", "span"),
+)
+def dedup_max_spans(spark, sf_dir):
+    """Maximal repeated-span detection — the production form of
+    substring dedup (see operators/dedup.py::max_dup_spans for the
+    algorithm and scale shape). Where dup_span_coverage reports a
+    per-doc FRACTION at fixed 8-gram granularity, this emits the
+    actual maximal token spans [span_start, span_end] (1-based,
+    inclusive) a pipeline would cut: runs of positions whose 8-gram
+    occurs in >= 2 distinct documents, merged while the covered token
+    regions stay contiguous (positional gap <= 8). The oracle replays
+    the identical chain — md5 gram digests, document-frequency gate,
+    lag/cumsum run merge — in pure SQL.
+    """
+    from tvbigdataproject_spark.operators.dedup import max_dup_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return max_dup_spans(docs, text_col="text", id_col="doc_id", n=8)
+
+
+@query(
     "embed_centroid_by_label",
     sql=f"""
     SELECT label,
