@@ -76,6 +76,7 @@ HEADLINE = [
     "bpe_merge_rounds",         # vocab-compacted iterative argmax-merge
     "inverted_index_terms",     # two-level pair->term posting build
     "landmark_distances",       # multi-source composite-key frontier
+    "lpa_communities",          # label-propagation community sweeps
 ]
 
 

@@ -87,3 +87,61 @@ def test_no_lingering_cached_rdds(spark):
     df.count()
     after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     assert after - before <= 1
+
+
+def test_label_propagation_two_triangles_converge(spark):
+    from tvbigdataproject_spark.operators.components import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    und = tri1 + tri2 + [(3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        (r.node, r.community)
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    # at round 3 the triangles have collapsed into two communities with
+    # the bridge nodes staying with their own triangle
+    comm = dict(got)
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[4] == comm[5] == comm[6]
+    assert comm[1] != comm[4]
+
+
+def test_label_propagation_is_deterministic_and_tie_breaks_low(spark):
+    from tvbigdataproject_spark.operators.components import label_propagation
+
+    # star: center 10 with leaves 1,2,3 — after one round the center
+    # sees three distinct labels (count 1 each) and must adopt the
+    # SMALLEST (1); leaves all adopt the center's label (10)
+    und = [(10, 1), (10, 2), (10, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    comm = dict(
+        (r.node, r.community)
+        for r in label_propagation(edges, rounds=1).collect()
+    )
+    assert comm == {10: 1, 1: 10, 2: 10, 3: 10}
+    again = dict(
+        (r.node, r.community)
+        for r in label_propagation(edges, rounds=1).collect()
+    )
+    assert comm == again
+
+
+def test_label_propagation_releases_checkpoint_blocks(spark):
+    from tvbigdataproject_spark.operators.components import label_propagation
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    und = [(i, i + 1) for i in range(1, 9)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    out = label_propagation(edges, rounds=4, checkpoint_interval=2)
+    assert out.count() == 9
+    after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before <= 1

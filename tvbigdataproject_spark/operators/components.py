@@ -212,3 +212,97 @@ def canonical_survivors(
             (out_component == F.col(id_col)).alias("keep"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """Bounded-round synchronous label-propagation community detection
+    (Raghavan et al. 2007) over an undirected graph (feed a
+    bidirectional edge list). Returns (node, community) after exactly
+    `rounds` synchronous sweeps.
+
+    Every node starts in its own singleton community (label = own id);
+    each round every node adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label — fully deterministic,
+    so a fixed-round oracle replays the run exactly (the unrolled-SQL
+    reproducibility discipline of pagerank/luby_mis; classic LPA's
+    random tie-breaks and asynchronous schedules are deliberately
+    traded for cross-engine bit-parity, as in GraphX's LPA which makes
+    the same synchronous-deterministic tradeoff).
+
+    Per round: one edges-to-labels equi-join (shuffle keyed on node
+    id), one (node, label) count aggregation with map-side partials,
+    and one per-node argmax window — everything partitions on the node
+    id, nothing is all-pairs, per-node window state is bounded by the
+    node's distinct neighbor-label count. Hub skew lands on the
+    (node, label) count groupBy, which partial-aggregates before the
+    shuffle. The labels table is checkpointed every
+    `checkpoint_interval` rounds with tracked release (each round
+    references the previous labels exactly once, so in-span lineage
+    growth is linear — the pagerank discipline, not the 3^k MIS one).
+
+    Bounded rounds are semantics, not a shortcut: synchronous LPA can
+    oscillate on bipartite structure (two-coloring flip), so a
+    convergence loop may never terminate; production systems run
+    5-10 sweeps and take the snapshot. Callers wanting convergence
+    detection can compare successive rounds' outputs.
+    """
+    from pyspark.sql import Window
+
+    sc = edges.sparkSession.sparkContext
+    e, e_ids = _checkpoint_tracked(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        sc,
+    )
+    try:
+        labels, labels_ids = _checkpoint_tracked(
+            e.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("community")),
+            sc,
+        )
+    except Exception:
+        _unpersist_ids(sc, e_ids)
+        raise
+    try:
+        done = 0
+        while done < rounds:
+            span = min(max(1, checkpoint_interval), rounds - done)
+            plan = labels
+            for _ in range(span):
+                done += 1
+                nb = plan.select(
+                    F.col("node").alias("nb_node"),
+                    F.col("community").alias("nb_label"),
+                )
+                cnt = (
+                    e.hint("SHUFFLE_HASH")
+                    .join(nb.hint("SHUFFLE_HASH"), e.dst == nb.nb_node)
+                    .groupBy("src", "nb_label")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                )
+                w = Window.partitionBy("src").orderBy(
+                    F.col("c").desc(), F.col("nb_label").asc()
+                )
+                plan = (
+                    cnt.withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") == 1)
+                    .select(
+                        F.col("src").alias("node"),
+                        F.col("nb_label").alias("community"),
+                    )
+                )
+            stepped, stepped_ids = _checkpoint_tracked(plan, sc)
+            _unpersist_ids(sc, labels_ids)
+            labels, labels_ids = stepped, stepped_ids
+    except Exception:
+        _unpersist_ids(sc, labels_ids)
+        raise
+    finally:
+        _unpersist_ids(sc, e_ids)
+    return labels

@@ -318,3 +318,87 @@ def mis_trade_graph(spark, sf_dir):
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return luby_mis(bi, rounds=_MIS_ROUNDS)
+
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_sql(rounds: int) -> str:
+    """Unroll synchronous label propagation: each layer is one
+    neighbor-label count + per-node deterministic argmax (ties to the
+    smallest label), replaying operators/components.py::
+    label_propagation exactly."""
+    parts = [
+        """
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    bi AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    ),
+    l1 AS (
+        SELECT node, node AS label
+        FROM (SELECT DISTINCT src AS node FROM bi)
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    c{r} AS (
+        SELECT e.src AS node, n.label, COUNT(*) AS c
+        FROM bi e JOIN l{r} n ON e.dst = n.node
+        GROUP BY e.src, n.label
+    ),
+    l{r + 1} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM c{r}
+        ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "".join(parts)
+        + f"\n    SELECT node, label AS community FROM l{rounds + 1}"
+    )
+
+
+@query(
+    "lpa_communities",
+    sql=_lpa_sql(_LPA_ROUNDS),
+    tags=("graph", "iterative", "community"),
+)
+def lpa_communities(spark, sf_dir):
+    """Label-propagation community detection (2 synchronous sweeps)
+    over the bidirectional trade graph — the classic near-linear
+    community detector (Raghavan et al. 2007), closing the one
+    distributed-graph primitive the iterative tier lacked. Ties break
+    to the smallest label, so the run is deterministic and the oracle
+    unrolls it layer for layer (full value gate, like
+    pagerank_trade_graph / mis_trade_graph).
+
+    DataFrame side: operators/components.py::label_propagation — per
+    sweep one node-keyed join, one partially-aggregated (node, label)
+    count, one bounded per-node argmax window; checkpoint-every-2 with
+    tracked release.
+    """
+    from tvbigdataproject_spark.operators.components import label_propagation
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(bi, rounds=_LPA_ROUNDS)
