@@ -76,6 +76,21 @@ def start_join_view_maintenance(
     compacted asynchronously, which is how a 100 TB view avoids
     rewriting its whole state every batch.
     """
+    return (
+        order_stream.writeStream.foreachBatch(
+            join_view_batch_handler(customers, state_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def join_view_batch_handler(customers: DataFrame, state_path: str):
+    """The per-micro-batch delta step of the join-view maintenance,
+    exposed so harnesses can wrap it (e.g. crash injection between the
+    partials write and the checkpoint commit — the exactly-once window
+    the restart test exercises)."""
     dim = customers.select("c_custkey", "c_mktsegment")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -91,12 +106,7 @@ def start_join_view_maintenance(
         )
         write_batch_idempotent(partial, batch_id, state_path)
 
-    return (
-        order_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return handle
 
 
 def read_join_view(spark, state_path: str) -> DataFrame:
