@@ -83,6 +83,23 @@ def main():
             n_fail += 1
             continue
         if rq.sql is None:
+            # rows-only by design — but a query may declare a bounded-
+            # value checker (sampling counts, sketch error bounds) that
+            # upgrades it beyond "it returned rows"
+            if rq.check is not None:
+                try:
+                    msg = rq.check(spark, sf_dir, s_rows, s_cols)
+                except Exception as exc:  # noqa: BLE001
+                    msg = f"checker error: {exc}"
+                if msg:
+                    print(f"FAIL {name}: bounded check: {msg}")
+                    n_fail += 1
+                else:
+                    print(
+                        f"PASS {name} [bounded] ({len(s_rows)} rows, {time.time()-t0:.1f}s)"
+                    )
+                    n_pass += 1
+                continue
             print(f"ok   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
             continue

@@ -16,16 +16,29 @@ class RegisteredQuery:
     fn: SparkQuery
     sql: str | None  # None → non-SQL-expressible; driver does rows-only check
     tags: tuple[str, ...] = ()
+    # Optional bounded-value checker for sql=None queries: called by the
+    # local parity harness as check(spark, sf_dir, rows, colnames) and
+    # returns None on success or a failure message. Upgrades a query
+    # from "rows-only" to "bounded" without pretending an engine-
+    # specific result (sketch estimates, sampling) has a SQL twin.
+    check: Callable | None = None
 
 
 REGISTRY: dict[str, RegisteredQuery] = {}
 
 
-def query(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    sql: str | None = None,
+    tags: tuple[str, ...] = (),
+    check: Callable | None = None,
+):
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = RegisteredQuery(name=name, fn=fn, sql=sql, tags=tags)
+        REGISTRY[name] = RegisteredQuery(
+            name=name, fn=fn, sql=sql, tags=tags, check=check
+        )
         return fn
 
     return deco

@@ -141,10 +141,56 @@ def corr_qty_price(spark, sf_dir):
     return s.select("l_returnflag", corr.alias("corr_qp"))
 
 
+_GK_ACC = 10_000  # 1/accuracy relative-rank error bound
+_GK_QS = (0.5, 0.95, 0.99)
+
+
+def _check_gk_quantiles(spark, sf_dir, rows, cols):
+    """Per-group Greenwald-Khanna bound (no SQL twin: DuckDB's
+    approx_quantile is a t-digest and legitimately disagrees in the
+    last percentile). For EVERY group and every requested quantile q,
+    the estimate must (a) be an actual observation of that group — GK
+    returns real elements, never interpolations — and (b) sit between
+    the exact order statistics at ranks (q ± 1/acc)·n, the sketch's
+    published guarantee, checked per group rather than the old global
+    bracket."""
+    idx = {c: i for i, c in enumerate(cols)}
+    vals: dict[str, list[float]] = {}
+    for r in (
+        read_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    ):
+        vals.setdefault(r.event_type, []).append(float(r.value))
+    if sorted(vals) != sorted(r[idx["event_type"]] for r in rows):
+        return "group set differs from the source table's event types"
+    eps = 1.0 / _GK_ACC
+    for r in rows:
+        group = r[idx["event_type"]]
+        vs = sorted(vals[group])
+        n = len(vs)
+        members = set(vs)
+        for q, col in zip(_GK_QS, ("p50", "p95", "p99")):
+            est = float(r[idx[col]])
+            if est not in members:
+                return f"{group}.{col}: estimate {est} is not an observed value"
+            # rank window [ceil((q-eps)n), ceil((q+eps)n)] with one
+            # index of slack on each side for boundary conventions
+            import math
+
+            lo = vs[max(0, math.ceil((q - eps) * n) - 2)]
+            hi = vs[min(n - 1, math.ceil((q + eps) * n))]
+            if not (lo <= est <= hi):
+                return (
+                    f"{group}.{col}: estimate {est} outside GK rank window "
+                    f"[{lo}, {hi}] (n={n}, eps={eps})"
+                )
+    return None
+
+
 @query(
     "approx_quantiles_value",
-    sql=None,  # t-digest/GK estimates are engine-specific; bounded in tests/test_sketches.py
+    sql=None,  # engine-specific estimates; bounded per-group by _check_gk_quantiles
     tags=("agg", "approx", "sketch"),
+    check=_check_gk_quantiles,
 )
 def approx_quantiles_value(spark, sf_dir):
     """Approximate quantiles (percentile_approx, Greenwald-Khanna) of
@@ -155,16 +201,16 @@ def approx_quantiles_value(spark, sf_dir):
     viable shape for percentiles over 100 TB or over streams.
 
     Estimates are engine-specific (DuckDB's approx_quantile is a
-    t-digest and disagrees in the last percentile), so this registers
-    rows-only; tests/test_sketches.py brackets each estimate between
-    neighboring exact quantiles instead.
+    t-digest and disagrees in the last percentile), so no SQL twin;
+    instead _check_gk_quantiles holds every per-group estimate to the
+    sketch's published rank-error guarantee (and to being an observed
+    value), and tests/test_sketches.py brackets it again in CI.
     """
-    acc = 10_000  # 1/accuracy relative-rank error bound
     return (
         read_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.percentile_approx("value", [0.5, 0.95, 0.99], acc).alias("p"),
+            F.percentile_approx("value", list(_GK_QS), _GK_ACC).alias("p"),
         )
         .select(
             "event_type",

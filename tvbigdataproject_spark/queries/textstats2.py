@@ -45,7 +45,61 @@ def text_pattern_flags(spark, sf_dir):
     )
 
 
-@query("stratified_sample", sql=None, tags=("sampling",))
+_STRATA = {"en": 0.2, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 1.0}
+
+
+def _check_stratified(spark, sf_dir, rows, cols):
+    """Bounded-value check (no SQL twin exists — the Bernoulli draw is
+    Spark's hash): (1) every sampled row is a genuine source row, no
+    duplicates, no unknown strata; (2) the fraction-1.0 stratum keeps
+    EXACTLY its population (a hard value check); (3) every other
+    stratum's count sits within 5 sigma of its binomial expectation;
+    (4) a second independent evaluation of the plan returns the
+    identical row set (seeded determinism under a pinned layout)."""
+    import math
+
+    idx = {c: i for i, c in enumerate(cols)}
+    got = {(r[idx["doc_id"]], r[idx["lang"]], r[idx["source"]]) for r in rows}
+    if len(got) != len(rows):
+        return f"{len(rows) - len(got)} duplicate sampled rows"
+    src = {
+        (r.doc_id, r.lang, r.source)
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source")
+        .collect()
+    }
+    if not got <= src:
+        return f"{len(got - src)} sampled rows not present in the source table"
+    totals: dict[str, int] = {}
+    for _, lang, _ in src:
+        totals[lang] = totals.get(lang, 0) + 1
+    counts: dict[str, int] = {}
+    for _, lang, _ in got:
+        counts[lang] = counts.get(lang, 0) + 1
+    if set(counts) - set(_STRATA):
+        return f"rows from unsampled strata: {sorted(set(counts) - set(_STRATA))}"
+    for lang, frac in _STRATA.items():
+        n, k = totals.get(lang, 0), counts.get(lang, 0)
+        if frac == 1.0:
+            if k != n:
+                return f"stratum {lang} frac=1.0 kept {k} of {n} rows"
+            continue
+        sigma = math.sqrt(n * frac * (1.0 - frac))
+        if abs(k - n * frac) > 5.0 * sigma + 1.0:
+            return (
+                f"stratum {lang}: {k} sampled of {n} at frac={frac} is outside "
+                f"the 5-sigma binomial bound"
+            )
+    again = {
+        (r.doc_id, r.lang, r.source)
+        for r in stratified_sample(spark, sf_dir).collect()
+    }
+    if again != got:
+        return "second evaluation of the seeded plan returned a different sample"
+    return None
+
+
+@query("stratified_sample", sql=None, tags=("sampling",), check=_check_stratified)
 def stratified_sample(spark, sf_dir):
     """Seeded stratified sampling (sampleBy): per-language fractions for
     corpus rebalancing — upsample rare strata, downsample dominant ones.
@@ -53,7 +107,6 @@ def stratified_sample(spark, sf_dir):
     a fixed seed *within Spark* (the hash differs across engines, hence
     no SQL oracle — the driver records the rows-only check)."""
     docs = read_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.2, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 1.0}
-    return docs.sampleBy("lang", fractions=fractions, seed=42).select(
+    return docs.sampleBy("lang", fractions=_STRATA, seed=42).select(
         "doc_id", "lang", "source"
     )
