@@ -100,6 +100,9 @@ def test_nested_loop_joins_only_where_intended(spark):
         # phase-2 dominance anti-join over the broadcast union of local
         # pareto fronts — non-equi by nature, candidate set bounded
         "skyline_parts",
+        # one-row Bloom-filter attach (128 longs) — the constant-size
+        # sketch broadcast IS the decontamination algorithm
+        "bloom_contamination_probe",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name

@@ -90,7 +90,13 @@ def generate(spark, copies: int) -> None:
         cols = []
         for c in df.columns:
             if c in keys:
-                cols.append((F.col(c) + F.col("_copy") * OFFSET).alias(c))
+                # long arithmetic: int _copy * 50M overflows int32 at
+                # copy >= 43
+                cols.append(
+                    (
+                        F.col(c) + F.col("_copy").cast("long") * OFFSET
+                    ).alias(c)
+                )
             elif t == "documents" and c == "text":
                 # suffix EVERY token with the copy index: one prefix
                 # token is not enough (copies still near-dup at 41x
