@@ -88,10 +88,23 @@ def main() -> None:
     from tvbigdataproject_spark.session import get_spark
 
     # no console progress bars: the gate artifact is parsed from this
-    # process's output, and progress rewrites have corrupted it before
+    # process's output, and progress rewrites have corrupted it before.
+    # Event logging feeds tools/stage_attr.py: when the regression guard
+    # flags a query, the detail file carries that query's per-stage wall
+    # times so a flag names the slow STAGE, not just the query.
+    eventlog_dir = os.environ.get(
+        "SPARK_GRAFT_EVENTLOG", "/tmp/spark-graft-eventlog"
+    )
+    os.makedirs(eventlog_dir, exist_ok=True)
+    for stale in os.listdir(eventlog_dir):
+        os.unlink(os.path.join(eventlog_dir, stale))
     spark = get_spark(
         app_name="bench",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{eventlog_dir}",
+        },
     )
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
@@ -126,7 +139,41 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
+    # Spark probe suite: the round-5 adjudication showed the CPU probe
+    # alone cannot see drift that hits the full Spark path (the seven
+    # flags reproduced on byte-identical code while calibration read
+    # BETTER than the previous round). Two fixed Spark jobs close that
+    # blind spot: a 32-way shuffle (exchange serialization + shuffle
+    # I/O) and a parquet scan over pinned deterministic data (file
+    # listing + footer + decode). tools/bench_compare.py normalizes
+    # per-query times by the geometric mean of (calib, shuffle, scan)
+    # drift before gating.
+    probe_parquet = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"), "spark_graft_probe.parquet"
+    )
+    spark.range(2**21, numPartitions=8).selectExpr(
+        "id",
+        "md5(cast(id as string)) as h",
+        "cast(id % 1000 as int) as k",
+    ).write.mode("overwrite").parquet(probe_parquet)
+
+    def _probe_spark() -> tuple[float, float]:
+        shuffle_best = scan_best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(2**22, numPartitions=32).selectExpr(
+                "id % 4096 as k", "id"
+            ).groupBy("k").sum("id").write.format("noop").mode("overwrite").save()
+            shuffle_best = min(shuffle_best, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            spark.read.parquet(probe_parquet).where("k < 900").selectExpr(
+                "sum(crc32(h)) as s"
+            ).write.format("noop").mode("overwrite").save()
+            scan_best = min(scan_best, time.perf_counter() - t0)
+        return round(shuffle_best, 3), round(scan_best, 3)
+
     calib_start = _calibrate()
+    probe_start = _probe_spark()
 
     # Each query runs once cold (pays one-off JIT of its generated code)
     # then SPARK_GRAFT_BENCH_REPS (default 4) post-warm reps. The gate
@@ -142,10 +189,14 @@ def main() -> None:
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     suspect: list[str] = []
+    sc = spark.sparkContext
     for name in names:
         fn = REGISTRY[name].fn
         runs = []
-        for _ in range(1 + reps):
+        for i in range(1 + reps):
+            # job-group tag links this rep's jobs/stages in the event
+            # log so stage_attr can attribute a flagged query's time
+            sc.setJobGroup(f"{name}#rep{i}", name)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)

@@ -3,7 +3,9 @@ bench.py embeds in every gate line (pure functions, no Spark)."""
 
 from __future__ import annotations
 
-from tools.bench_compare import compare
+import pytest
+
+from tools.bench_compare import _load_queries, compare, host_ratio
 
 
 def test_identical_runs_have_no_regressions():
@@ -29,18 +31,114 @@ def test_regressions_sorted_worst_first():
     assert [r["name"] for r in out["regressions"]] == ["b", "a"]
 
 
-def test_noisy_calibration_downgrades_to_advisory():
+def test_noisy_probe_downgrades_to_advisory():
     prev = {"a": 1.0}
     cur = {"a": 2.0}
-    out = compare(prev, cur, prev_calib=[0.2, 0.21], cur_calib=[0.9, 1.1])
+    out = compare(prev, cur, {"calib": 0.2}, {"calib": 0.9})
     assert out["advisory"] is True and out["regressions"]
 
 
-def test_quiet_calibration_keeps_failures_hard():
-    out = compare({"a": 1.0}, {"a": 2.0}, [0.2, 0.2], [0.22, 0.2])
+def test_quiet_probe_keeps_failures_hard():
+    out = compare({"a": 1.0}, {"a": 2.0}, {"calib": 0.2}, {"calib": 0.21})
     assert out["advisory"] is False and out["regressions"]
 
 
 def test_new_and_removed_queries_are_ignored():
     out = compare({"gone": 1.0, "kept": 1.0}, {"kept": 1.0, "new": 9.9})
     assert out["n_compared"] == 1 and out["regressions"] == []
+
+
+def test_host_ratio_geomean_over_shared_components():
+    # calib 2x, shuffle 0.5x -> geometric mean exactly 1.0; the 'scan'
+    # component exists on one side only and must be ignored
+    hr = host_ratio(
+        {"calib": 0.2, "shuffle": 0.4},
+        {"calib": 0.4, "shuffle": 0.2, "scan": 9.0},
+    )
+    assert hr == pytest.approx(1.0)
+    assert host_ratio({}, {"calib": 0.2}) is None
+    assert host_ratio(None, None) is None
+
+
+def test_uniform_host_drift_is_normalized_away():
+    # every query AND every probe component 1.4x slower: the round-5
+    # failure mode. Normalization must clear all flags, not advisory.
+    prev = {"a": 1.0, "b": 0.5, "c": 2.0}
+    cur = {k: v * 1.4 for k, v in prev.items()}
+    out = compare(
+        prev, cur,
+        {"calib": 0.20, "shuffle": 0.40, "scan": 0.30},
+        {"calib": 0.28, "shuffle": 0.56, "scan": 0.42},
+    )
+    assert out["regressions"] == []
+    assert out["normalized"] is True
+    assert out["host_ratio"] == pytest.approx(1.4, abs=0.01)
+    assert out["advisory"] is False
+
+
+def test_real_regression_survives_normalization():
+    # host 1.3x slower, but one query is 2.6x slower — normalized it is
+    # still 2x and must stay a hard flag
+    prev = {"a": 1.0, "b": 1.0}
+    cur = {"a": 1.3, "b": 2.6}
+    out = compare(
+        prev, cur,
+        {"shuffle": 0.40, "scan": 0.30},
+        {"shuffle": 0.52, "scan": 0.39},
+    )
+    assert [r["name"] for r in out["regressions"]] == ["b"]
+    assert out["regressions"][0]["cur_norm"] == pytest.approx(2.0, abs=0.01)
+    assert out["advisory"] is False
+
+
+def test_faster_host_unmasks_regression():
+    # host got 25% FASTER (within the 1.5x trust band), a plan
+    # regressed 1.1x raw — normalized up it is ~1.47x and must be
+    # flagged even though the raw ratio is under threshold
+    out = compare(
+        {"a": 1.0}, {"a": 1.1},
+        {"shuffle": 0.8, "scan": 0.6},
+        {"shuffle": 0.6, "scan": 0.45},
+    )
+    assert [r["name"] for r in out["regressions"]] == ["a"]
+    assert out["regressions"][0]["cur_norm"] == pytest.approx(1.467, abs=0.01)
+
+
+def test_extreme_drift_is_advisory_not_normalized():
+    # 4.5x probe drift: beyond the 1.5x ceiling uniformity can't be
+    # assumed — raw flags surface, but only as advisory
+    out = compare(
+        {"a": 1.0}, {"a": 2.0},
+        {"calib": 0.2}, {"calib": 0.9},
+    )
+    assert out["advisory"] is True
+    assert out["normalized"] is False
+    assert [r["name"] for r in out["regressions"]] == ["a"]
+
+
+def test_small_drift_band_uses_raw_times():
+    # 1.1x probe drift is inside the 1.15x trust band: raw gating, and
+    # a query at exactly 1.2x (under 1.25 threshold) passes
+    out = compare(
+        {"a": 1.0}, {"a": 1.2},
+        {"shuffle": 0.40}, {"shuffle": 0.44},
+    )
+    assert out["regressions"] == [] and out["normalized"] is False
+
+
+def test_load_queries_reads_probe_fields(tmp_path):
+    p = tmp_path / "BENCH_rX.json"
+    p.write_text(
+        '{"parsed": {"queries": {"a": 1.5}, "calib_sec": [0.22, 0.13],'
+        ' "probe": [0.41, 0.33]}}'
+    )
+    qs, probe = _load_queries(str(p))
+    assert qs == {"a": 1.5}
+    assert probe == {"calib": 0.13, "shuffle": 0.41, "scan": 0.33}
+
+
+def test_threshold_flag_space_separated():
+    # ADVICE round 5: `--threshold 1.25` (space form) hit the usage path
+    from tools.bench_compare import main
+
+    assert main(["--threshold", "9.9"]) in (0, 1)  # parses; no crash/usage

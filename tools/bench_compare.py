@@ -5,7 +5,7 @@ Usage (CLI):
 
     python tools/bench_compare.py                 # newest BENCH_r*.json vs bench_detail.json's gate stats
     python tools/bench_compare.py PREV.json CUR.json
-    python tools/bench_compare.py --threshold 1.25
+    python tools/bench_compare.py --threshold 1.25   # or --threshold=1.25
 
 Also imported by bench.py, which embeds the result as a
 ``"regressions"`` field in its gate line so every ``BENCH_r{N}.json``
@@ -20,17 +20,26 @@ this box suffers host-level noise bursts (documented in bench.py):
 - ratio gate: cur > prev * threshold (default 1.25, the judge's bar);
 - absolute slack: AND cur - prev > 0.10 s, so a 0.08 s query jumping
   to 0.11 s (pure job-overhead jitter) doesn't page anyone;
-- calibration advisory: each artifact carries ``calib_sec`` (a fixed
-  CPU-bound probe). If the current run's calibration is >1.5x the
-  previous run's, the whole session is weather-inflated and findings
-  are reported as ``advisory`` instead of failing the gate — absolute
-  numbers from a noisy session say nothing about the plan.
+- host-drift normalization: each artifact carries a probe suite — a
+  CPU-bound fold (``calib_sec``) plus two fixed SPARK jobs (``probe``:
+  a 32-way shuffle and a parquet scan over pinned data). The round-5
+  adjudication showed the CPU probe alone cannot see drift that hits
+  the full Spark path (JVM scheduling, shuffle I/O); the Spark probes
+  can. When the probes' geometric-mean ratio drifts beyond
+  ``HOST_DRIFT_RATIO`` (1.15x, either direction), per-query times are
+  normalized by that ratio before gating, and every reported row
+  carries both raw and normalized values;
+- calibration advisory: if the probe ratio exceeds 1.5x the session is
+  weather-inflated beyond what normalization can honestly correct, so
+  findings are reported as ``advisory`` instead of failing the gate.
 """
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
+import math
 import os
 import re
 import sys
@@ -39,13 +48,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 THRESHOLD = 1.25
 ABS_SLACK_SEC = 0.10
+HOST_DRIFT_RATIO = 1.15
 CALIB_NOISE_RATIO = 1.5
 
 
-def _load_queries(path: str) -> tuple[dict[str, float], list[float] | None]:
-    """Extract (per-query gate times, calib_sec) from either a driver
-    ``BENCH_r*.json`` (times under ``parsed``) or a raw bench.py gate
-    line / detail file."""
+def _load_queries(path: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Extract (per-query gate times, probe components) from either a
+    driver ``BENCH_r*.json`` (times under ``parsed``) or a raw bench.py
+    gate line / detail file.
+
+    Probe components: ``calib`` (min of the CPU-probe pair, present
+    since round 4) and ``shuffle``/``scan`` (the Spark-probe pair,
+    present since round 6). Absent components are simply omitted so
+    cross-round comparisons use whatever both sides share.
+    """
     with open(path) as fh:
         d = json.load(fh)
     if "parsed" in d and isinstance(d.get("parsed"), dict):
@@ -53,7 +69,14 @@ def _load_queries(path: str) -> tuple[dict[str, float], list[float] | None]:
     qs = d.get("queries")
     if not isinstance(qs, dict):
         raise ValueError(f"{path}: no per-query timings found")
-    return {k: float(v) for k, v in qs.items()}, d.get("calib_sec")
+    probe: dict[str, float] = {}
+    calib = d.get("calib_sec")
+    if isinstance(calib, (list, tuple)) and calib:
+        probe["calib"] = float(min(calib))
+    spark_probe = d.get("probe")
+    if isinstance(spark_probe, (list, tuple)) and len(spark_probe) == 2:
+        probe["shuffle"], probe["scan"] = float(spark_probe[0]), float(spark_probe[1])
+    return {k: float(v) for k, v in qs.items()}, probe
 
 
 def latest_round_artifact(repo: str = REPO) -> str | None:
@@ -66,89 +89,125 @@ def latest_round_artifact(repo: str = REPO) -> str | None:
     return best
 
 
+def host_ratio(prev_probe: dict[str, float] | None, cur_probe: dict[str, float] | None) -> float | None:
+    """Geometric mean of cur/prev over the probe components both runs
+    carry. >1 means this host is slower than it was for the previous
+    artifact; None when no component is shared."""
+    if not prev_probe or not cur_probe:
+        return None
+    ratios = [
+        cur_probe[k] / prev_probe[k]
+        for k in sorted(set(prev_probe) & set(cur_probe))
+        if prev_probe[k] > 0
+    ]
+    if not ratios:
+        return None
+    return math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+
+
 def compare(
     prev_queries: dict[str, float],
     cur_queries: dict[str, float],
-    prev_calib: list[float] | None = None,
-    cur_calib: list[float] | None = None,
+    prev_probe: dict[str, float] | None = None,
+    cur_probe: dict[str, float] | None = None,
     threshold: float = THRESHOLD,
     abs_slack: float = ABS_SLACK_SEC,
 ) -> dict:
     """Return {"regressions": [...], "advisory": bool, ...}.
 
-    ``regressions`` lists {name, prev, cur, ratio} for every shared
-    query breaching BOTH the ratio and the absolute-slack gates.
-    ``advisory`` is True when the current session's calibration says
-    its absolute numbers are weather-inflated (treat findings as
-    informational, don't fail a gate on them).
+    ``regressions`` lists {name, prev, cur, cur_norm, ratio} for every
+    shared query breaching BOTH the ratio and the absolute-slack gates
+    on its host-normalized time. ``host_ratio`` records the probe
+    drift; when it is within HOST_DRIFT_RATIO of 1.0 the raw times are
+    gated directly (cur_norm == cur). ``advisory`` is True when probe
+    drift exceeds CALIB_NOISE_RATIO — the session is too
+    weather-inflated for even normalized numbers to fail a gate.
     """
+    hr = host_ratio(prev_probe, cur_probe)
+    advisory = hr is not None and (hr > CALIB_NOISE_RATIO or hr < 1 / CALIB_NOISE_RATIO)
+    # normalize symmetrically: a slower host inflates cur (divide it
+    # down); a faster host deflates cur and would MASK a plan
+    # regression (divide it up). Inside the 1.15x band, raw gating.
+    # Beyond the 1.5x ceiling the drift is too large to assume uniform,
+    # so raw times are gated and the whole verdict is advisory instead.
+    norm = (
+        hr
+        if hr is not None
+        and not advisory
+        and not (1 / HOST_DRIFT_RATIO < hr < HOST_DRIFT_RATIO)
+        else 1.0
+    )
     shared = sorted(set(prev_queries) & set(cur_queries))
     regs = []
     for name in shared:
         prev, cur = prev_queries[name], cur_queries[name]
         if prev <= 0:
             continue
-        if cur > prev * threshold and cur - prev > abs_slack:
+        cur_n = cur / norm
+        if cur_n > prev * threshold and cur_n - prev > abs_slack:
             regs.append(
                 {
                     "name": name,
                     "prev": round(prev, 3),
                     "cur": round(cur, 3),
-                    "ratio": round(cur / prev, 2),
+                    "cur_norm": round(cur_n, 3),
+                    "ratio": round(cur_n / prev, 2),
                 }
             )
     regs.sort(key=lambda r: -r["ratio"])
-    advisory = False
-    if prev_calib and cur_calib:
-        # min of each pair: the quietest observed window per session
-        if min(cur_calib) > min(prev_calib) * CALIB_NOISE_RATIO:
-            advisory = True
     return {
         "regressions": regs,
         "advisory": advisory,
+        "host_ratio": round(hr, 3) if hr is not None else None,
+        "normalized": norm != 1.0,
         "n_compared": len(shared),
         "threshold": threshold,
     }
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv if not a.startswith("--")]
-    threshold = THRESHOLD
-    for a in argv:
-        if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
-    if len(args) == 2:
-        prev_path, cur_path = args
-    elif len(args) == 0:
+    ap = argparse.ArgumentParser(
+        description="Diff two bench artifacts for per-query regressions.",
+    )
+    ap.add_argument("paths", nargs="*", help="PREV.json CUR.json (default: newest BENCH_r*.json vs bench_detail.json)")
+    ap.add_argument("--threshold", type=float, default=THRESHOLD)
+    ns = ap.parse_args(argv)
+    if len(ns.paths) == 2:
+        prev_path, cur_path = ns.paths
+    elif len(ns.paths) == 0:
         prev_path = latest_round_artifact()
         cur_path = os.path.join(REPO, "bench_detail.json")
         if prev_path is None or not os.path.exists(cur_path):
             print("bench_compare: nothing to compare (need BENCH_r*.json + bench_detail.json)")
             return 0
     else:
-        print(__doc__)
+        ap.print_usage()
         return 2
-    prev_q, prev_c = _load_queries(prev_path)
+    prev_q, prev_p = _load_queries(prev_path)
     # bench_detail.json stores the gate stat per query under "spread"[0]
     # (min of warm); fall back to warm_median when comparing detail files
     try:
-        cur_q, cur_c = _load_queries(cur_path)
+        cur_q, cur_p = _load_queries(cur_path)
     except ValueError:
         with open(cur_path) as fh:
             d = json.load(fh)
         cur_q = {k: float(v[0]) for k, v in d["spread"].items()}
-        cur_c = d.get("calib_sec")
-    out = compare(prev_q, cur_q, prev_c, cur_c, threshold=threshold)
+        cur_p = {}
+        if d.get("calib_sec"):
+            cur_p["calib"] = float(min(d["calib_sec"]))
+        if d.get("probe"):
+            cur_p["shuffle"], cur_p["scan"] = map(float, d["probe"][:2])
+    out = compare(prev_q, cur_q, prev_p, cur_p, threshold=ns.threshold)
     print(json.dumps(out, indent=1))
     if out["regressions"] and not out["advisory"]:
         print(
             f"FAIL: {len(out['regressions'])} quer{'y' if len(out['regressions']) == 1 else 'ies'} "
-            f"regressed >{threshold}x vs {os.path.basename(prev_path)}",
+            f"regressed >{ns.threshold}x vs {os.path.basename(prev_path)}",
             file=sys.stderr,
         )
         return 1
     if out["regressions"]:
-        print("ADVISORY ONLY: current session calibration is noise-inflated", file=sys.stderr)
+        print("ADVISORY ONLY: probe drift says this session is noise-inflated", file=sys.stderr)
     return 0
 
 

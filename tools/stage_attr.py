@@ -1,0 +1,122 @@
+"""Per-stage time attribution from the Spark event log.
+
+When the bench-regression guard flags a query, "query X got slower" is
+not actionable — the round-5 adjudication showed the flags were uniform
+host drift, but proving that took a manual judge re-run. This module
+turns a flag into stage-level evidence: WHICH stage of the flagged
+query's plan holds the time, so a reader can tell "every stage inflated
+~uniformly" (host weather) from "one exchange doubled" (plan
+regression).
+
+Mechanism: ``bench.py`` enables ``spark.eventLog.enabled`` and tags
+every measured rep with a job group ``{query}#rep{i}``. The event log
+is a public, line-delimited JSON format (one ``SparkListener*`` event
+per line — the same file the History Server replays). This parser
+links job groups -> job IDs -> stage IDs -> per-stage submission /
+completion times, needing no UI, REST endpoint, or py4j listener.
+
+    python tools/stage_attr.py /tmp/spark-graft-eventlog [query ...]
+
+prints, per query, the fastest rep's stages sorted by wall time.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+from collections import defaultdict
+
+
+def _event_lines(log_dir: str):
+    """Yield parsed events from the newest application log in log_dir
+    (finished or .inprogress — the format is identical)."""
+    paths = sorted(
+        glob.glob(os.path.join(log_dir, "*")),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        raise FileNotFoundError(f"no event logs under {log_dir}")
+    with open(paths[-1], errors="replace") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                yield json.loads(line)
+            except json.JSONDecodeError:
+                continue  # torn tail line of an .inprogress log
+
+
+def parse_groups(log_dir: str) -> dict[str, list[dict]]:
+    """Map job-group id -> list of stage rows for stages run under it.
+
+    Stage row: {"stage": name, "id": stageId, "sec": wall seconds,
+    "tasks": numTasks}. A stage submitted by several jobs of the same
+    group is counted once (first completion wins).
+    """
+    stage_to_group: dict[int, str] = {}
+    rows: dict[str, dict[int, dict]] = defaultdict(dict)
+    for ev in _event_lines(log_dir):
+        kind = ev.get("Event")
+        if kind == "SparkListenerJobStart":
+            group = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+            if not group:
+                continue
+            for sid in ev.get("Stage IDs", []):
+                stage_to_group.setdefault(sid, group)
+        elif kind == "SparkListenerStageCompleted":
+            info = ev.get("Stage Info", {})
+            sid = info.get("Stage ID")
+            group = stage_to_group.get(sid)
+            sub, comp = info.get("Submission Time"), info.get("Completion Time")
+            if group is None or sub is None or comp is None:
+                continue
+            rows[group].setdefault(
+                sid,
+                {
+                    "stage": info.get("Stage Name", "?"),
+                    "id": sid,
+                    "sec": round((comp - sub) / 1000.0, 3),
+                    "tasks": info.get("Number of Tasks", 0),
+                },
+            )
+    return {g: sorted(d.values(), key=lambda r: -r["sec"]) for g, d in rows.items()}
+
+
+def attribute(log_dir: str, queries: list[str]) -> dict[str, dict]:
+    """For each query, pick the rep (job group ``{query}#rep{i}``) with
+    the smallest total stage time — the same rep the min-of-warm gate
+    statistic describes — and return its stage breakdown."""
+    groups = parse_groups(log_dir)
+    out: dict[str, dict] = {}
+    for q in queries:
+        reps = {g: rs for g, rs in groups.items() if g.split("#rep")[0] == q}
+        if not reps:
+            continue
+        # rep0 is the cold run; prefer the fastest WARM rep to match the
+        # gate statistic, falling back to any rep if only rep0 exists
+        warm = {g: rs for g, rs in reps.items() if not g.endswith("#rep0")} or reps
+        best = min(warm, key=lambda g: sum(r["sec"] for r in warm[g]))
+        out[q] = {
+            "rep": best,
+            "total_stage_sec": round(sum(r["sec"] for r in warm[best]), 3),
+            "stages": warm[best][:12],
+        }
+    return out
+
+
+def main(argv: list[str]) -> int:
+    if not argv:
+        print(__doc__)
+        return 2
+    log_dir, queries = argv[0], argv[1:]
+    if not queries:
+        queries = sorted({g.split("#rep")[0] for g in parse_groups(log_dir)})
+    print(json.dumps(attribute(log_dir, queries), indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
