@@ -80,6 +80,38 @@ HEADLINE = [
 ]
 
 
+def _regression_verdict(
+    timings: dict[str, float],
+    calib_sec: list[float],
+    probe: list[float],
+    repo: str = REPO,
+) -> dict:
+    """Self-carried regression verdict: diff this run's gate stats
+    against the newest recorded round artifact (BENCH_r{N-1}.json) so
+    the next artifact carries its own pass/fail — the guard the
+    round-4 judge asked to automate. Noise rules (ratio+abs slack,
+    host-drift normalization, calibration advisory) live in
+    tools/bench_compare.py; this helper's job is to shape the CURRENT
+    run's probe readings into the dict-of-named-components contract
+    compare() expects (a raw list silently yields host_ratio=None —
+    the round-6 wiring bug)."""
+    regress: dict = {"regressions": [], "advisory": False, "n_compared": 0}
+    try:
+        from tools.bench_compare import compare, latest_round_artifact, _load_queries
+
+        prev_path = latest_round_artifact(repo)
+        if prev_path:
+            prev_q, prev_probe = _load_queries(prev_path)
+            cur_probe = {"calib": float(min(calib_sec))}
+            if probe and len(probe) == 2:
+                cur_probe["shuffle"], cur_probe["scan"] = map(float, probe)
+            regress = compare(prev_q, timings, prev_probe, cur_probe)
+            regress["vs"] = os.path.basename(prev_path)
+    except Exception as exc:  # the bench must never die on the guard
+        print(f"WARN bench_compare failed: {exc!r}", file=sys.stderr)
+    return regress
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = sys.argv[1:] or HEADLINE
@@ -97,13 +129,29 @@ def main() -> None:
     )
     os.makedirs(eventlog_dir, exist_ok=True)
     for stale in os.listdir(eventlog_dir):
-        os.unlink(os.path.join(eventlog_dir, stale))
+        p = os.path.join(eventlog_dir, stale)
+        # only remove Spark event-log entries; a user-pointed dir may
+        # hold other files that aren't ours to delete. Spark 4 writes a
+        # directory per app (eventlog_v2_<appid>/), older layouts a file.
+        if not stale.startswith(("eventlog_v2_", "app-", "local-")):
+            continue
+        if os.path.isdir(p):
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            os.unlink(p)
     spark = get_spark(
         app_name="bench",
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{eventlog_dir}",
+            # plain line-JSON for tools/stage_attr.py — no zstd codec is
+            # available Python-side, and one small local log needs
+            # neither compression nor rolling
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     try:
@@ -230,26 +278,18 @@ def main() -> None:
             )
 
     calib_end = _calibrate()
+    probe_end = _probe_spark()
+    # per-component min across the start/end probe pairs, mirroring
+    # calib: external noise strictly ADDS time, so min is the quiet
+    # reading, and a burst hitting either end of the session is visible
+    # in the other pair's max (kept in the detail file).
+    probe = [
+        round(min(probe_start[0], probe_end[0]), 3),
+        round(min(probe_start[1], probe_end[1]), 3),
+    ]
     total = round(sum(timings.values()), 3)
 
-    # Self-carried regression verdict: diff this run's gate stats
-    # against the newest recorded round artifact (BENCH_r{N-1}.json) so
-    # the next artifact carries its own pass/fail — the guard the
-    # round-4 judge asked to automate. Noise rules (ratio+abs slack,
-    # calibration advisory) live in tools/bench_compare.py.
-    regress: dict = {"regressions": [], "advisory": False, "n_compared": 0}
-    try:
-        from tools.bench_compare import compare, latest_round_artifact, _load_queries
-
-        prev_path = latest_round_artifact(REPO)
-        if prev_path:
-            prev_q, prev_c = _load_queries(prev_path)
-            regress = compare(
-                prev_q, timings, prev_c, [calib_start, calib_end]
-            )
-            regress["vs"] = os.path.basename(prev_path)
-    except Exception as exc:  # the bench must never die on the guard
-        print(f"WARN bench_compare failed: {exc!r}", file=sys.stderr)
+    regress = _regression_verdict(timings, [calib_start, calib_end], probe)
     # Transport contract: the consumer keeps only a ~2000-char TAIL of
     # stdout, so stdout carries exactly ONE compact JSON line — the gate
     # keys (metric/value/queries) and nothing else — emitted last.
@@ -266,6 +306,10 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "calib_sec": [calib_start, calib_end],
+            # Spark probe suite [shuffle, scan] — min of start/end pairs;
+            # bench_compare._load_queries reads this key for host-drift
+            # normalization of the NEXT round's comparison
+            "probe": probe,
             # compact: names only in the gate line (stdout tail window
             # is ~2000 chars); full prev/cur/ratio rows in the detail
             "regressions": [r["name"] for r in regress["regressions"]][:8],
@@ -279,10 +323,25 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
         "warm_median": median,
         "calib_sec": [calib_start, calib_end],
+        "probe": probe,
+        "probe_pairs": {"start": list(probe_start), "end": list(probe_end)},
         "spread": spread,
         "warm_reps": reps,
         "suspect_inversions": suspect,
     }
+    # A flag alone ("query X got slower") isn't actionable: attribute
+    # each flagged query's time to its stages from the event log, so
+    # the artifact itself distinguishes uniform host weather from one
+    # exchange doubling.
+    if regress.get("regressions"):
+        try:
+            from tools.stage_attr import attribute
+
+            detail["stage_attr"] = attribute(
+                eventlog_dir, [r["name"] for r in regress["regressions"]]
+            )
+        except Exception as exc:  # attribution is best-effort
+            print(f"WARN stage_attr failed: {exc!r}", file=sys.stderr)
     detail_path = os.path.join(REPO, "bench_detail.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)

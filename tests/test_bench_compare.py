@@ -137,8 +137,54 @@ def test_load_queries_reads_probe_fields(tmp_path):
     assert probe == {"calib": 0.13, "shuffle": 0.41, "scan": 0.33}
 
 
-def test_threshold_flag_space_separated():
-    # ADVICE round 5: `--threshold 1.25` (space form) hit the usage path
+def test_threshold_flag_space_separated(tmp_path):
+    # ADVICE round 5: `--threshold 1.25` (space form) hit the usage path.
+    # ADVICE round 6: pass explicit tmp artifacts so the test is
+    # hermetic (no dependence on the repo's real BENCH_r*.json files).
     from tools.bench_compare import main
 
-    assert main(["--threshold", "9.9"]) in (0, 1)  # parses; no crash/usage
+    prev = tmp_path / "prev.json"
+    cur = tmp_path / "cur.json"
+    prev.write_text('{"queries": {"a": 1.0}}')
+    cur.write_text('{"queries": {"a": 1.3}}')
+    # 1.3x regression: fails at default 1.25, passes at 9.9
+    assert main([str(prev), str(cur)]) == 1
+    assert main(["--threshold", "9.9", str(prev), str(cur)]) == 0
+
+
+def test_bench_regression_verdict_wires_probe(tmp_path):
+    """Integration through bench.py's real call path: the round-6 bug
+    passed compare() a raw list, silently yielding host_ratio=None and
+    a dead advisory. Inject a 7x probe drift through
+    bench._regression_verdict and require the advisory to trip."""
+    import json as _json
+
+    import bench
+
+    (tmp_path / "BENCH_r01.json").write_text(_json.dumps({
+        "parsed": {
+            "queries": {"a": 1.0, "b": 0.5},
+            "calib_sec": [0.20, 0.20],
+            "probe": [0.40, 0.30],
+        }
+    }))
+    out = bench._regression_verdict(
+        {"a": 7.0, "b": 3.5}, [1.4, 1.4], [2.8, 2.1], repo=str(tmp_path)
+    )
+    assert out["host_ratio"] == pytest.approx(7.0, abs=0.05)
+    assert out["advisory"] is True
+    assert out["vs"] == "BENCH_r01.json"
+    # quiet host, one real regression -> hard flag, non-null host_ratio
+    out2 = bench._regression_verdict(
+        {"a": 2.0, "b": 0.5}, [0.21, 0.20], [0.41, 0.30], repo=str(tmp_path)
+    )
+    assert out2["host_ratio"] is not None
+    assert out2["advisory"] is False
+    assert [r["name"] for r in out2["regressions"]] == ["a"]
+
+
+def test_bench_regression_verdict_no_artifact(tmp_path):
+    import bench
+
+    out = bench._regression_verdict({"a": 1.0}, [0.2, 0.2], [0.4, 0.3], repo=str(tmp_path))
+    assert out["regressions"] == [] and out["n_compared"] == 0

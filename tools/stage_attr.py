@@ -31,22 +31,37 @@ from collections import defaultdict
 
 def _event_lines(log_dir: str):
     """Yield parsed events from the newest application log in log_dir
-    (finished or .inprogress — the format is identical)."""
+    (finished or .inprogress — the format is identical). Handles both
+    the single-file layout and Spark 4's per-app directory layout
+    (``eventlog_v2_<appid>/events_N_<appid>`` plus an appstatus marker);
+    bench.py disables compression, so the events files are plain text."""
     paths = sorted(
         glob.glob(os.path.join(log_dir, "*")),
         key=os.path.getmtime,
     )
     if not paths:
         raise FileNotFoundError(f"no event logs under {log_dir}")
-    with open(paths[-1], errors="replace") as fh:
-        for line in fh:
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                yield json.loads(line)
-            except json.JSONDecodeError:
-                continue  # torn tail line of an .inprogress log
+    newest = paths[-1]
+    if os.path.isdir(newest):
+        files = sorted(glob.glob(os.path.join(newest, "events_*")))
+        files = [f for f in files if not f.endswith((".zstd", ".lz4", ".snappy", ".crc"))]
+        if not files:
+            raise FileNotFoundError(
+                f"no readable events_* files under {newest} "
+                "(compressed logs need spark.eventLog.compress=false)"
+            )
+    else:
+        files = [newest]
+    for path in files:
+        with open(path, errors="replace") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    yield json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn tail line of an .inprogress log
 
 
 def parse_groups(log_dir: str) -> dict[str, list[dict]]:
