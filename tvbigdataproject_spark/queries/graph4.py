@@ -459,3 +459,99 @@ def lpa_communities(spark, sf_dir):
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return label_propagation(bi, rounds=_LPA_ROUNDS)
+
+
+@query(
+    "community_modularity",
+    sql=_modularity_sql(_LPA_ROUNDS),
+    tags=("graph", "iterative", "community"),
+)
+def community_modularity(spark, sf_dir):
+    """Newman modularity of the LPA partition — upgrades the community
+    tier from "labels match" to "partition quality matches". Computed
+    in exact integers (see _modularity_sql: Q*T^2 = T*sum(intra_c) -
+    sum(D_c^2), every term a BIGINT); the only float is one final
+    division of the SAME two BIGINTs in both engines (IEEE-identical).
+
+    Scale shape: deg is one count shuffle on node; dc one label-keyed
+    agg; intra tags each directed edge with both endpoint labels — two
+    node-keyed equi-joins over the edge list (the standard distributed
+    modularity evaluation; nothing all-pairs, state bounded by |E|);
+    everything then collapses through map-side partial aggregation to
+    one global row.
+    """
+    from tvbigdataproject_spark.operators.components import label_propagation
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lab = label_propagation(bi, rounds=_LPA_ROUNDS)
+
+    deg = bi.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    dc = (
+        lab.join(deg, "node")
+        .groupBy(F.col("community"))
+        .agg(
+            F.sum(F.col("deg").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("dsum")
+        )
+    )
+    ls = lab.select(F.col("node").alias("src"), F.col("community").alias("cs"))
+    ld = lab.select(F.col("node").alias("dst"), F.col("community").alias("cd"))
+    intra = (
+        bi.join(ls, "src")
+        .join(ld, "dst")
+        .where(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra"))
+    )
+    stats = dc.join(intra, "community", "left").select(
+        "community",
+        "dsum",
+        F.coalesce(F.col("intra"), F.lit(0).cast("long")).alias("intra"),
+    )
+    g = stats.agg(
+        F.count(F.lit(1)).alias("communities"),
+        F.sum(F.col("intra").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("intra_edges"),
+        F.sum(F.col("dsum").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("total_degree"),
+        F.sum((F.col("dsum") * F.col("dsum")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sum_deg_sq"),
+    )
+    num = (
+        F.col("total_degree") * F.col("intra_edges") - F.col("sum_deg_sq")
+    ).alias("modularity_num")
+    den = (F.col("total_degree") * F.col("total_degree")).alias(
+        "modularity_den"
+    )
+    return g.select(
+        "communities",
+        "intra_edges",
+        "total_degree",
+        num,
+        den,
+        (
+            (
+                F.col("total_degree") * F.col("intra_edges")
+                - F.col("sum_deg_sq")
+            ).cast("double")
+            / (F.col("total_degree") * F.col("total_degree")).cast("double")
+        ).alias("modularity"),
+    )
