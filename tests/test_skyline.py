@@ -61,6 +61,19 @@ def test_skyline_phase2_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
 
 
+def test_registered_skyline_parts_uses_guarded_broadcast(spark):
+    # the REGISTERED query must both arm the degenerate-front guard and
+    # still take the broadcast path on real (small-front) data: its
+    # executed plan keeps the broadcast NLJ finisher, proving the guard
+    # counted the candidates and stayed under the 50k limit.
+    from tvbigdataproject_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["skyline_parts"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+    assert df.count() > 0
+
+
 def test_skyline_window_fallback_matches_broadcast_path(spark):
     import random
 

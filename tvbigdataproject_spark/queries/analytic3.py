@@ -452,11 +452,22 @@ def skyline_parts(spark, sf_dir):
     is impossible but the engine's plan stays: phase 1 is linear scan
     work and phase 2 is quadratic only in the FRONT size (typically
     O(log n) per partition for non-degenerate 2-D data).
+
+    broadcast_limit=50_000 arms the degenerate-front guard: if
+    anti-correlated data ever pushes the candidate union past 50k rows
+    (a few MB broadcast; far beyond any plausible 2-D front here), the
+    finisher switches to the shuffle-window formulation instead of
+    broadcasting an unbounded set into a quadratic NLJ.
     """
     part = read_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
-    return skyline_2d(part, minimize="p_retailprice", maximize="p_size")
+    return skyline_2d(
+        part,
+        minimize="p_retailprice",
+        maximize="p_size",
+        broadcast_limit=50_000,
+    )
 
 
 @query(
