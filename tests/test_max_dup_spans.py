@@ -76,3 +76,51 @@ def test_whole_doc_duplicate_spans_everything(spark):
     rows = [(1, "a b c d e"), (2, "a b c d e")]
     got = _spans(spark, rows, n=3)
     assert got == {(1, 1, 5, 5, 3), (2, 1, 5, 5, 3)}
+
+
+def _clean(spark, rows, n=3):
+    from tvbigdataproject_spark.operators.dedup import apply_span_removal
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = max_dup_spans(df, n=n)
+    return {
+        r.doc_id: (r.n_tokens_kept, r.clean_text)
+        for r in apply_span_removal(df, spans).collect()
+    }
+
+
+def test_apply_span_removal_round_trip(spark):
+    # "a b c d" is the shared span (tokens 2..5); removal must keep the
+    # surrounding unique tokens, in order, space-joined
+    rows = [
+        (1, "x1 a b c d y1"),
+        (2, "x2 a b c d y2"),
+    ]
+    got = _clean(spark, rows, n=3)
+    assert got == {1: (2, "x1 y1"), 2: (2, "x2 y2")}
+    # idempotence: the cleaned corpus has no repeated spans left
+    clean_rows = [(k, v[1]) for k, v in got.items()]
+    assert _spans(spark, clean_rows, n=3) == set()
+
+
+def test_apply_span_removal_keeps_untouched_and_empties_full_dups(spark):
+    rows = [
+        (1, "a b c d e"),         # whole-doc duplicate -> fully clipped
+        (2, "a b c d e"),
+        (3, "totally unique text here"),  # no spans -> lowercased intact
+    ]
+    got = _clean(spark, rows, n=3)
+    assert got[1] == (0, "") and got[2] == (0, "")
+    assert got[3] == (4, "totally unique text here")
+
+
+def test_apply_span_removal_two_spans_one_doc(spark):
+    # two separate spans in doc 1; the middle run of unique tokens
+    # survives as the clean text
+    rows = [
+        (1, "a b c u1 u2 u3 u4 u5 x y z"),
+        (2, "a b c w1 w2 w3 w4 w5 x y z"),
+    ]
+    got = _clean(spark, rows, n=3)
+    assert got[1] == (5, "u1 u2 u3 u4 u5")
+    assert got[2] == (5, "w1 w2 w3 w4 w5")

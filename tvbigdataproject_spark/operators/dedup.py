@@ -509,3 +509,71 @@ def max_dup_spans(
     if min_tokens is not None:
         out = out.where(F.col("n_tokens") >= min_tokens)
     return out
+
+
+def apply_span_removal(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the span-clipped corpus: cut every token range in
+    ``spans`` (1-based inclusive [span_start, span_end] over the
+    whitespace tokens of ``lower(text)`` — max_dup_spans' coordinate
+    system) out of each document and re-join the survivors with single
+    spaces. Production substring dedup emits the cleaned corpus, not
+    just the spans (Lee et al. "Deduplicating Training Data Makes
+    Language Models Better"; RefinedWeb) — this is that emission step.
+
+    Returns (doc_id, n_tokens_kept, clean_text); every input document
+    appears, including fully-clipped ones (n_tokens_kept = 0,
+    clean_text = '').
+
+    Fully relational — no UDF, no per-row Python:
+
+    1. posexplode the token array — (doc, pos, tok), O(total tokens);
+    2. explode each span to its covered positions — O(covered tokens),
+       bounded by total tokens since merged spans never overlap;
+    3. one (doc, pos)-keyed anti-join drops covered tokens;
+    4. per-doc reassembly: collect the surviving (pos, tok) structs,
+       array_sort (pos leads the struct, so order is positional), and
+       concat — state bounded by document length, the same bound every
+       per-doc window in this module already carries.
+
+    Both heavy joins key on (doc_id, pos) / doc_id — nothing all-pairs,
+    so the plan scales with corpus size like the span detector itself.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos0", "tok"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0).cast("long")).alias(
+                "n_tokens_kept"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -333,6 +333,95 @@ def dedup_max_spans(spark, sf_dir):
 
 
 @query(
+    "dedup_spans_applied",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i,
+               md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                         || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+                         || ' ' || ws[i+7]) AS g
+        FROM t, UNNEST(range(1, len(ws) - 6)) AS u(i)
+        WHERE len(ws) >= 8
+    ),
+    dup_grams AS (
+        SELECT g FROM (
+            SELECT g, COUNT(DISTINCT doc_id) AS df_ FROM pos GROUP BY g
+        ) WHERE df_ >= 2
+    ),
+    dup_pos AS (
+        SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup_grams)
+    ),
+    marked AS (
+        SELECT doc_id, i,
+               CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup_pos
+    ),
+    runs AS (
+        SELECT doc_id, i,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM marked
+    ),
+    spans AS (
+        SELECT doc_id, MIN(i) AS span_start, MAX(i) + 7 AS span_end
+        FROM runs GROUP BY doc_id, run_id
+    ),
+    toks AS (
+        SELECT doc_id, i AS pos, ws[i] AS tok
+        FROM t, UNNEST(range(1, len(ws) + 1)) AS u(i)
+    ),
+    covered AS (
+        SELECT doc_id, j AS pos
+        FROM spans, UNNEST(range(span_start, span_end + 1)) AS v(j)
+    ),
+    kept AS (
+        SELECT tk.doc_id, tk.pos, tk.tok
+        FROM toks tk LEFT JOIN covered c USING (doc_id, pos)
+        WHERE c.pos IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n,
+               string_agg(tok, ' ' ORDER BY pos) AS ct
+        FROM kept GROUP BY doc_id
+    )
+    SELECT doc_id,
+           COALESCE(n, CAST(0 AS BIGINT)) AS n_tokens_kept,
+           md5(COALESCE(ct, '')) AS clean_digest
+    FROM documents LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("llm", "dedup", "span"),
+)
+def dedup_spans_applied(spark, sf_dir):
+    """Span-clipped corpus materialization — apply_span_removal on top
+    of max_dup_spans: cut every maximal repeated token range out of
+    each document and emit the cleaned corpus (as an md5 digest of the
+    clean text, so the gate rows stay small while remaining bitwise on
+    the full reassembled string). Production substring dedup ships the
+    cleaned corpus, not just the spans (Lee et al.; RefinedWeb) — this
+    closes that loop. The oracle replays the whole chain: span
+    detection, token-range explosion, (doc, pos) anti-join, ordered
+    re-concatenation.
+    """
+    from tvbigdataproject_spark.operators.dedup import (
+        apply_span_removal,
+        max_dup_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = max_dup_spans(docs, text_col="text", id_col="doc_id", n=8)
+    clean = apply_span_removal(docs, spans, text_col="text", id_col="doc_id")
+    return clean.select(
+        "doc_id",
+        "n_tokens_kept",
+        F.md5("clean_text").alias("clean_digest"),
+    )
+
+
+@query(
     "embed_centroid_by_label",
     sql=f"""
     SELECT label,
