@@ -218,6 +218,7 @@ def bloom_contamination_probe(spark, sf_dir):
     """
     from tvbigdataproject_spark.functions.text import shingles
     from tvbigdataproject_spark.operators.bloom import (
+        M_BITS,
         bloom_build,
         bloom_might_contain,
     )
@@ -227,7 +228,22 @@ def bloom_contamination_probe(spark, sf_dir):
         F.lit(1).alias("grp"),
         F.explode(shingles(F.col("text"), n=3, distinct=True)).alias("s"),
     )
-    filt = bloom_build(bench, group_col="grp", key_col="s").select("filter")
+    # unconditional filter row: bloom_build emits ZERO rows on an empty
+    # benchmark set, which would empty the cross join and drop every doc
+    # — while the oracle's dense CTE still materializes the all-zero
+    # filter. A global aggregate always returns exactly one row (null
+    # on empty input), coalesced to the zero filter, so both engines
+    # agree: empty benchmark -> every doc probes with n_hits = 0.
+    filt = (
+        bloom_build(bench, group_col="grp", key_col="s")
+        .agg(F.first("filter").alias("f0"))
+        .select(
+            F.coalesce(
+                F.col("f0"),
+                F.array_repeat(F.lit(0).cast("long"), M_BITS // 64),
+            ).alias("filter")
+        )
+    )
     probe = docs.select(
         "doc_id", shingles(F.col("text"), n=3, distinct=True).alias("shs")
     )

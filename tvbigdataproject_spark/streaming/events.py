@@ -183,6 +183,65 @@ def streaming_enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def streaming_bloom_decontaminate(
+    doc_stream: DataFrame, bench_docs: DataFrame, n: int = 3
+) -> DataFrame:
+    """Streaming decontamination twin of
+    queries/llm_ops8.py::bloom_contamination_probe: build ONE Bloom
+    filter from the static benchmark corpus's word n-gram shingles and
+    probe every streaming document against it, emitting
+    (doc_id, n_shingles, n_hits) — held-out docs hit ~all shingles,
+    clean docs only the fp tail.
+
+    Stream-static shape: the filter side is a one-row static aggregate
+    (constant m/64 longs regardless of benchmark size — the point of
+    the sketch), attached via a constant-key equi-join so Catalyst
+    plans a per-micro-batch broadcast hash join (streaming joins don't
+    take the batch twin's crossJoin; the lit-key rewrite is the
+    supported stream-static form and the same physical attach). No join
+    state accumulates — the static side is re-planned per micro-batch,
+    so a benchmark refresh is picked up on the next batch. The probe
+    itself is scan-local per document. The empty-benchmark edge matches
+    the batch twin: a global aggregate always yields exactly one row,
+    coalesced to the all-zero filter, so every doc still flows through
+    with n_hits = 0.
+    """
+    from tvbigdataproject_spark.functions.text import shingles
+    from tvbigdataproject_spark.operators.bloom import (
+        M_BITS,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    bench = bench_docs.select(
+        F.lit(1).alias("grp"),
+        F.explode(shingles(F.col("text"), n=n, distinct=True)).alias("s"),
+    )
+    filt = (
+        bloom_build(bench, group_col="grp", key_col="s")
+        .agg(F.first("filter").alias("f0"))
+        .select(
+            F.lit(1).alias("j"),
+            F.coalesce(
+                F.col("f0"),
+                F.array_repeat(F.lit(0).cast("long"), M_BITS // 64),
+            ).alias("filter"),
+        )
+    )
+    probe = doc_stream.select(
+        "doc_id",
+        shingles(F.col("text"), n=n, distinct=True).alias("shs"),
+        F.lit(1).alias("j"),
+    )
+    joined = probe.join(F.broadcast(filt), "j")
+    n_hits = F.size(
+        F.filter(F.col("shs"), lambda s: bloom_might_contain(F.col("filter"), s))
+    )
+    return joined.select(
+        "doc_id", F.size("shs").alias("n_shingles"), n_hits.alias("n_hits")
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: str = "append", timeout_sec: int = 120
 ):
