@@ -82,3 +82,66 @@ def test_jsonldir_append_never_clobbers_prior_parts(spark, tmp_path):
     assert manifest == {"rows": 20, "parts": 4}
     rows = [json.loads(line) for p in parts for line in open(p)]
     assert {r["id"] for r in rows} == set(range(20))
+
+
+def test_jsonldir_overwrite_deletes_manifest_before_parts(tmp_path, monkeypatch):
+    # ordering contract of the overwrite window: the stale _SUCCESS
+    # must be the FIRST thing removed, so a crash mid-overwrite leaves
+    # a manifest-less (visibly in-flight) directory, never an old
+    # manifest pointing at half-deleted parts. Observed by recording
+    # the driver-side os.remove sequence on a direct commit() call.
+    import os as _os
+
+    from tvbigdataproject_spark.sources.pydatasink import (
+        JsonDirWriter,
+        _PartMessage,
+    )
+
+    d = tmp_path / "out_order"
+    d.mkdir()
+    (d / "part-00000.jsonl").write_text('{"id": 1}\n')
+    (d / "part-00001.jsonl").write_text('{"id": 2}\n')
+    (d / "_SUCCESS").write_text('{"rows": 2, "parts": 2}')
+    tmp = d / "_tmp-job-xyz.jsonl"
+    tmp.write_text('{"id": 9}\n')
+
+    removed = []
+    real_remove = _os.remove
+    monkeypatch.setattr(
+        "tvbigdataproject_spark.sources.pydatasink.os.remove",
+        lambda p: (removed.append(_os.path.basename(p)), real_remove(p)),
+    )
+    w = JsonDirWriter(path=str(d), columns=["id"], overwrite=True)
+    w.commit([_PartMessage(tmp_path=str(tmp), n_rows=1)])
+    assert removed[0] == "_SUCCESS"
+    assert set(removed[1:]) == {"part-00000.jsonl", "part-00001.jsonl"}
+    # and the final state is the fresh job's output
+    assert json.load(open(d / "_SUCCESS")) == {"rows": 1, "parts": 1}
+    assert glob.glob(str(d / "part-*.jsonl")) == [str(d / "part-00000.jsonl")]
+
+
+def test_jsonldir_append_parses_wide_and_foreign_part_names(tmp_path):
+    # regex part-number parsing: six-digit part numbers (a directory
+    # that grew past 99999 parts) must not be slice-truncated back
+    # into the occupied range, and non-numeric lookalikes are ignored
+    from tvbigdataproject_spark.sources.pydatasink import (
+        JsonDirWriter,
+        _PartMessage,
+    )
+
+    d = tmp_path / "out_wide"
+    d.mkdir()
+    (d / "part-00003.jsonl").write_text('{"id": 1}\n')
+    (d / "part-123456.jsonl").write_text('{"id": 2}\n')  # 6 digits
+    # matches the part-*.jsonl glob but not the \d+ regex: ignored
+    (d / "part-abc.jsonl").write_text("junk\n")
+    (d / "_SUCCESS").write_text('{"rows": 2, "parts": 2}')
+    tmp = d / "_tmp-job-abc.jsonl"
+    tmp.write_text('{"id": 9}\n')
+    w = JsonDirWriter(path=str(d), columns=["id"], overwrite=False)
+    w.commit([_PartMessage(tmp_path=str(tmp), n_rows=1)])
+    # numbering continues past the WIDE max, clobbering nothing
+    assert (d / "part-123457.jsonl").exists()
+    assert (d / "part-00003.jsonl").exists()
+    assert (d / "part-123456.jsonl").exists()
+    assert json.load(open(d / "_SUCCESS"))["rows"] == 3

@@ -98,10 +98,12 @@ class JsonDirWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         import glob as _glob
+        import re as _re
 
         existing = sorted(_glob.glob(os.path.join(self.path, "part-*.jsonl")))
         prev_rows = 0
         base = 0
+        success = os.path.join(self.path, "_SUCCESS")
         if self.overwrite:
             # truncate-and-replace semantics: a previous LARGER job's
             # leftover part files must not survive alongside this job's
@@ -109,17 +111,30 @@ class JsonDirWriter(DataSourceWriter):
             # whose part count disagrees with _SUCCESS. Deleting here —
             # on the driver, after every task has succeeded — keeps the
             # protocol atomic: an abort never deletes prior data.
+            # ORDERING: the stale manifest goes FIRST — if the process
+            # dies mid-overwrite, a manifest-trusting reader must find
+            # NO _SUCCESS (in-flight, retry) rather than the old
+            # manifest pointing at half-deleted parts.
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(success)
             for old in existing:
                 os.remove(old)
             existing = []
         elif existing:
             # append mode: continue numbering past the prior job's parts
             # (renaming onto part-00000 would silently clobber them) and
-            # fold prior row counts into the manifest.
-            base = 1 + max(
-                int(os.path.basename(p)[5:10]) for p in existing
-            )
-            success = os.path.join(self.path, "_SUCCESS")
+            # fold prior row counts into the manifest. Part numbers are
+            # parsed by regex, not a fixed [5:10] slice — a directory
+            # that ever grows past 99999 parts carries wider numbers
+            # (f"{i:05d}" widens past 5 digits), and a fixed slice would
+            # silently truncate them and restart numbering inside the
+            # occupied range.
+            nums = [
+                int(m.group(1))
+                for p in existing
+                if (m := _re.fullmatch(r"part-(\d+)\.jsonl", os.path.basename(p)))
+            ]
+            base = 1 + max(nums) if nums else 0
             if os.path.exists(success):
                 with open(success) as fh:
                     prev_rows = json.load(fh).get("rows", 0)
