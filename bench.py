@@ -64,6 +64,7 @@ HEADLINE = [
     "min_cost_supplier_per_part",  # correlated-min decorrelation (Q2 shape)
     "dup_span_coverage",        # substring-span dedup signal
     "dedup_max_spans",          # maximal repeated-span run merging
+    "dedup_spans_applied",      # span-clipped corpus materialization
     "zipf_band_mass",           # vocab ranking + integer band agg
     "cohort_retention",         # co-partitioned double agg + join
     "basket_lift_pairs",        # bounded-fan-out self-join + lift
