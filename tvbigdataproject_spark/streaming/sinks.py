@@ -120,3 +120,88 @@ def read_join_view(spark, state_path: str) -> DataFrame:
             (F.sum("cents") / 100.0).alias("total_price"),
         )
     )
+
+
+def incremental_dedup_batch_handler(store_path: str, out_path: str):
+    """Per-micro-batch step of STREAMING incremental dedup — the
+    continuous-crawl twin of queries/dedup.py::dedup_incremental: each
+    batch of incoming documents is flagged against the fingerprint
+    store (32-char content digests — ~3 orders of magnitude smaller
+    than the corpus; the batch never rescans text), then the batch's
+    NOVEL fingerprints are appended so later batches dedup against
+    everything seen so far. Within-batch duplicates are both "novel"
+    (the store is consulted per batch, matching the batch query's
+    incoming-vs-history semantics at micro-batch granularity).
+
+    Exactly-once under replay: both writes land in the batch's own
+    ``_batch_id`` partition (write_batch_idempotent), and the store
+    read EXCLUDES the current batch's partition — a replayed batch
+    would otherwise find its own first-attempt fingerprints and flag
+    every doc as seen. Seed history with
+    ``write_batch_idempotent(fps, SEED_BATCH_ID, store_path)``.
+
+    At 100 TB: the store is digest-only parquet, compactable
+    asynchronously like any partials log; the per-batch join shuffles
+    digests (AQE broadcasts the batch side when small).
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = batch_df.select(
+            "doc_id", F.md5("text").alias("content_hash")
+        )
+        try:
+            hist = (
+                spark.read.parquet(store_path)
+                .where(F.col("_batch_id") != int(batch_id))
+                .select("content_hash")
+                .distinct()
+                .alias("h")
+            )
+        except Exception:  # first batch ever, no seeded store
+            hist = None
+        if hist is None:
+            flagged = inc.withColumn("seen_before", F.lit(False))
+        else:
+            i = inc.alias("i")
+            flagged = i.join(
+                hist,
+                F.col("i.content_hash") == F.col("h.content_hash"),
+                "left",
+            ).select(
+                F.col("doc_id"),
+                F.col("i.content_hash").alias("content_hash"),
+                F.col("h.content_hash").isNotNull().alias("seen_before"),
+            )
+        # one pass, two sinks: flagged rows + this batch's novel digests
+        flagged.persist()
+        try:
+            write_batch_idempotent(flagged, batch_id, out_path)
+            novel = (
+                flagged.where(~F.col("seen_before"))
+                .select("content_hash")
+                .distinct()
+            )
+            write_batch_idempotent(novel, batch_id, store_path)
+        finally:
+            flagged.unpersist()
+
+    return handle
+
+
+SEED_BATCH_ID = -1
+
+
+def start_incremental_dedup(
+    doc_stream: DataFrame, store_path: str, out_path: str, checkpoint: str
+):
+    """Streaming incremental dedup against (and into) a fingerprint
+    store — see incremental_dedup_batch_handler."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            incremental_dedup_batch_handler(store_path, out_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
