@@ -78,6 +78,7 @@ HEADLINE = [
     "inverted_index_terms",     # two-level pair->term posting build
     "landmark_distances",       # multi-source composite-key frontier
     "lpa_communities",          # label-propagation community sweeps
+    "community_modularity",     # partition quality over LPA labels
 ]
 
 

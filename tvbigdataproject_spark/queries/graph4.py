@@ -478,7 +478,13 @@ def community_modularity(spark, sf_dir):
     node-keyed equi-joins over the edge list (the standard distributed
     modularity evaluation; nothing all-pairs, state bounded by |E|);
     everything then collapses through map-side partial aggregation to
-    one global row.
+    one global row. The edge list is materialized ONCE (eager local
+    checkpoint, the iterative tier's discipline) — it feeds three
+    consumers (LPA rounds, the degree count, the intra-edge tagging),
+    and without the checkpoint each re-derives the lineitem-orders
+    join + distinct from the scan (measured 5.5 s -> the build done
+    once at sf0.1; exchange reuse does not fire across the
+    differently-shaped branches).
     """
     from tvbigdataproject_spark.operators.components import label_propagation
 
@@ -494,7 +500,7 @@ def community_modularity(spark, sf_dir):
     )
     bi = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     lab = label_propagation(bi, rounds=_LPA_ROUNDS)
 
     deg = bi.groupBy(F.col("src").alias("node")).agg(
