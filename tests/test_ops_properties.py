@@ -131,3 +131,88 @@ def test_two_sided_clamp_matches_pandas_walk(ds):
         want.append(bal)
     assert got == want
     assert all(0 <= b <= _INVENTORY_CAP_CENTS for b in got)
+
+
+# --- round-7: maximal repeated spans + span-clipped materialization ---
+
+_corpus = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=18).map(
+        lambda ts: " ".join(ts)
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _ref_spans(texts, n):
+    """Pure-Python reference for max_dup_spans: per doc, merge runs of
+    1-based shingle positions whose n-gram occurs in >= 2 distinct
+    docs; a run covers tokens [min_pos, max_pos + n - 1]."""
+    grams = {}
+    for d, text in enumerate(texts):
+        ws = text.lower().split(" ")
+        for i in range(len(ws) - n + 1):
+            grams.setdefault(" ".join(ws[i : i + n]), set()).add(d)
+    out = {}
+    for d, text in enumerate(texts):
+        ws = text.lower().split(" ")
+        pos = [
+            i + 1
+            for i in range(len(ws) - n + 1)
+            if len(grams[" ".join(ws[i : i + n])]) >= 2
+        ]
+        runs, cur = [], []
+        for p in pos:
+            if cur and p - cur[-1] > n:
+                runs.append(cur)
+                cur = []
+            cur.append(p)
+        if cur:
+            runs.append(cur)
+        out[d] = [(r[0], r[-1] + n - 1) for r in runs]
+    return out
+
+
+@given(texts=_corpus)
+@_slow
+def test_max_dup_spans_matches_reference_model(spark, texts):
+    from tvbigdataproject_spark.operators.dedup import max_dup_spans
+
+    n = 3
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {}
+    for r in max_dup_spans(df, n=n).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    want = {
+        d: sorted(spans) for d, spans in _ref_spans(texts, n).items() if spans
+    }
+    assert {d: sorted(s) for d, s in got.items()} == want
+
+
+@given(texts=_corpus)
+@_slow
+def test_apply_span_removal_matches_reference_model(spark, texts):
+    from tvbigdataproject_spark.operators.dedup import (
+        apply_span_removal,
+        max_dup_spans,
+    )
+
+    n = 3
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    spans = max_dup_spans(df, n=n)
+    got = {
+        r.doc_id: (r.n_tokens_kept, r.clean_text)
+        for r in apply_span_removal(df, spans).collect()
+    }
+    ref = _ref_spans(texts, n)
+    for d, text in enumerate(texts):
+        ws = text.lower().split(" ")
+        covered = set()
+        for lo, hi in ref[d]:
+            covered.update(range(lo, hi + 1))
+        kept = [w for i, w in enumerate(ws, start=1) if i not in covered]
+        assert got[d] == (len(kept), " ".join(kept)), (d, text)
