@@ -145,3 +145,31 @@ def test_label_propagation_releases_checkpoint_blocks(spark):
     assert out.count() == 9
     after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
     assert after - before <= 1
+
+
+def test_best_of_cluster_keeps_highest_quality(spark):
+    from tvbigdataproject_spark.operators.components import (
+        best_of_cluster_survivors,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+        "doc_id long, n_chars long",
+    )
+    # cluster {1,2,3} (chained), singleton pair-less 9, cluster {4}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: (r.component, r.keep)
+        for r in best_of_cluster_survivors(
+            docs, pairs, quality_col="n_chars"
+        ).collect()
+    }
+    # 2 and 3 tie at n_chars=30 -> smaller id 2 wins; 1 loses
+    assert got[2] == (1, True)
+    assert got[3] == (1, False)
+    assert got[1] == (1, False)
+    # docs with no pairs are their own cluster and always keep
+    assert got[4] == (4, True)
+    assert got[9] == (9, True)

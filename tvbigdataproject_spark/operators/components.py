@@ -306,3 +306,43 @@ def label_propagation(
     finally:
         _unpersist_ids(sc, e_ids)
     return labels
+
+
+def best_of_cluster_survivors(
+    docs: DataFrame,
+    pair_edges: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware dedup verdict: (id, component, keep) where keep is
+    true iff the document has the cluster's MAXIMUM ``quality_col``
+    (ties to the smallest id; singletons always keep). Production
+    pipelines keep the best copy of a duplicate cluster — longest /
+    highest-quality-scored — not the arbitrary minimum id
+    (canonical_survivors is that simpler min-id form).
+
+    Plan: components over the pair graph (iterative, checkpointed),
+    one corpus-sized left join on the id, then a per-cluster argmax
+    window. The window partitions on the cluster label; its state is
+    bounded by the largest duplicate cluster — the same bound the
+    components computation already carries.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pair_edges, src=src, dst=dst).select(
+        F.col("node").alias(id_col), F.col("label").alias("component")
+    )
+    out_component = F.coalesce(F.col("component"), F.col(id_col))
+    labeled = (
+        docs.select(id_col, quality_col)
+        .join(comp, id_col, "left")
+        .select(id_col, quality_col, out_component.alias("component"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return labeled.withColumn(
+        "keep", F.row_number().over(w) == 1
+    ).select(id_col, "component", quality_col, "keep")

@@ -353,3 +353,102 @@ def dedup_incremental(spark, sf_dir):
         F.col("i.content_hash").alias("content_hash"),
         F.col("h.content_hash").isNotNull().alias("seen_before"),
     )
+
+
+@query(
+    "dedup_best_of_cluster",
+    sql=f"""
+    WITH RECURSIVE {_PAIRS_CTE}
+    SELECT doc_id, component, n_chars, keep FROM (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS component,
+               d.n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY COALESCE(c.component, d.doc_id)
+                   ORDER BY d.n_chars DESC, d.doc_id ASC
+               ) = 1 AS keep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    """,
+    tags=("dedup", "components", "survivors", "quality"),
+)
+def dedup_best_of_cluster(spark, sf_dir):
+    """Quality-aware dedup verdict: within each near-dup cluster keep
+    the LONGEST document (n_chars, ties to the smallest id) — the
+    production survivor rule ("keep the most complete copy"), vs
+    dedup_survivors' min-id form. Same pair graph (word-3-gram Jaccard
+    >= 0.4), same recursive-CTE component oracle, per-cluster argmax
+    window on top; the window's state is bounded by the largest
+    duplicate cluster.
+    """
+    from tvbigdataproject_spark.operators.components import (
+        best_of_cluster_survivors,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+    return best_of_cluster_survivors(
+        docs, pairs, quality_col="n_chars", id_col="doc_id"
+    )
+
+
+@query(
+    "corpus_snapshot_diff",
+    sql="""
+    WITH old AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 != 0
+    ),
+    new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                        ELSE text END) AS h
+        FROM documents WHERE doc_id % 5 != 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h != n.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+    tags=("dedup", "versioning", "diff"),
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Corpus-version diff: per document, whether it was added, removed,
+    changed, or unchanged between two snapshots — the audit every
+    periodic-recrawl pipeline runs before re-training (what moved since
+    the last corpus cut?). Snapshots are carved deterministically from
+    the documents table (old = id % 7 != 0, new = id % 5 != 0 with an
+    ' v2' content perturbation on id % 11 == 0) so the query is
+    reproducible.
+
+    Scale shape: one digest projection per side, then a single
+    id-keyed full outer join — the join carries (id, 32-char digest),
+    never document bodies; at 100 TB that is the only honest way to
+    diff snapshots (content equality through digests, join keyed on
+    the id both sides already share).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    new = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.h") != F.col("n.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        status.alias("status"),
+    )
