@@ -128,6 +128,13 @@ def main() -> int:
         "their per-round shuffles run EAGERLY during plan construction "
         "and the returned frame sits on checkpointed state — their "
         "per-round shapes are documented in SCALE.md's ladder instead.",
+        "",
+        "Plan-node counts OVERSTATE executed stages for self-joining "
+        "shapes: a subtree referenced k times prints k exchange nodes, "
+        "but Spark's ReuseExchange + AQE stage reuse execute it once "
+        "(e.g. triangle_count_neardup prints ~120 exchange nodes and "
+        "runs in 0.7 s at sf0.1 — a handful of actual stages). Treat "
+        "high counts as 'review the bench number', not as stage counts.",
     ]
     if failed:
         out += ["", "Failed to plan:"] + [f"- {n}: {e}" for n, e in failed]
