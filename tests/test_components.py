@@ -147,6 +147,21 @@ def test_label_propagation_releases_checkpoint_blocks(spark):
     assert after - before <= 1
 
 
+def test_community_modularity_releases_all_but_result(spark):
+    # the registered query checkpoints the shared edge list + LPA's
+    # internal tables; all of it must be released before returning —
+    # only the one-row result checkpoint may remain per invocation.
+    from tvbigdataproject_spark.queries.registry import REGISTRY
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    for _ in range(2):
+        df = REGISTRY["community_modularity"].fn(spark, "/root/testdata/sf0.001")
+        assert df.count() == 1
+    after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before <= 2
+
+
 def test_best_of_cluster_keeps_highest_quality(spark):
     from tvbigdataproject_spark.operators.components import (
         best_of_cluster_survivors,

@@ -51,3 +51,21 @@ def test_observation_does_not_perturb_results(spark):
     a = sorted(r.doc_id for r in observed.select("doc_id").collect())
     b = sorted(r.doc_id for r in docs.select("doc_id").collect())
     assert a == b
+
+
+def test_audited_sinks_return_metrics(spark, tmp_path):
+    # the product wiring: the CSV sinks ride the observation on their
+    # own write and hand back the metrics dict (rows + null counts)
+    from tvbigdataproject_spark.sources.io import write_csv, write_single_csv
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, name string"
+    )
+    m1 = write_single_csv(
+        df, str(tmp_path / "one.csv"), audit_null_cols=["name"]
+    )
+    assert m1 == {"rows": 3, "nulls_name": 1}
+    m2 = write_csv(df, str(tmp_path / "many"), audit_null_cols=["name"])
+    assert m2 == {"rows": 3, "nulls_name": 1}
+    # audit off -> sinks stay None-returning
+    assert write_single_csv(df, str(tmp_path / "plain.csv")) is None

@@ -110,3 +110,28 @@ def test_parse_groups_compressed_only_raises(tmp_path):
     (app / "events_1_local-1700000000002.zstd").write_bytes(b"\x28\xb5\x2f\xfd")
     with pytest.raises(FileNotFoundError):
         parse_groups(str(tmp_path))
+
+
+def test_parse_groups_replays_rolled_logs_in_roll_order(tmp_path):
+    # 11 roll files: lexicographic order would visit events_10 before
+    # events_2, delivering stage completions ahead of the JobStart that
+    # registers them — they'd be silently dropped. Numeric roll order
+    # must keep the attribution intact.
+    app = tmp_path / "eventlog_v2_local-1700000000003"
+    app.mkdir()
+    (app / "appstatus_local-1700000000003").write_text("")
+    for i in range(1, 11):
+        # rolls 1..10: each JobStart registers the stage completed in
+        # the NEXT roll file
+        lines = [_job_start(f"q{i}#rep1", [i])]
+        if i > 1:
+            lines.insert(0, _stage_done(i - 1, "scan parquet", 1000, 1500 + (i - 1)))
+        (app / f"events_{i}_local-1700000000003").write_text(
+            "\n".join(json.dumps(e) for e in lines) + "\n"
+        )
+    (app / "events_11_local-1700000000003").write_text(
+        json.dumps(_stage_done(10, "scan parquet", 1000, 1510)) + "\n"
+    )
+    groups = parse_groups(str(tmp_path))
+    assert set(groups) == {f"q{i}#rep1" for i in range(1, 11)}
+    assert groups["q10#rep1"][0]["sec"] == pytest.approx(0.51)

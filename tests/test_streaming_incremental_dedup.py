@@ -101,3 +101,25 @@ def test_replayed_batch_does_not_see_its_own_fingerprints(spark, tmp_path):
     assert _read_flags(spark, out) == first == {(1, False), (2, False)}
     # store unchanged too: the replayed partition replaced itself
     assert spark.read.parquet(store).count() == 2
+
+
+def test_corrupt_store_surfaces_instead_of_flagging_novel(spark, tmp_path):
+    # only a MISSING store means "first batch"; any other read failure
+    # (corrupt footer, permissions) must raise — silently taking the
+    # empty-history branch would flag known duplicates as novel AND
+    # append their digests, corrupting store and output both.
+    import os
+
+    import pytest
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "flags")
+    os.makedirs(store)
+    with open(os.path.join(store, "garbage.parquet"), "w") as fh:
+        fh.write("this is not a parquet file")
+    handle = incremental_dedup_batch_handler(store, out)
+    b = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        handle(b, 0)
+    # and nothing was appended to the (broken) store or the output
+    assert not os.path.exists(out)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections import defaultdict
 
@@ -43,7 +44,14 @@ def _event_lines(log_dir: str):
         raise FileNotFoundError(f"no event logs under {log_dir}")
     newest = paths[-1]
     if os.path.isdir(newest):
-        files = sorted(glob.glob(os.path.join(newest, "events_*")))
+        # rolled logs must replay in ROLL order, not lexicographic —
+        # events_10_* sorts before events_2_* and would deliver stage
+        # completions ahead of the JobStart that registers them.
+        def _roll_key(path: str) -> tuple[int, str]:
+            m = re.match(r"events_(\d+)", os.path.basename(path))
+            return (int(m.group(1)) if m else 0, path)
+
+        files = sorted(glob.glob(os.path.join(newest, "events_*")), key=_roll_key)
         files = [f for f in files if not f.endswith((".zstd", ".lz4", ".snappy", ".crc"))]
         if not files:
             raise FileNotFoundError(

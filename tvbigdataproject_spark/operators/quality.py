@@ -8,8 +8,10 @@ free (same tasks, same scan), which is why production pipelines hang
 row-count/null-count/domain counters on every materialization step.
 
 Batch only: for streams, the same expressions go through
-``df.observe(name, ...)`` + a StreamingQueryListener; this module is
-the batch half every sink call in this engine can wrap.
+``df.observe(name, ...)`` + a StreamingQueryListener. Wired into the
+engine's CSV sinks (sources/io.py ``audit_null_cols`` / ``audit``
+hooks) and every CLI materialization (__main__.py reports rows written
+per artifact through it).
 """
 
 from __future__ import annotations

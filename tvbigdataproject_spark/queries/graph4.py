@@ -484,10 +484,21 @@ def community_modularity(spark, sf_dir):
     and without the checkpoint each re-derives the lineitem-orders
     join + distinct from the scan (measured 5.5 s -> the build done
     once at sf0.1; exchange reuse does not fire across the
-    differently-shaped branches).
+    differently-shaped branches). Every checkpoint this query creates
+    (the edge list + LPA's internal tables) is released before
+    returning: the one-row result is pinned eagerly, then the
+    persistent-RDD delta is unpersisted — repeated construction leaves
+    nothing behind but the result row.
     """
-    from tvbigdataproject_spark.operators.components import label_propagation
+    from tvbigdataproject_spark.operators.components import (
+        _checkpoint_tracked,
+        _persistent_ids,
+        _unpersist_ids,
+        label_propagation,
+    )
 
+    sc = spark.sparkContext
+    before_ids = _persistent_ids(sc)
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     e0 = (
@@ -498,9 +509,12 @@ def community_modularity(spark, sf_dir):
         )
         .distinct()
     )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    bi, _bi_ids = _checkpoint_tracked(
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ),
+        sc,
+    )
     lab = label_propagation(bi, rounds=_LPA_ROUNDS)
 
     deg = bi.groupBy(F.col("src").alias("node")).agg(
@@ -547,7 +561,7 @@ def community_modularity(spark, sf_dir):
     den = (F.col("total_degree") * F.col("total_degree")).alias(
         "modularity_den"
     )
-    return g.select(
+    result = g.select(
         "communities",
         "intra_edges",
         "total_degree",
@@ -561,3 +575,10 @@ def community_modularity(spark, sf_dir):
             / (F.col("total_degree") * F.col("total_degree")).cast("double")
         ).alias("modularity"),
     )
+    # the result is ONE row; pin it eagerly so every intermediate this
+    # query checkpointed (the shared edge list + LPA's final labels) can
+    # be released NOW instead of accruing on a long-lived session —
+    # bench alone constructs this query 5x per run.
+    out, out_ids = _checkpoint_tracked(result, sc)
+    _unpersist_ids(sc, (_persistent_ids(sc) - before_ids) - out_ids)
+    return out

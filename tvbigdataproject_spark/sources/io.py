@@ -117,16 +117,35 @@ def write_csv(
     sep: str = ";",
     header: bool = True,
     coalesce_to: int | None = None,
-) -> None:
-    """CSV sink (reference S2/S3: RetweetTagsJaccardGraph.py:242-243)."""
+    audit_null_cols: list[str] | None = None,
+) -> dict | None:
+    """CSV sink (reference S2/S3: RetweetTagsJaccardGraph.py:242-243).
+
+    ``audit_null_cols`` (may be ``[]``) attaches inline quality
+    accounting (operators/quality.py): row count + per-column null
+    counts ride the write's own scan via ``df.observe`` — no second
+    pass — and come back as a dict."""
+    metrics = None
+    if audit_null_cols is not None:
+        from tvbigdataproject_spark.operators.quality import (
+            with_quality_observation,
+        )
+
+        df, obs = with_quality_observation(df, null_cols=audit_null_cols)
+        metrics = obs
     if coalesce_to is not None:
         df = df.coalesce(coalesce_to)
     df.write.mode("overwrite").option("header", str(header).lower()).option("sep", sep).csv(path)
+    return dict(metrics.get) if metrics is not None else None
 
 
 def write_single_csv(
-    df: DataFrame, file_path: str, sep: str = ";", header: bool = True
-) -> None:
+    df: DataFrame,
+    file_path: str,
+    sep: str = ";",
+    header: bool = True,
+    audit_null_cols: list[str] | None = None,
+) -> dict | None:
     """Write ``df`` as ONE real CSV file at ``file_path``.
 
     The reference's Gephi / Power BI workflow expects a single
@@ -141,11 +160,21 @@ def write_single_csv(
     the parallel sinks above. Local filesystem only (the rename is an
     os-level move); on an object store, write parallel and compose
     downstream instead.
+
+    ``audit_null_cols`` (may be ``[]``) rides quality accounting on the
+    write itself (see write_csv) and returns the metrics dict.
     """
     import glob
     import shutil
     import tempfile
 
+    metrics = None
+    if audit_null_cols is not None:
+        from tvbigdataproject_spark.operators.quality import (
+            with_quality_observation,
+        )
+
+        df, metrics = with_quality_observation(df, null_cols=audit_null_cols)
     parent = os.path.dirname(os.path.abspath(file_path)) or "."
     os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=parent)
@@ -161,6 +190,7 @@ def write_single_csv(
         os.replace(part, file_path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    return dict(metrics.get) if metrics is not None else None
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -179,22 +209,33 @@ def save_graph(
     coalesce_to: int | None = None,
     single_file: bool = False,
     sep: str = ";",
-) -> None:
+    audit: bool = False,
+) -> dict | None:
     """Graph sink: edges + vertices as two datasets (reference S4:
     bigdata/__init__.py:96-114 writes ``prefix.edges.csv`` /
     ``prefix.vertices.csv`` via repartition(1); here both stay parallel
     by default, CSV kept for Gephi compatibility, parquet for everything
     else; ``single_file=True`` produces the reference's exact one-file
-    layout via write_single_csv for small final graphs)."""
+    layout via write_single_csv for small final graphs). ``audit=True``
+    (CSV modes) rides row accounting on both writes and returns
+    ``{"edges": {...}, "vertices": {...}}``."""
     e_path = os.path.join(path, f"{prefix}.edges.{fmt}")
     v_path = os.path.join(path, f"{prefix}.vertices.{fmt}")
+    null_cols: list[str] | None = [] if audit else None
     if fmt == "csv":
         if single_file:
-            write_single_csv(edges, e_path, sep=sep)
-            write_single_csv(vertices, v_path, sep=sep)
+            em = write_single_csv(edges, e_path, sep=sep, audit_null_cols=null_cols)
+            vm = write_single_csv(vertices, v_path, sep=sep, audit_null_cols=null_cols)
         else:
-            write_csv(edges, e_path, sep=sep, coalesce_to=coalesce_to)
-            write_csv(vertices, v_path, sep=sep, coalesce_to=coalesce_to)
+            em = write_csv(
+                edges, e_path, sep=sep, coalesce_to=coalesce_to, audit_null_cols=null_cols
+            )
+            vm = write_csv(
+                vertices, v_path, sep=sep, coalesce_to=coalesce_to, audit_null_cols=null_cols
+            )
+        if audit:
+            return {"edges": em, "vertices": vm}
     else:
         write_parquet(edges, e_path)
         write_parquet(vertices, v_path)
+    return None

@@ -20,6 +20,7 @@ can fold small batch partitions into date partitions asynchronously.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -158,7 +159,14 @@ def incremental_dedup_batch_handler(store_path: str, out_path: str):
                 .distinct()
                 .alias("h")
             )
-        except Exception:  # first batch ever, no seeded store
+        except AnalysisException as exc:
+            # ONLY a missing store means "first batch ever". Any other
+            # read failure (corrupt footer, permissions, fs hiccup)
+            # must surface: swallowing it would silently flag known
+            # duplicates as novel AND append their digests, corrupting
+            # both the output and the store.
+            if "PATH_NOT_FOUND" not in f"{exc.getErrorClass()} {exc}":
+                raise
             hist = None
         if hist is None:
             flagged = inc.withColumn("seen_before", F.lit(False))
