@@ -79,6 +79,9 @@ HEADLINE = [
     "landmark_distances",       # multi-source composite-key frontier
     "lpa_communities",          # label-propagation community sweeps
     "community_modularity",     # partition quality over LPA labels
+    "bm25_topk",                # lexical retrieval scoring (BM25)
+    "bpe_encode_tokens",        # vocab-compacted BPE corpus encode
+    "ra_link_prediction",       # blocked common-neighbor link scores
 ]
 
 

@@ -88,6 +88,10 @@ def test_nested_loop_joins_only_where_intended(spark):
         "decayed_event_score",
         # three one-row argmax-merge attaches — the BPE round structure
         "bpe_merge_rounds",
+        # same argmax-merge attaches re-derived for the encode path
+        "bpe_encode_tokens",
+        # one-row corpus-stats (N, avgdl) attach, tfidf_top_terms' shape
+        "bm25_topk",
         # one-row query-vector + one-row-per-round selection attaches
         "mmr_diverse_topk",
         # broadcast 5-probe set x corpus, exact AND quantized sweeps —
@@ -97,9 +101,11 @@ def test_nested_loop_joins_only_where_intended(spark):
         # brute-force top-k algorithm (same rationale as
         # embed_cosine_topk)
         "simhash_hamming_topk",
-        # phase-2 dominance anti-join over the broadcast union of local
-        # pareto fronts — non-equi by nature, candidate set bounded
-        "skyline_parts",
+        # (skyline_parts' phase-2 dominance anti-join is the same
+        # intended broadcast-NLJ shape, but its guarded path now runs
+        # eagerly and returns a checkpointed result whose plan is a
+        # scan — the finisher choice is asserted in test_skyline.py
+        # via the skyline_finisher attribute instead)
         # one-row Bloom-filter attach (128 longs) — the constant-size
         # sketch broadcast IS the decontamination algorithm
         "bloom_contamination_probe",
@@ -216,8 +222,10 @@ def test_aggregates_have_partial_phase(spark):
 # sanctioned.
 _DECLARED_MAPINPANDAS = (
     "multimodal_features", "multimodal_resize", "multimodal_frame_sample",
-    # scan-local pareto pre-filter (operators/skyline.py)
-    "skyline_parts",
+    # skyline_parts' scan-local pareto pre-filter (operators/skyline.py)
+    # is also a declared mapInPandas stage, but the guarded path now
+    # returns a checkpointed result whose plan is a scan — the fence is
+    # asserted on skyline_2d's lazy path in tests/test_skyline.py
 )
 # grouped sequential state (applyInPandas): the two-sided clamp has no
 # window closed form — the group walk IS the operator

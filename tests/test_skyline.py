@@ -59,6 +59,8 @@ def test_skyline_phase2_is_broadcast(spark):
     df = spark.createDataFrame(rows, "id long, price double, size long")
     plan = skyline_2d(df, "price", "size")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+    # phase 1 is the declared Arrow-batched scan-local pre-filter
+    assert "MapInPandas" in plan
 
 
 def test_registered_skyline_parts_uses_guarded_broadcast(spark):

@@ -55,3 +55,5 @@ from tvbigdataproject_spark.queries import llm_ops7  # noqa: F401,E402
 from tvbigdataproject_spark.queries import layout  # noqa: F401,E402
 from tvbigdataproject_spark.queries import pandas_api  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops8  # noqa: F401,E402
+from tvbigdataproject_spark.queries import llm_ops9  # noqa: F401,E402
+from tvbigdataproject_spark.queries import graph5  # noqa: F401,E402

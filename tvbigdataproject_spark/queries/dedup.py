@@ -452,3 +452,67 @@ def corpus_snapshot_diff(spark, sf_dir):
         F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
         status.alias("status"),
     )
+
+
+@query(
+    "leakage_safe_split",
+    sql=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    assigned AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster,
+           ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4))::BIGINT
+               % 100 AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4))::BIGINT
+                     % 100 < 90 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4))::BIGINT
+                     % 100 < 95 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+    tags=("llm", "split", "dedup", "components", "iterative"),
+)
+def leakage_safe_split(spark, sf_dir):
+    """Duplicate-cluster-aware train/valid/test split: hash the
+    near-dup CLUSTER id, not the document id, so every member of a
+    duplicate cluster lands in the same split. A per-document hash
+    split (train_test_split_hash) leaks near-identical text across the
+    train/test boundary — the contamination that inflates eval scores
+    on deduplicated benchmarks (the Lee et al. "Deduplicating Training
+    Data Makes Language Models Better" failure mode); splitting by
+    cluster makes leakage structurally impossible (the split is a
+    FUNCTION of the cluster), and the oracle value-checks the whole
+    composition: pair graph -> components fixpoint -> hash bucketing.
+
+    Scale shape: the near-dup pair join and pointer-jumping components
+    are the dedup tier's proven shapes (ladder rows in SCALE.md); the
+    split itself adds one left join on doc_id and scan-local md5 math —
+    no new shuffle class. Singleton docs skip the join's right side
+    (component absent -> cluster = own id).
+    """
+    from tvbigdataproject_spark.functions.hashing import hex16_hash
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    bucket = hex16_hash(F.col("cluster").cast("string")) % 100
+    return assigned.select(
+        "doc_id",
+        "cluster",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
