@@ -82,6 +82,8 @@ HEADLINE = [
     "bm25_topk",                # lexical retrieval scoring (BM25)
     "bpe_encode_tokens",        # vocab-compacted BPE corpus encode
     "ra_link_prediction",       # blocked common-neighbor link scores
+    "lm_bigram_doc_scores",     # corpus-self-trained bigram LM scoring
+    "semdedup_prune",           # centroid-assign + within-cell prune
 ]
 
 

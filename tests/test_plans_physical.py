@@ -109,6 +109,9 @@ def test_nested_loop_joins_only_where_intended(spark):
         # one-row Bloom-filter attach (128 longs) — the constant-size
         # sketch broadcast IS the decontamination algorithm
         "bloom_contamination_probe",
+        # broadcast 8-centroid set x corpus IS the k-means
+        # assignment step (same rationale as embed_cosine_topk)
+        "semdedup_prune",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
@@ -239,6 +242,9 @@ _DECLARED_MAP_IN_ARROW = ("doc_bytes_arrow",)
 _DECLARED_ARROW_KERNEL = (
     "embed_cosine_topk", "embed_ivf_topk", "embed_ivf_learned_topk",
     "embed_neardup_pairs",
+    # centroid-assignment sweep + within-cell pair join, both on the
+    # arrow cosine kernel
+    "semdedup_prune",
 )
 
 

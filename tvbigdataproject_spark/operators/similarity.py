@@ -355,3 +355,83 @@ def cosine_neardup_pairs(
     )
     cos = _KERNELS[kernel](F.col("emb_a"), F.col("emb_b"))
     return pairs.where(cos >= threshold).select("vec_a", "vec_b", cos.alias("cos"))
+
+
+def assign_nearest_centroid(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "arrow",
+) -> DataFrame:
+    """Nearest-centroid cell assignment: for every corpus vector, the
+    argmax-cosine centroid (ties -> smallest centroid id, so the
+    assignment is total and engine-independent).
+
+    ``centroids`` must be broadcast-sized (it is replicated to every
+    corpus partition — the k-means assignment-step shape: at 100 TB the
+    corpus never moves, each partition scores |centroids| candidates
+    per vector and keeps one). Unlike cosine_topk, self-pairs are kept:
+    a centroid drawn from the corpus assigns to itself at cos = 1.
+
+    Returns (id_col, cell, vec_col) — the embedding is carried through
+    so downstream per-cell passes need no join back to the corpus.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_emb")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).select(
+        id_col,
+        "cid",
+        vec_col,
+        _KERNELS[kernel](F.col(vec_col), F.col("c_emb")).alias("cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.select(
+            id_col, vec_col, "cid", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") == 1)
+        .select(id_col, F.col("cid").alias("cell"), vec_col)
+    )
+
+
+def semdedup_survivors(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "arrow",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): cluster by
+    nearest centroid, then inside each cluster drop every vector that
+    is within ``threshold`` cosine of a LOWER-id cluster member. The
+    keep rule is "dominated by any earlier member", not the paper's
+    sequential greedy scan — it is order-deterministic, one-pass, and
+    embarrassingly parallel (a cluster member never needs the verdict
+    on another member to decide its own), at the cost of occasionally
+    pruning a chain one element deeper than the greedy scan would.
+
+    Scale shape: assignment is a broadcast sweep (corpus never
+    shuffles); the within-cluster pair space rides
+    cosine_neardup_pairs' salted shuffle-hash join, so cluster count
+    should scale with corpus density exactly as IVF cell count does.
+    Returns survivors as (id_col, cell).
+    """
+    assigned = assign_nearest_centroid(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, kernel=kernel
+    )
+    pruned = (
+        cosine_neardup_pairs(
+            assigned,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            cell_col="cell",
+            kernel=kernel,
+        )
+        .select(F.col("vec_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(pruned, id_col, "left_anti").select(id_col, "cell")

@@ -57,3 +57,6 @@ from tvbigdataproject_spark.queries import pandas_api  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops8  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops9  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph5  # noqa: F401,E402
+from tvbigdataproject_spark.queries import scd  # noqa: F401,E402
+from tvbigdataproject_spark.queries import llm_ops10  # noqa: F401,E402
+from tvbigdataproject_spark.queries import semantic  # noqa: F401,E402

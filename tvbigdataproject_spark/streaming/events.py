@@ -243,7 +243,7 @@ def streaming_bloom_decontaminate(
 
 
 def run_to_memory_sink(
-    stream_df: DataFrame, name: str, output_mode: str = "append", timeout_sec: int = 120
+    stream_df: DataFrame, name: str, output_mode: str = "append", timeout_sec: int = 240
 ):
     """Drain a bounded stream (availableNow) into an in-memory table and
     return the completed query. Test/dev helper — production sinks are
@@ -260,7 +260,15 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    # awaitTermination(timeout) returns False on timeout WITHOUT raising;
+    # a caller that proceeds would assert against a partially-drained
+    # table and fail with a baffling value diff (observed as a full-suite
+    # flake on a loaded host, 2026-08-15). Fail loudly instead.
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"memory-sink drain '{name}' incomplete after {timeout_sec}s"
+        )
     return q
 
 
