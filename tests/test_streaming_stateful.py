@@ -155,3 +155,66 @@ def test_streaming_clamped_balance_carries_state_across_batches(spark, tmp_path)
     )
     want = {r.user_id: (r.n, r.bal) for r in batch_last.collect()}
     assert got == want
+
+
+def test_streaming_scd2_matches_batch_across_batches(spark, tmp_path):
+    # 3 time-ordered micro-batches (the sequential-state contract);
+    # the reconstructed dimension must equal the batch SCD2 build
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tvbigdataproject_spark.queries.scd import scd2_user_state
+    from tvbigdataproject_spark.streaming.stateful import streaming_scd2_state
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    t = t.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    n = t.num_rows
+    d = tmp_path / "events_split"
+    d.mkdir()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        p = d / f"part-{i}.parquet"
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    run_to_memory_sink(
+        streaming_scd2_state(stream), "t_scd2", output_mode="update"
+    )
+    # per run (user, valid_from): n_events grows monotonically and the
+    # closing emission carries the final count, so max-n wins; at a tie
+    # (run closed with no further events after its last open re-emit)
+    # the closed row — valid_to set — is the verdict
+    emitted = spark.table("t_scd2")
+    w = F.struct(
+        F.col("n_events"),
+        F.col("valid_to_us").isNotNull().cast("int"),
+        F.col("event_type"),
+        F.col("valid_to_us"),
+        F.col("is_current"),
+    )
+    got = {
+        (r.user_id, r.vf): r.v
+        for r in emitted.groupBy(
+            F.col("user_id"), F.col("valid_from_us").alias("vf")
+        )
+        .agg(F.max(w).alias("v"))
+        .collect()
+    }
+    batch = scd2_user_state(spark, SF_DIR).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("vf"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("vt"),
+        "is_current",
+        "n_events",
+    )
+    want = {
+        (r.user_id, r.vf): (r.n_events, r.event_type, r.vt, r.is_current)
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert (v.n_events, v.event_type, v.valid_to_us, v.is_current) == want[k], (
+            k, v, want[k],
+        )

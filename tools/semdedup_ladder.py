@@ -1,0 +1,86 @@
+"""Density-scaled SemDeDup ladder (two-decade, reuses scale_ladder rungs).
+
+The registered gate query `semdedup_prune` seeds a FIXED 8-centroid
+set — deterministic so DuckDB can replay it, but at a fixed cell count
+the within-cell pair space is quadratic in the corpus BY CONSTRUCTION,
+which would charge the engine for rows the problem shape added (the
+same reason scale_ladder.py salts its copies). The operator's 100 TB
+contract (operators/similarity.py::semdedup_survivors) is "cluster
+count scales with corpus density, bounding vectors per cell" — so this
+ladder times the operator under that contract: k = 8 * copies
+centroids, hash-sampled deterministically across the corpus
+(ORDER BY xxhash64(vec_id) LIMIT k — a TakeOrdered, no full sort).
+
+    python tools/semdedup_ladder.py [--rungs 10,100] [--reps 2]
+
+Expects the scale_ladder rung directories to exist (run
+tools/scale_ladder.py first, or anything that leaves
+/tmp/spark_graft_ladder_c{N} populated).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+def out_dir(copies: int) -> str:
+    return f"/tmp/spark_graft_ladder_c{copies}"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rungs", default="10,100")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--threshold", type=float, default=0.3)
+    args = ap.parse_args()
+    rungs = [int(x) for x in args.rungs.split(",")]
+
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.operators.similarity import semdedup_survivors
+    from tvbigdataproject_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="semdedup-ladder",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    rec: dict = {}
+    for copies in rungs:
+        sf = out_dir(copies)
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        k = 8 * copies
+        cent = (
+            emb.select("vec_id", "embedding")
+            .orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(k)
+        )
+        best, rows = float("inf"), None
+        for rep in range(1 + args.reps):
+            t0 = time.time()
+            df = semdedup_survivors(emb, cent, threshold=args.threshold)
+            df.write.format("noop").mode("overwrite").save()
+            el = time.time() - t0
+            if rep == 0:
+                rows = df.count()
+            else:
+                best = min(best, el)
+        rec[f"c{copies}"] = {"rows": rows, "sec": round(best, 2), "k": k}
+        print(f"semdedup @c{copies} (k={k}): {rows} rows, {best:.2f}s warm", flush=True)
+    lo, hi = f"c{rungs[0]}", f"c{rungs[-1]}"
+    scale = rungs[-1] / rungs[0]
+    ratio = rec[hi]["sec"] / max(rec[lo]["sec"], 1e-9)
+    rec["time_ratio"] = round(ratio, 2)
+    rec["per_decade"] = round(ratio / scale, 2)
+    rec["linear_ok"] = ratio <= 1.3 * scale
+    print(json.dumps({"rungs": rungs, "semdedup_density_scaled": rec}))
+
+
+if __name__ == "__main__":
+    main()

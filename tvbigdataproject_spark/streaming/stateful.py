@@ -268,3 +268,72 @@ def streaming_clamped_balance(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SCD2_STREAM_SCHEMA = "user_id long, event_type string, valid_from_us long, valid_to_us long, is_current boolean, n_events long"
+_SCD2_STATE_SCHEMA = "cur_type string, valid_from_us long, n_run long"
+
+
+def streaming_scd2_state(events: DataFrame) -> DataFrame:
+    """Streaming Type-2 SCD maintenance — the CDC-feed twin of
+    queries/scd.py::scd2_user_state: per user, consecutive same-type
+    events collapse into one dimension run; a type CHANGE closes the
+    open run (emits it with valid_to = the change timestamp,
+    is_current=false) and opens a new one; every batch re-emits the
+    open run (is_current=true, valid_to null) in update mode.
+
+    Same sequential-state stream contract as streaming_clamped_balance:
+    micro-batches must arrive in time order (a time-split log; rows
+    within a batch are sorted before walking). Under it, the closed
+    runs plus the final open-run emission are exactly the batch build's
+    rows — asserted by the equivalence test across a 3-way time-split
+    arrival with a fresh state store.
+
+    Interval bounds are emitted as integer epoch MICROS, not
+    timestamps: the walk happens engine-side in pandas, and an integer
+    keeps the emission decoupled from the source's ts flavor (the
+    nanos/micros/NTZ history in sources/io.py) — the batch comparison
+    casts once at the edge. State per user is one (type, start, count)
+    triple — fixed-width, NoTimeout because the user population is
+    bounded.
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        cur_type, vf, n = state.get if state.exists else (None, 0, 0)
+        pdfs = list(pdf_iter)
+        pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # tz-aware or naive both view to int64 ns since epoch
+        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        types = pdf["event_type"].to_numpy()
+        rows = []
+        for t_us, etype in zip(ts_us, types):
+            if cur_type is None:
+                cur_type, vf, n = etype, int(t_us), 0
+            elif etype != cur_type:
+                rows.append((key[0], cur_type, vf, int(t_us), False, n))
+                cur_type, vf, n = etype, int(t_us), 0
+            n += 1
+        state.update((cur_type, vf, n))
+        rows.append((key[0], cur_type, vf, None, True, n))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id",
+                "event_type",
+                "valid_from_us",
+                "valid_to_us",
+                "is_current",
+                "n_events",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SCD2_STREAM_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
