@@ -73,16 +73,23 @@ def out_dir(copies: int) -> str:
     return f"/tmp/spark_graft_ladder_c{copies}"
 
 
-def generate(spark, copies: int) -> None:
+def generate(spark, copies: int, tables: list[str] | None = None) -> None:
+    """Materialize the salted rung. `tables` restricts to a subset of
+    the widened tables (e.g. ["embeddings"] for the SemDeDup ladder,
+    which needs none of the 60 GB relational tier)."""
     from pyspark.sql import functions as F
 
     out = out_dir(copies)
     os.makedirs(out, exist_ok=True)
     for t in BOUNDED:
+        if tables is not None and t not in tables:
+            continue
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
     for t, keys in KEYS.items():
+        if tables is not None and t not in tables:
+            continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         widened = df.withColumn(
             "_copy", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))

@@ -13,9 +13,10 @@ centroids, hash-sampled deterministically across the corpus
 
     python tools/semdedup_ladder.py [--rungs 10,100] [--reps 2]
 
-Expects the scale_ladder rung directories to exist (run
-tools/scale_ladder.py first, or anything that leaves
-/tmp/spark_graft_ladder_c{N} populated).
+Self-contained: generates only the embeddings table of each rung via
+scale_ladder.generate(tables=["embeddings"]) — the per-copy Rademacher
+isometry plus per-copy cell offsets, ~80 MB at c100 vs the full
+ladder's ~60 GB — unless the directory already holds one.
 """
 
 from __future__ import annotations
@@ -27,8 +28,9 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if REPO not in sys.path:
-    sys.path.insert(0, REPO)
+for p in (REPO, os.path.join(REPO, "tools")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
 
 def out_dir(copies: int) -> str:
     return f"/tmp/spark_graft_ladder_c{copies}"
@@ -43,6 +45,7 @@ def main() -> None:
     rungs = [int(x) for x in args.rungs.split(",")]
 
     from pyspark.sql import functions as F
+    from scale_ladder import generate
 
     from tvbigdataproject_spark.operators.similarity import semdedup_survivors
     from tvbigdataproject_spark.session import get_spark
@@ -54,6 +57,14 @@ def main() -> None:
     rec: dict = {}
     for copies in rungs:
         sf = out_dir(copies)
+        if not os.path.exists(f"{sf}/embeddings.parquet"):
+            t0 = time.time()
+            generate(spark, copies, tables=["embeddings"])
+            print(
+                f"generated embeddings-only c{copies} rung in "
+                f"{time.time()-t0:.0f}s",
+                flush=True,
+            )
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         k = 8 * copies
         cent = (
