@@ -84,6 +84,8 @@ HEADLINE = [
     "ra_link_prediction",       # blocked common-neighbor link scores
     "lm_bigram_doc_scores",     # corpus-self-trained bigram LM scoring
     "semdedup_prune",           # centroid-assign + within-cell prune
+    "kmeans_lloyd_assign",      # integer-exact Lloyd rounds (bcast assign)
+    "global_row_numbers",       # distributed contiguous sequence ids
 ]
 
 

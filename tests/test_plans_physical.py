@@ -109,9 +109,13 @@ def test_nested_loop_joins_only_where_intended(spark):
         # one-row Bloom-filter attach (128 longs) — the constant-size
         # sketch broadcast IS the decontamination algorithm
         "bloom_contamination_probe",
-        # broadcast 8-centroid set x corpus IS the k-means
-        # assignment step (same rationale as embed_cosine_topk)
-        "semdedup_prune",
+        # (semdedup_prune's centroid sweep WAS a broadcast crossJoin
+        # here; the density-scaled ladder measured that shape
+        # 5.3x/decade super-linear, so assignment is now a scan-local
+        # mapInPandas argmax — no NLJ, no window; see SCALE.md)
+        # ONE-row packed-centroid attach per Lloyd sweep — the corpus
+        # never shuffles for assignment (operators/clustering.py)
+        "kmeans_lloyd_assign",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name

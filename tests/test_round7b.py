@@ -173,3 +173,100 @@ def test_semdedup_survivor_set_respects_threshold(spark):
         joined, threshold=0.3, cell_col="cell"
     ).count()
     assert violations == 0
+
+
+def test_assign_arrow_matches_hof_and_ties(spark):
+    # the scan-local arrow strategy must reproduce the hof plan's
+    # assignment bit-for-bit, including the smallest-cid tie at vec 2
+    emb = _mk_emb(spark, [[1, 0], [0, 1], [1, 1]])
+    cent = emb.where(F.col("vec_id") < 2)
+    got = {
+        r.vec_id: r.cell
+        for r in assign_nearest_centroid(emb, cent, kernel="arrow").collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 0}
+
+
+def test_assign_arrow_matches_hof_on_corpus(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 8)
+    hof = {
+        r.vec_id: r.cell
+        for r in assign_nearest_centroid(emb, cent, kernel="hof").collect()
+    }
+    arrow = {
+        r.vec_id: r.cell
+        for r in assign_nearest_centroid(
+            emb.repartition(5), cent, kernel="arrow"
+        ).collect()
+    }
+    assert arrow == hof
+
+
+def test_assign_two_level_invariants(spark):
+    # two-level routing is approximate vs flat but must stay total,
+    # deterministic under repartitioning, and self-assign centroids
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 32)
+    a = {
+        r.vec_id: r.cell
+        for r in assign_nearest_centroid(
+            emb, cent, kernel="arrow", two_level=True
+        ).collect()
+    }
+    b = {
+        r.vec_id: r.cell
+        for r in assign_nearest_centroid(
+            emb.repartition(7), cent, kernel="arrow", two_level=True
+        ).collect()
+    }
+    assert a == b
+    assert len(a) == emb.count()
+    cent_ids = {r.vec_id for r in cent.select("vec_id").collect()}
+    assert set(a.values()) <= cent_ids
+    # every centroid is a member of its own leader's group, so it
+    # self-assigns at cos = 1
+    for cid in cent_ids:
+        assert a[cid] == cid
+
+
+def test_assign_two_level_matches_flat_on_separated_clusters(spark):
+    # two orthogonal clusters whose LEADERS (the first two centroids)
+    # are one per cluster: routing = cluster pick (cos ~1 vs ~0), and
+    # each group holds exactly its cluster's centroids, so the
+    # hierarchical answer equals the flat argmax on every point
+    def pt(axis, e2, e3):
+        v = [0.0] * 4
+        v[axis] = 1.0
+        v[2] += e2
+        v[3] += e3
+        return v
+
+    vecs = [
+        pt(0, 0, 0),        # c0: cluster-A leader
+        pt(1, 0, 0),        # c1: cluster-B leader
+        pt(0, 0.05, 0),     # c2: A member, routes to c0
+        pt(1, 0.05, 0),     # c3: B member, routes to c1
+        pt(0, 0.01, 0.02),  # A points
+        pt(0, -0.02, 0.01),
+        pt(0, 0.04, 0.01),
+        pt(1, 0.01, 0.02),  # B points
+        pt(1, -0.02, 0.01),
+        pt(1, 0.04, 0.01),
+    ]
+    emb = _mk_emb(spark, vecs)
+    cent = emb.where(F.col("vec_id") < 4)
+    flat = {
+        r.vec_id: r.cell
+        for r in assign_nearest_centroid(emb, cent, kernel="arrow").collect()
+    }
+    routed = {
+        r.vec_id: r.cell
+        for r in assign_nearest_centroid(
+            emb, cent, kernel="arrow", two_level=True
+        ).collect()
+    }
+    assert routed == flat
+    # sanity: the clusters really split across cells of their own side
+    assert {flat[i] for i in (4, 5, 6)} <= {0, 2}
+    assert {flat[i] for i in (7, 8, 9)} <= {1, 3}

@@ -1,0 +1,170 @@
+"""Distributed Lloyd k-means in exact integer arithmetic.
+
+The learned-IVF tier (operators/similarity.py::fit_ivf_centers) uses
+pyspark.ml KMeans, whose centers are Spark-internal — its queries can
+only be rows-only/recall-checked. This operator is the value-hash
+counterpart: every arithmetic step is exact and order-free, so a fixed
+seed set + a fixed round count replays bit-for-bit on any partitioning
+AND in a plain-SQL oracle (the unrolled-iteration discipline of
+pagerank/LPA/luby_mis).
+
+Exactness contract:
+- vectors are quantized once, scan-local: q_i = round(x_i * 2^20) as
+  BIGINT (power-of-two scale: x * 2^20 is an exact double, so the only
+  rounding is the final half-away tie, which Spark's HALF_UP and
+  DuckDB's round() agree on — the proven convention of
+  queries/embeddings.py's int8 tier);
+- distances are integer: sum_i (q_i - c_i)^2, associative and
+  order-free (|q| <= 2^20, so a 64-dim squared distance tops out near
+  2^47 — no overflow);
+- the centroid update is floor(sum/n) per dimension, where the BIGINT
+  sum is exact and stays below 2^53, so the one double division is
+  deterministic;
+- seeds are the k vectors with the smallest (md5(id), id) — the
+  portable-hash sampling convention — and argmin ties break on the
+  lower cell id.
+
+Scale shape (100 TB): assignment never shuffles the corpus — the k
+centroids are packed into ONE row (array of (cell, vector)) and
+attached by a broadcast cross join, so the per-row argmin is
+scan-local. The update step aggregates dim explicit per-dimension
+BIGINT sums with map-side partials: the shuffle per iteration is
+k rows per partition, not the corpus. The corpus is deliberately NOT
+cached (at 100 TB a Lloyd iteration re-scans; callers with a
+memory-sized corpus can persist before calling). Centroids are
+localCheckpoint'ed each round (one tiny row) so lineage stays flat at
+any iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.operators.components import (
+    _checkpoint_tracked,
+    _unpersist_ids,
+)
+
+QUANT_SCALE = 1 << 20  # dyadic: float * 2^20 is exact in double
+
+
+def quantize_vectors(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "qv"
+) -> DataFrame:
+    """Scan-local BIGINT quantization of a float-array column."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(QUANT_SCALE)))
+            .cast("long"),
+        ),
+    )
+
+
+def _pack_centroids(cents: DataFrame) -> DataFrame:
+    """(cell, cv) rows -> ONE row holding array<struct<cell,cv>> sorted
+    by cell, the broadcastable form the assignment sweep attaches."""
+    return cents.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "cv"))).alias("cents")
+    )
+
+
+def _assign(quant: DataFrame, packed: DataFrame, id_col: str) -> DataFrame:
+    """Scan-local argmin assignment: broadcast the one-row centroid
+    pack, per row reduce the k-element array. Ties -> lower cell
+    (array_min on struct(dist, cell) is lexicographic)."""
+    dist_of = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("qv"), c["cv"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(dist_of(c).alias("d"), c["cell"].alias("cell")),
+        )
+    )
+    return (
+        quant.crossJoin(F.broadcast(packed))
+        .withColumn("_best", best)
+        .select(
+            id_col,
+            "qv",
+            F.col("_best.cell").alias("cell"),
+            F.col("_best.d").alias("dist_q"),
+        )
+    )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int,
+    iters: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exactly `iters` synchronous Lloyd rounds from the md5-seeded
+    centroids; returns (id_col, cell, dist_q) — the final assignment
+    and its integer squared distance. Fixed rounds are semantics (the
+    bounded-round oracle discipline), not a convergence shortcut.
+
+    A cell that loses all members keeps its previous centroid
+    (coalesce on the cell spine), so k never silently shrinks.
+    """
+    sc = corpus.sparkSession.sparkContext
+    quant = quantize_vectors(corpus, vec_col).select(id_col, "qv")
+
+    seed_order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    # row_number's single-partition window runs over exactly k rows
+    # (post-limit), so the unpartitioned window is bounded by design
+    w = Window.orderBy(*seed_order)
+    cents = (
+        quant.orderBy(*seed_order)
+        .limit(k)  # TakeOrdered: no full sort at any corpus size
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell"),
+            F.col("qv").alias("cv"),
+        )
+    )
+    packed, live_ids = _checkpoint_tracked(_pack_centroids(cents), sc)
+
+    try:
+        for _ in range(iters):
+            assigned = _assign(quant, packed, id_col)
+            sums = assigned.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            new_cv = F.array(
+                *[
+                    F.floor(F.col(f"s{i}").cast("double") / F.col("n"))
+                    .cast("long")
+                    for i in range(dim)
+                ]
+            )
+            spine = packed.select(F.explode("cents").alias("c")).select(
+                F.col("c.cell").alias("cell"),
+                F.col("c.cv").alias("prev_cv"),
+            )
+            # k-row spine LEFT JOIN k-row sums: broadcast the build
+            # (right) side — a left join cannot broadcast-build left
+            stepped = spine.join(F.broadcast(sums), "cell", "left").select(
+                "cell",
+                F.when(F.col("n").isNull(), F.col("prev_cv"))
+                .otherwise(new_cv)
+                .alias("cv"),
+            )
+            packed, new_ids = _checkpoint_tracked(_pack_centroids(stepped), sc)
+            # the new pack is materialized; the previous round's is done
+            _unpersist_ids(sc, live_ids)
+            live_ids = new_ids
+    except Exception:
+        _unpersist_ids(sc, live_ids)
+        raise
+
+    # the returned (lazy) plan reads only the final checkpointed pack;
+    # it stays persisted — one k-row blob, the operator's live output
+    return _assign(quant, packed, id_col).select(id_col, "cell", "dist_q")

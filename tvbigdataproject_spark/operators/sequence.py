@@ -1,0 +1,68 @@
+"""Distributed global sequence numbering.
+
+ROW_NUMBER() OVER (ORDER BY key) is the textbook way to assign stable
+contiguous ids 1..N — and on Spark an unpartitioned window collapses
+the whole table into ONE task (Catalyst plans a single-partition sort),
+which at 100 TB is not slow, it is dead. The scalable form decomposes
+the global order into contiguous key ranges:
+
+  1. bucket every row by a range of the ordering key (floor(key/W) —
+     range-contiguous, so bucket order IS key order across buckets);
+  2. count rows per bucket (map-side partials; the result is one row
+     per bucket, thousands at most);
+  3. running-sum those counts into per-bucket offsets — the only
+     unpartitioned window, over the BUCKET table, bounded by design;
+  4. broadcast the offsets back and row_number() within each bucket:
+     global_seq = bucket_offset + local_rank.
+
+Net cost: one corpus shuffle (the per-bucket window's hash partition)
+instead of a single-partition sort — the same trick zipWithIndex plays
+on RDDs (per-partition counts + offsets), expressed declaratively.
+mapPartitions/zipWithIndex is rejected deliberately: its numbering
+depends on physical partition layout, while this one is a pure function
+of the data, so it replays bit-for-bit on any cluster shape.
+
+Skew note: fixed-width key ranges assume roughly uniform key density
+(true for surrogate keys). For skewed domains, derive bucket edges from
+approx quantiles instead — numbering stays exact for ANY bucketing as
+long as buckets are range-contiguous, because step 4's within-bucket
+rank repairs whatever step 1's split got uneven.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_numbers(
+    df: DataFrame,
+    key: str,
+    bucket_width: int,
+    out_col: str = "seq",
+) -> DataFrame:
+    """Append ``out_col`` = the 1-based global rank of ``key`` (which
+    must be unique — ties would make the numbering ambiguous on any
+    engine). Exact on any partitioning; one corpus shuffle."""
+    base = df.withColumn(
+        "_b", F.floor(F.col(key).cast("long") / F.lit(int(bucket_width)))
+    )
+    counts = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    # bounded: one row per bucket; rowsBetween(-inf, -1) = preceding mass
+    w_off = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_b",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0).cast("long")).alias(
+            "_off"
+        ),
+    )
+    w_local = Window.partitionBy("_b").orderBy(key)
+    return (
+        base.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            out_col, F.col("_off") + F.row_number().over(w_local).cast("long")
+        )
+        .drop("_b", "_off")
+    )

@@ -363,20 +363,57 @@ def assign_nearest_centroid(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kernel: str = "arrow",
+    two_level: bool = False,
 ) -> DataFrame:
     """Nearest-centroid cell assignment: for every corpus vector, the
     argmax-cosine centroid (ties -> smallest centroid id, so the
     assignment is total and engine-independent).
 
-    ``centroids`` must be broadcast-sized (it is replicated to every
-    corpus partition — the k-means assignment-step shape: at 100 TB the
-    corpus never moves, each partition scores |centroids| candidates
-    per vector and keeps one). Unlike cosine_topk, self-pairs are kept:
-    a centroid drawn from the corpus assigns to itself at cos = 1.
+    ``centroids`` must be bounded (the k-means assignment-step shape:
+    at 100 TB the corpus never moves, each partition scores
+    |centroids| candidates per vector and keeps one). Unlike
+    cosine_topk, self-pairs are kept: a centroid drawn from the corpus
+    assigns to itself at cos = 1.
+
+    Two strategies, bitwise-identical results (same sequential-fold
+    cosine, same tie rule — pinned by tests/test_round7b.py):
+
+    - kernel="arrow" (default, THE scale path): the centroid table is
+      collected once (bounded, the fit_ivf_centers precedent), shipped
+      as a task broadcast, and each corpus partition runs a vectorized
+      argmax over the (dim, k) matrix inside ONE mapInPandas stage —
+      one output row per input row, NO per-(vector, centroid) row
+      blowup and NO shuffle. The earlier crossJoin+window form was
+      measured 5.3x/decade super-linear on the density-scaled SemDeDup
+      ladder (k grows with the corpus, so N x k exploded rows AND the
+      argmax window shuffled them); this form restored 1.0x/decade —
+      see SCALE.md.
+    - kernel="hof": crossJoin(broadcast centroids) + argmax window,
+      zero Python fences. Right when k is a small constant and a
+      Python stage is unacceptable in the plan; its window shuffles
+      N x k rows, so never use it where k scales with density.
+
+    ``two_level=True`` (arrow only) routes hierarchically: nearest of
+    ~sqrt(k) leader centroids first, then argmax within that leader's
+    member group — O(N*sqrt(k)) instead of O(N*k) scoring. This is the
+    IVF/hierarchical-k-means standard for density-scaled k (flat
+    scoring is quadratic when k grows with the corpus — the ladder's
+    measured residual), and it is APPROXIMATE w.r.t. the flat argmax:
+    a vector near a group boundary can land in the neighbor cell. It
+    stays deterministic and partitioning-independent (routing is fixed
+    driver-side; per-row decisions are row-local), and a centroid
+    still self-assigns at cos = 1 (every centroid is a member of its
+    own leader's group).
 
     Returns (id_col, cell, vec_col) — the embedding is carried through
     so downstream per-cell passes need no join back to the corpus.
     """
+    if kernel == "arrow":
+        return _assign_nearest_scan(
+            corpus, centroids, id_col, vec_col, two_level=two_level
+        )
+    if two_level:
+        raise ValueError("two_level routing requires kernel='arrow'")
     c = centroids.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("c_emb")
     )
@@ -396,6 +433,120 @@ def assign_nearest_centroid(
     )
 
 
+def _fold_cos(vt, cmat, cnorm):
+    """(n, k) cosines of (dim, n) vectors vs a (dim, k) matrix, as the
+    strict per-dimension sequential left fold of the arrow kernel —
+    each pair's add order is identical to the HOF form's."""
+    import numpy as np
+
+    dot = np.zeros((vt.shape[1], cmat.shape[1]), dtype=np.float64)
+    na2 = np.zeros(vt.shape[1], dtype=np.float64)
+    for d in range(vt.shape[0]):  # one fold step per dimension
+        dot += vt[d][:, None] * cmat[d][None, :]
+        na2 += vt[d] * vt[d]
+    denom = np.sqrt(na2)[:, None] * cnorm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom > 0, dot / denom, 0.0)
+
+
+def _fold_norms(cmat):
+    import numpy as np
+
+    cb2 = np.zeros(cmat.shape[1], dtype=np.float64)
+    for d in range(cmat.shape[0]):
+        cb2 += cmat[d] * cmat[d]
+    return np.sqrt(cb2)
+
+
+def _assign_nearest_scan(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    two_level: bool = False,
+) -> DataFrame:
+    """Scan-local nearest-centroid argmax (see assign_nearest_centroid).
+
+    Exactness: per (vector, centroid) the cosine is the SAME strict
+    sequential left fold as functions/vectors.cosine_arrow, and
+    centroids are scored in ascending-cid order with numpy's first-max
+    argmax, which IS the smallest-cid tie rule. With ``two_level`` the
+    first-max rule applies per stage (leader pick, then in-group pick),
+    and group member lists stay in ascending-cid order.
+    """
+    import math
+
+    import numpy as np
+    from pyspark.sql.types import StructField, StructType
+
+    cent_rows = (
+        centroids.select(F.col(id_col).alias("cid"), F.col(vec_col))
+        .orderBy("cid")
+        .collect()  # bounded by contract: the centroid table only
+    )
+    if not cent_rows:
+        raise ValueError("assign_nearest_centroid: empty centroid table")
+    cids = np.array([r.cid for r in cent_rows], dtype=np.int64)
+    cmat = np.ascontiguousarray(
+        np.array([r[vec_col] for r in cent_rows], dtype=np.float64).T
+    )  # (dim, k); float32 -> float64 widening is exact
+    cnorm = _fold_norms(cmat)
+
+    groups = None
+    if two_level:
+        k = cmat.shape[1]
+        b = max(1, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
+        lead = np.ascontiguousarray(cmat[:, :b])  # first b by cid
+        lnorm = cnorm[:b]
+        # route every centroid to its nearest leader (driver-side,
+        # k x b — bounded); members stay in ascending-cid order
+        route = np.argmax(_fold_cos(cmat, lead, lnorm), axis=1)
+        member_idx = [np.where(route == g)[0] for g in range(b)]
+        groups = (lead, lnorm, member_idx)
+
+    base = corpus.select(id_col, vec_col)
+    out_schema = StructType(
+        list(base.schema.fields[:1])
+        + [StructField("cell", centroids.schema[id_col].dataType, False)]
+        + list(base.schema.fields[1:])
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (cids, cmat, cnorm, groups)
+    )
+
+    def assign(batches):
+        k_cids, k_cmat, k_cnorm, k_groups = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vt = np.ascontiguousarray(
+                np.stack(pdf[vec_col].to_numpy()).T, dtype=np.float64
+            )  # (dim, n)
+            if k_groups is None:
+                cos = _fold_cos(vt, k_cmat, k_cnorm)
+                best = np.argmax(cos, axis=1)  # first max = smallest cid
+            else:
+                lead, lnorm, member_idx = k_groups
+                # an empty leader group is unreachable: group g is empty
+                # only when leader g duplicates an earlier leader, and
+                # then first-max argmax can never select g for any row
+                gidx = np.argmax(_fold_cos(vt, lead, lnorm), axis=1)
+                best = np.empty(vt.shape[1], dtype=np.int64)
+                for g in np.unique(gidx):
+                    rows = np.where(gidx == g)[0]
+                    m = member_idx[g]
+                    sub = np.ascontiguousarray(vt[:, rows])
+                    cos_g = _fold_cos(sub, k_cmat[:, m], k_cnorm[m])
+                    best[rows] = m[np.argmax(cos_g, axis=1)]
+            out = pdf[[pdf.columns[0], vec_col]].copy()
+            out.insert(1, "cell", k_cids[best])
+            yield out
+
+    return base.mapInPandas(assign, schema=out_schema).select(
+        id_col, "cell", vec_col
+    )
+
+
 def semdedup_survivors(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -403,6 +554,7 @@ def semdedup_survivors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kernel: str = "arrow",
+    two_level: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023): cluster by
     nearest centroid, then inside each cluster drop every vector that
@@ -416,11 +568,19 @@ def semdedup_survivors(
     Scale shape: assignment is a broadcast sweep (corpus never
     shuffles); the within-cluster pair space rides
     cosine_neardup_pairs' salted shuffle-hash join, so cluster count
-    should scale with corpus density exactly as IVF cell count does.
+    should scale with corpus density exactly as IVF cell count does —
+    and at density-scaled k pass ``two_level=True`` so the sweep is
+    O(N*sqrt(k)) hierarchical routing, not the quadratic flat argmax
+    (the SemDeDup ladder's measured residual, SCALE.md).
     Returns survivors as (id_col, cell).
     """
     assigned = assign_nearest_centroid(
-        corpus, centroids, id_col=id_col, vec_col=vec_col, kernel=kernel
+        corpus,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        kernel=kernel,
+        two_level=two_level,
     )
     pruned = (
         cosine_neardup_pairs(

@@ -62,3 +62,4 @@ from tvbigdataproject_spark.queries import llm_ops10  # noqa: F401,E402
 from tvbigdataproject_spark.queries import semantic  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph6  # noqa: F401,E402
 from tvbigdataproject_spark.queries import datacard  # noqa: F401,E402
+from tvbigdataproject_spark.queries import clustering  # noqa: F401,E402

@@ -1,0 +1,109 @@
+"""Value-hash-exact k-means over the embeddings table.
+
+kmeans_lloyd_assign runs operators/clustering.py::kmeans_lloyd — 2
+synchronous Lloyd rounds, 8 md5-seeded centroids, all arithmetic in
+exact BIGINT space — and the oracle replays both rounds as unrolled
+SQL (the pagerank/LPA bounded-round discipline). This upgrades
+clustering from the learned-IVF tier's rows-only/recall checks to full
+bitwise parity: assignment, tie-breaks, the floor(sum/n) centroid
+update, and the empty-cell carry are all pinned.
+"""
+
+from __future__ import annotations
+
+from tvbigdataproject_spark.operators.clustering import (
+    QUANT_SCALE,
+    kmeans_lloyd,
+)
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+_K = 8
+_ITERS = 2
+_DIM = 64
+
+
+def _sq_dist(q: str, c: str) -> str:
+    # integer squared distance, 1-indexed DuckDB lists; BIGINT exact
+    return " + ".join(
+        f"({q}[{i}] - {c}[{i}]) * ({q}[{i}] - {c}[{i}])"
+        for i in range(1, _DIM + 1)
+    )
+
+
+def _assign_cte(src_q: str, cent: str, out: str) -> str:
+    return f"""
+    s_{out} AS (
+        SELECT q.vec_id, q.qv, c.cell, {_sq_dist('q.qv', 'c.cv')} AS d
+        FROM {src_q} q CROSS JOIN {cent} c
+    ),
+    {out} AS (
+        SELECT vec_id, qv, cell, d FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d, cell) AS rn
+            FROM s_{out}
+        ) WHERE rn = 1
+    )"""
+
+
+def _update_cte(assign: str, prev_cent: str, out: str) -> str:
+    sums = ", ".join(f"SUM(qv[{i}]) AS s{i}" for i in range(1, _DIM + 1))
+    new_cv = ", ".join(
+        f"CAST(floor(u.s{i}::DOUBLE / u.n) AS BIGINT)"
+        for i in range(1, _DIM + 1)
+    )
+    return f"""
+    u_{out} AS (
+        SELECT cell, COUNT(*) AS n, {sums} FROM {assign} GROUP BY cell
+    ),
+    {out} AS (
+        SELECT p.cell,
+               CASE WHEN u.cell IS NULL THEN p.cv
+                    ELSE [{new_cv}] END AS cv
+        FROM {prev_cent} p LEFT JOIN u_{out} u ON p.cell = u.cell
+    )"""
+
+
+_KMEANS_SQL = f"""
+    WITH q0 AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(x::DOUBLE * {QUANT_SCALE}.0) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS INT) AS cell,
+               qv AS cv
+        FROM q0
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_K}
+    ),{_assign_cte('q0', 'c0', 'a1')},{_update_cte('a1', 'c0', 'c1')},
+    {_assign_cte('q0', 'c1', 'a2')},{_update_cte('a2', 'c1', 'c2')},
+    {_assign_cte('q0', 'c2', 'a3')}
+    SELECT vec_id, cell, d AS dist_q FROM a3
+"""
+
+
+@query(
+    "kmeans_lloyd_assign",
+    sql=_KMEANS_SQL,
+    tags=("embeddings", "clustering", "iterative"),
+)
+def kmeans_lloyd_assign(spark, sf_dir):
+    """Final (vec_id, cell, dist_q) after exactly 2 Lloyd rounds from
+    8 md5-seeded centroids over the embeddings table — the exact-
+    arithmetic clustering primitive a curation pipeline feeds SemDeDup
+    or cluster-balanced mixture sampling.
+
+    Scale shape: per round one corpus scan (assignment is a broadcast
+    of ONE packed centroid row, argmin scan-local) + a 64-column
+    map-side-partial aggregation whose shuffle is k rows per partition;
+    centroids localCheckpoint with tracked release. The corpus itself
+    never shuffles and is never cached. See
+    operators/clustering.py::kmeans_lloyd.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=_K, iters=_ITERS, dim=_DIM)

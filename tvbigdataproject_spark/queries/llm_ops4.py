@@ -464,3 +464,53 @@ def embed_centroid_by_label(spark, sf_dir):
             (stable_sum(F.col("v"), 6) / F.count(F.lit(1))).alias("centroid"),
         )
     )
+
+
+@query(
+    "priority_sample_topk",
+    sql="""
+    WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               (n_chars * 4294967296)
+                   // (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT + 1)
+                   AS prio
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, prio
+    FROM pri
+    ORDER BY prio DESC, doc_id
+    LIMIT 100
+    """,
+    tags=("llm", "sampling", "weighted"),
+)
+def priority_sample_topk(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup 2007): a weighted
+    WITHOUT-replacement sample of k=100 documents, weight = n_chars, as
+    the top-k by priority w/u with u a per-doc uniform. Complements
+    sample_weighted_hash (per-source Bernoulli RATES) with the other
+    production sampler: a fixed-SIZE weighted sample whose (k+1)-th
+    priority is the Horvitz-Thompson threshold for unbiased sum
+    estimates over the kept rows.
+
+    Exactness: u is the 16-bit md5 bucket, and the priority is the
+    INTEGER floor of w*2^32/(h+1) — membership and order are pure
+    integer functions of (doc_id, n_chars), so re-runs, repartitioning,
+    and both engines agree bit-for-bit (no pow()/ln() in the sort key —
+    transcendental last-ULP disagreement is exactly what a cross-engine
+    gate cannot carry). Floor-coarsened priorities tie at most on equal
+    (w, h) pairs; doc_id breaks those deterministically.
+
+    Scale shape: scan-local priority + TakeOrderedAndProject — no full
+    sort, no shuffle beyond the k-row merge at any corpus size.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    h = hex16_hash(F.col("doc_id").cast("string"))
+    pri = docs.select(
+        "doc_id", "source", "n_chars", h.alias("_h")
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("(n_chars * 4294967296) div (_h + 1)").alias("prio"),
+    )
+    return pri.orderBy(F.col("prio").desc(), "doc_id").limit(100)

@@ -240,3 +240,29 @@ def table_checksum_buckets(spark, sf_dir):
             F.sum("h").alias("checksum"),
         )
     )
+
+
+@query(
+    "global_row_numbers",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS seq
+    FROM orders
+    """,
+    tags=("maintenance", "sequence", "layout"),
+)
+def global_row_numbers_orders(spark, sf_dir):
+    """Contiguous 1..N sequence ids over orders by o_orderkey — the
+    stable-surrogate-id assignment every ingestion pipeline needs,
+    WITHOUT the oracle's single-partition global window: range-bucket
+    counts + a bounded offsets window + within-bucket ranks
+    (operators/sequence.py::global_row_numbers). The oracle's plain
+    ROW_NUMBER is the semantic spec; the Spark plan is the shape that
+    survives 100 TB (one corpus shuffle, no global sort).
+    """
+    from tvbigdataproject_spark.operators.sequence import global_row_numbers
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return global_row_numbers(orders, key="o_orderkey", bucket_width=1024)

@@ -75,12 +75,15 @@ def semdedup_prune(spark, sf_dir):
     lower-id cosine domination at 0.3. Output is the surviving
     (vec_id, cell) set — the rows a training pipeline would keep.
 
-    Scale shape: the centroid sweep broadcasts 8 rows against the
-    partitioned corpus (corpus never shuffles for assignment — the
-    k-means assignment-step plan); within-cluster pruning rides the
-    salted shuffle-hash pair join of cosine_neardup_pairs, and the
-    final anti-join keys on vec_id. See operators/similarity.py
-    semdedup_survivors for the greedy-vs-dominated semantics note.
+    Scale shape: the centroid sweep ships the bounded centroid matrix
+    to every partition and argmaxes scan-locally in one mapInPandas
+    stage (one output row per corpus row — no per-(vector, centroid)
+    row blowup, no shuffle; the earlier crossJoin+window form measured
+    5.3x/decade super-linear on the density-scaled ladder, SCALE.md);
+    within-cluster pruning rides the salted shuffle-hash pair join of
+    cosine_neardup_pairs, and the final anti-join keys on vec_id. See
+    operators/similarity.py semdedup_survivors for the
+    greedy-vs-dominated semantics note.
     """
     emb = read_table(spark, sf_dir, "embeddings")
     return semdedup_survivors(
