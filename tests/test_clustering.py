@@ -117,3 +117,101 @@ def test_quantize_is_scan_local_and_exact(spark):
     assert q == [QUANT_SCALE // 2, -(QUANT_SCALE // 2), QUANT_SCALE // 4]
     plan = quantize_vectors(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- DBSCAN
+
+
+def _py_dbscan(ids, labels, vecs, threshold, min_pts):
+    """Reference DBSCAN on the same-cell cosine relation, all floats as
+    sequential left folds (the engine-portable order)."""
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    import math
+
+    by_cell = {}
+    for i, lb in zip(ids, labels):
+        by_cell.setdefault(lb, []).append(i)
+    vec = dict(zip(ids, vecs))
+    nbrs = {i: set() for i in ids}
+    for cell, members in by_cell.items():
+        ms = sorted(members)
+        for xi in range(len(ms)):
+            for yi in range(xi + 1, len(ms)):
+                a, b = ms[xi], ms[yi]
+                cos = fold_dot(vec[a], vec[b]) / (
+                    math.sqrt(fold_dot(vec[a], vec[a]))
+                    * math.sqrt(fold_dot(vec[b], vec[b]))
+                )
+                if cos >= threshold:
+                    nbrs[a].add(b)
+                    nbrs[b].add(a)
+    core = {i for i in ids if len(nbrs[i]) >= min_pts}
+    # union-find over core-core edges
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in core:
+        for b in nbrs[a]:
+            if b in core:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    cluster = {i: min(j for j in core if find(j) == find(i)) for i in core}
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = ("core", cluster[i])
+        else:
+            cands = [cluster[j] for j in nbrs[i] if j in core]
+            out[i] = ("border", min(cands)) if cands else ("noise", None)
+    return out
+
+
+def test_dbscan_matches_python_model(spark):
+    import pyarrow.parquet as pq
+
+    from tvbigdataproject_spark.operators.clustering import dbscan_cosine
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    labels = t.column("label").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    want = _py_dbscan(ids, labels, vecs, threshold=0.2, min_pts=4)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {
+        r.vec_id: (r.role, r.cluster)
+        for r in dbscan_cosine(emb, threshold=0.2, min_pts=4).collect()
+    }
+    assert got == want
+    roles = [v[0] for v in got.values()]
+    # the parameter choice must exercise all three roles
+    assert {"core", "border", "noise"} <= set(roles) or len(ids) < 60
+
+
+def test_dbscan_partitioning_invariance(spark):
+    from tvbigdataproject_spark.operators.clustering import dbscan_cosine
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = sorted(
+        map(tuple, dbscan_cosine(emb, threshold=0.2, min_pts=4).collect())
+    )
+    shuf = sorted(
+        map(
+            tuple,
+            dbscan_cosine(
+                emb.repartition(7), threshold=0.2, min_pts=4
+            ).collect(),
+        )
+    )
+    assert base == shuf

@@ -168,3 +168,114 @@ def kmeans_lloyd(
     # the returned (lazy) plan reads only the final checkpointed pack;
     # it stays persisted — one k-row blob, the operator's live output
     return _assign(quant, packed, id_col).select(id_col, "cell", "dist_q")
+
+
+def dbscan_cosine(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    min_pts: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Distributed DBSCAN over an embedding column with cosine
+    similarity >= ``threshold`` as the eps-neighborhood relation,
+    blocked by the coarse cell (same neighbor contract as
+    cosine_neardup_pairs — at 100 TB the cell bound keeps the pair
+    space per-cell, and a production run scales the cell count with
+    corpus density).
+
+    Returns (vec_id, role, cluster): role in {'core','border','noise'};
+    cluster is the minimum core vec_id of the point's density-connected
+    component (NULL for noise). Classic DBSCAN leaves border assignment
+    scan-order-dependent when a border point touches two clusters; here
+    it is pinned to the MINIMUM neighboring core cluster id, making the
+    whole output deterministic and oracle-replayable.
+
+    Plan shape: one guarded quadratic pair join (salted, AQE-proof —
+    cosine_neardup_pairs), checkpointed once for its four consumers
+    (degree count, two core semi-joins, border attach), then
+    pointer-jumping connected components over the CORE-CORE edge
+    subgraph only — the iterative cost scales with core edges, not
+    corpus pairs. Isolated cores (min_pts met purely by border
+    neighbors) enter the component table via self-loops.
+
+    The cosine kernel is the sequential-fold one, so the threshold test
+    is bitwise engine-portable (the embed_neardup_pairs convention).
+    """
+    from tvbigdataproject_spark.operators.components import (
+        _persistent_ids,
+        connected_components,
+    )
+    from tvbigdataproject_spark.operators.similarity import cosine_neardup_pairs
+
+    sc = emb.sparkSession.sparkContext
+    pairs, pair_ids = _checkpoint_tracked(
+        cosine_neardup_pairs(
+            emb,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            cell_col=cell_col,
+        ).select("vec_a", "vec_b"),
+        sc,
+    )
+    try:
+        nbrs = pairs.unionByName(
+            pairs.select(
+                F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")
+            )
+        )
+        core = (
+            nbrs.groupBy("vec_a")
+            .count()
+            .where(F.col("count") >= min_pts)
+            .select(F.col("vec_a").alias("node"))
+        )
+        core_edges = (
+            pairs.join(
+                core.select(F.col("node").alias("vec_a")), "vec_a", "left_semi"
+            )
+            .join(core.select(F.col("node").alias("vec_b")), "vec_b", "left_semi")
+            .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        )
+        loops = core.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        before_cc = _persistent_ids(sc)
+        clusters = connected_components(core_edges.unionByName(loops)).select(
+            F.col("node").alias("vec_id"), F.col("label").alias("core_cluster")
+        )
+        cc_ids = _persistent_ids(sc) - before_cc
+        border = (
+            nbrs.join(
+                core.select(F.col("node").alias("vec_a")), "vec_a", "left_anti"
+            )
+            .join(
+                clusters.select(
+                    F.col("vec_id").alias("vec_b"),
+                    F.col("core_cluster").alias("nbr_cluster"),
+                ),
+                "vec_b",
+            )
+            .groupBy(F.col("vec_a").alias("vec_id"))
+            .agg(F.min("nbr_cluster").alias("border_cluster"))
+        )
+        out = (
+            emb.select(F.col(id_col).alias("vec_id"))
+            .join(clusters, "vec_id", "left")
+            .join(border, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(F.col("core_cluster").isNotNull(), F.lit("core"))
+                .when(F.col("border_cluster").isNotNull(), F.lit("border"))
+                .otherwise(F.lit("noise"))
+                .alias("role"),
+                F.coalesce("core_cluster", "border_cluster").alias("cluster"),
+            )
+        )
+        # one small row per vector: materialize the verdict, then every
+        # upstream block (quadratic pairs, CC labels) is dead
+        out_ck, out_ids = _checkpoint_tracked(out, sc)
+        _unpersist_ids(sc, cc_ids)
+        return out_ck
+    finally:
+        _unpersist_ids(sc, pair_ids)

@@ -15,6 +15,11 @@ from tvbigdataproject_spark.operators.clustering import (
     QUANT_SCALE,
     kmeans_lloyd,
 )
+from tvbigdataproject_spark.queries.embeddings import (
+    _DOT as _E_DOT,
+    _NORM_A as _E_NORM_A,
+    _NORM_B as _E_NORM_B,
+)
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
 
@@ -107,3 +112,72 @@ def kmeans_lloyd_assign(spark, sf_dir):
     """
     emb = read_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, k=_K, iters=_ITERS, dim=_DIM)
+
+
+_T = 0.2        # cosine eps-neighborhood (synthetic label clusters sit ~0.2-0.3)
+_MIN_PTS = 4
+
+
+@query(
+    "dbscan_embeddings",
+    sql=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ({_E_DOT}) / ({_E_NORM_A} * {_E_NORM_B}) >= {_T}
+    ),
+    nbrs AS (
+        SELECT va AS nd, vb AS ot FROM pairs
+        UNION ALL
+        SELECT vb, va FROM pairs
+    ),
+    core AS (SELECT nd FROM nbrs GROUP BY nd HAVING count(*) >= {_MIN_PTS}),
+    ce AS (
+        SELECT n.nd AS a, n.ot AS b
+        FROM nbrs n
+        JOIN core c1 ON n.nd = c1.nd
+        JOIN core c2 ON n.ot = c2.nd
+    ),
+    lab(node, label) AS (
+        SELECT nd, nd FROM core
+        UNION
+        SELECT ce.a, lab.label FROM ce JOIN lab ON lab.node = ce.b
+    ),
+    clusters AS (SELECT node, min(label) AS cluster FROM lab GROUP BY node),
+    border AS (
+        SELECT n.nd AS node, min(c.cluster) AS cluster
+        FROM nbrs n JOIN clusters c ON n.ot = c.node
+        WHERE n.nd NOT IN (SELECT nd FROM core)
+        GROUP BY n.nd
+    )
+    SELECT e.vec_id,
+           CASE WHEN cl.node IS NOT NULL THEN 'core'
+                WHEN b.node IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(cl.cluster, b.cluster) AS cluster
+    FROM embeddings e
+    LEFT JOIN clusters cl ON e.vec_id = cl.node
+    LEFT JOIN border b ON e.vec_id = b.node
+    """,
+    tags=("embeddings", "clustering", "dedup"),
+)
+def dbscan_embeddings(spark, sf_dir):
+    """Distributed DBSCAN over the embeddings table (cosine >= 0.2
+    within the coarse cell, min_pts 4): every vector tagged
+    core/border/noise with its density-connected cluster id (minimum
+    core vec_id). Border points pin to the MINIMUM neighboring core
+    cluster so the classic scan-order ambiguity is gone and the whole
+    partition replays in the recursive-CTE oracle.
+
+    Scale path: the only quadratic step is the cell-blocked salted pair
+    join (embed_neardup_pairs' guarded plan); the iterative component
+    step runs on core-core edges only. Reference's dedup surface has no
+    density clustering — this is part of the beyond-reference LLM-data
+    tier (cluster-then-filter corpus curation).
+    """
+    from tvbigdataproject_spark.operators.clustering import dbscan_cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dbscan_cosine(emb, threshold=_T, min_pts=_MIN_PTS)
