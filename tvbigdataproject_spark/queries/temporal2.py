@@ -165,3 +165,96 @@ def ohlc_bars_hourly(spark, sf_dir):
         F.max(F.when(F.col("rn") == F.col("cnt"), F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "cusum_changepoint",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    x AS (
+        SELECT event_type, day, cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+               SUM(cnt) OVER (PARTITION BY event_type) AS total
+        FROM daily
+    ),
+    d AS (
+        SELECT event_type, day, n_days, total,
+               n_days * cum - t * total AS dev,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(n_days * cum - t * total) DESC, day
+               ) AS rn
+        FROM x
+    )
+    SELECT event_type, day AS cp_day, n_days, total AS total_events,
+           abs(dev) AS cusum_dev,
+           CAST(CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END
+                AS INT) AS dev_sign
+    FROM d WHERE rn = 1
+    """,
+    tags=("temporal", "anomaly", "changepoint"),
+)
+def cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint per event_type: the day maximizing the absolute
+    cumulative deviation of the daily event count from its series mean
+    — the classic offline level-shift estimator (argmax_t |S_t|).
+
+    Integer-exact: the mean is never materialized — the deviation is
+    kept in cross-multiplied form ``n_days * prefix_t - t * total``
+    (BIGINT; ~2^13 days x 2^40 events stays far under 2^63), so the
+    argmax and the reported magnitude are bitwise engine-portable. Ties
+    break on the earlier day.
+
+    Scale shape: the corpus-sized scan collapses map-side into the
+    (type, day) daily grid — the window/argmax run on n_types x n_days
+    rows, never on raw events. At 100 TB the only full-data cost is the
+    one partial-aggregated shuffle of the daily grid.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type")
+    x = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    dev = F.col("n_days") * F.col("cum") - F.col("t") * F.col("total")
+    d = x.select(
+        "event_type",
+        "day",
+        "n_days",
+        "total",
+        dev.alias("dev"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(dev).desc(), F.col("day").asc()
+            )
+        )
+        .alias("rn"),
+    )
+    return d.where(F.col("rn") == 1).select(
+        "event_type",
+        F.col("day").alias("cp_day"),
+        "n_days",
+        F.col("total").alias("total_events"),
+        F.abs(F.col("dev")).alias("cusum_dev"),
+        F.when(F.col("dev") > 0, F.lit(1))
+        .when(F.col("dev") < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("dev_sign"),
+    )
