@@ -710,3 +710,103 @@ def nearest_click_join(spark, sf_dir):
         "click_id",
         F.expr("gap_us DIV 1000000").alias("gap_seconds"),
     )
+
+
+def _holt_walk(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sequential Holt recursion per priority series. One group = one
+    daily series (n_days rows, SF-independent grid), so the Python loop
+    is short no matter the corpus size."""
+    pdf = pdf.sort_values("rn", kind="mergesort")
+    level = trend = None
+    levels, trends = [], []
+    for x in pdf["x_cents"].tolist():
+        x = int(x)
+        if level is None:
+            level, trend = x, 0
+        else:
+            new_level = (x + level + trend) // 2
+            trend = (new_level - level + 3 * trend) // 4
+            level = new_level
+        levels.append(level)
+        trends.append(trend)
+    out = pdf[["pri", "rn", "day", "x_cents"]].copy()
+    out["level_cents"] = levels
+    out["trend_cents"] = trends
+    out["forecast_cents"] = [l + t for l, t in zip(levels, trends)]
+    return out
+
+
+@query(
+    "holt_trend_revenue",
+    sql="""
+    WITH RECURSIVE daily AS (
+        SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x_cents
+        FROM orders GROUP BY 1, 2
+    ),
+    ordered AS (
+        SELECT pri, day, x_cents,
+               ROW_NUMBER() OVER (PARTITION BY pri ORDER BY day) AS rn
+        FROM daily
+    ),
+    h(pri, rn, day, x_cents, l, b) AS (
+        SELECT pri, rn, day, x_cents, x_cents, CAST(0 AS BIGINT)
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.pri, o.rn, o.day, o.x_cents,
+               CAST(FLOOR((o.x_cents + h.l + h.b) / 2.0) AS BIGINT),
+               CAST(FLOOR((CAST(FLOOR((o.x_cents + h.l + h.b) / 2.0) AS BIGINT)
+                           - h.l + 3 * h.b) / 4.0) AS BIGINT)
+        FROM h JOIN ordered o ON o.pri = h.pri AND o.rn = h.rn + 1
+    )
+    SELECT pri, rn, day, x_cents, l AS level_cents, b AS trend_cents,
+           l + b AS forecast_cents
+    FROM h
+    """,
+    tags=("analytics", "stateful", "timeseries"),
+)
+def holt_trend_revenue(spark, sf_dir):
+    """Holt double-exponential smoothing (level + trend) of daily order
+    revenue per order priority, alpha = 1/2 and beta = 1/4:
+
+        l_t = floor((x_t + l_{t-1} + b_{t-1}) / 2)
+        b_t = floor((l_t - l_{t-1} + 3 b_{t-1}) / 4)
+
+    The dyadic coefficients keep every state transition in integer
+    cents with an explicit floor, so the recursion is bit-identical
+    across Python floor-div, DuckDB FLOOR(a/2.0), and any partitioning
+    (the capped_running_balance exactness discipline extended to
+    two-state recursion; the floor division is exact because the daily
+    sums stay far below 2^52).
+
+    Scale shape: the corpus-sized orders scan collapses map-side into
+    the (priority, day) grid; the inherently sequential recursion runs
+    in applyInPandas with one group per series over that tiny grid —
+    Python touches n_priorities x n_days rows, never the raw orders.
+    forecast_cents = l_t + b_t is the one-step-ahead forecast.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "x_cents"
+        )
+    )
+    ordered = daily.select(
+        "pri",
+        "day",
+        "x_cents",
+        F.row_number()
+        .over(Window.partitionBy("pri").orderBy("day"))
+        .alias("rn"),
+    )
+    out = ordered.groupBy("pri").applyInPandas(
+        _holt_walk,
+        schema=(
+            "pri string, rn int, day date, x_cents long, "
+            "level_cents long, trend_cents long, forecast_cents long"
+        ),
+    )
+    return out

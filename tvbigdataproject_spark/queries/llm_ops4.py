@@ -514,3 +514,67 @@ def priority_sample_topk(spark, sf_dir):
         F.expr("(n_chars * 4294967296) div (_h + 1)").alias("prio"),
     )
     return pri.orderBy(F.col("prio").desc(), "doc_id").limit(100)
+
+
+@query(
+    "mixture_temperature_sample",
+    sql="""
+    WITH counts AS (
+        SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    m AS (SELECT MIN(n) AS n_min FROM counts),
+    rated AS (
+        SELECT d.lang, d.source, c.n, m.n_min,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT AS h
+        FROM documents d
+        JOIN counts c ON d.lang = c.lang AND d.source = c.source
+        CROSS JOIN m
+    )
+    SELECT lang, source, MIN(n) AS n_total, MIN(n_min) AS n_floor,
+           CAST(SUM(CASE WHEN h * h * n < 4294967296 * n_min THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM rated GROUP BY 1, 2
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def mixture_temperature_sample(spark, sf_dir):
+    """Temperature-flattened mixture sampling (T = 2, the mT5/PaLM
+    rebalancing family): each (lang, source) domain is Bernoulli-kept
+    at rate sqrt(n_min / n_domain), so expected kept counts go from
+    n_domain to sqrt(n_min * n_domain) — big domains compressed, the
+    smallest kept whole, exactly the n^(1/T) flattening with T = 2.
+
+    No float threshold anywhere: keep iff h^2 * n < 65536^2 * n_min,
+    the squared form of h/65536 < sqrt(n_min/n) (h >= 0, both sides
+    integer — h^2 <= 2^32 times n stays under 2^63 for domains below
+    ~2^30 docs; shard the hash to fewer bits or lift to DECIMAL(38,0)
+    beyond that). The decision is a pure function of (doc_id, domain
+    count), so re-runs and repartitioning reproduce the same corpus.
+
+    Scale shape: one grouped count (domain table, dozens of rows),
+    broadcast back over one corpus scan, one grouped sum — the corpus
+    never shuffles.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    h = hex16_hash(F.col("doc_id").cast("string"))
+    rated = (
+        docs.select("doc_id", "lang", "source")
+        .join(F.broadcast(counts), ["lang", "source"])
+        .crossJoin(F.broadcast(n_min))
+        .select(
+            "lang",
+            "source",
+            "n",
+            "n_min",
+            (h * h * F.col("n") < F.lit(4294967296) * F.col("n_min")).alias(
+                "kept"
+            ),
+        )
+    )
+    return rated.groupBy("lang", "source").agg(
+        F.min("n").alias("n_total"),
+        F.min("n_min").alias("n_floor"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
