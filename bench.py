@@ -86,6 +86,10 @@ HEADLINE = [
     "semdedup_prune",           # centroid-assign + within-cell prune
     "kmeans_lloyd_assign",      # integer-exact Lloyd rounds (bcast assign)
     "global_row_numbers",       # distributed contiguous sequence ids
+    "dbscan_embeddings",        # density clustering: cell-blocked + core CC
+    "cusum_changepoint",        # integer CUSUM level-shift argmax
+    "holt_trend_revenue",       # two-state dyadic smoothing recursion
+    "mixture_temperature_sample",  # T=2 flattening, integer keep test
 ]
 
 

@@ -41,7 +41,7 @@ _K1P1 = "2.25"  # k1 + 1, dyadic: 9/4
 _ONE_MINUS_B = "0.25"  # dyadic: 1/4
 
 
-def _bm25_sql() -> str:
+def _bm25_body() -> str:
     in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     pivot_cols = ",\n               ".join(
         f"COALESCE(MAX(CASE WHEN term = '{t}' THEN score END), "
@@ -82,7 +82,12 @@ def _bm25_sql() -> str:
         SELECT doc_id,
                {pivot_cols}
         FROM scored GROUP BY 1
-    )
+    )"""
+
+
+def _bm25_sql() -> str:
+    add = " + ".join(f"s_{t}" for t in _BM25_TERMS)
+    return _bm25_body() + f"""
     SELECT doc_id, s_vector, s_hash, s_scan,
            {add} AS bm25
     FROM pivoted
@@ -109,7 +114,15 @@ def bm25_topk(spark, sf_dir):
     aggregates); the quadratic-free shape is why BM25 slicing runs
     casually over web-scale corpora.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    return _bm25_pivot(read_table(spark, sf_dir, "documents")).orderBy(
+        F.desc("bm25"), "doc_id"
+    ).limit(10)
+
+
+def _bm25_pivot(docs):
+    """Per-doc BM25 pivot with per-term partials and the summed score —
+    shared by bm25_topk (top-10) and bm25_rerank_proximity (top-20
+    candidate pool)."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     )
@@ -161,11 +174,7 @@ def bm25_topk(spark, sf_dir):
     bm25 = F.col(f"s_{_BM25_TERMS[0]}")
     for term in _BM25_TERMS[1:]:
         bm25 = bm25 + F.col(f"s_{term}")
-    return (
-        pivoted.withColumn("bm25", bm25)
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(10)
-    )
+    return pivoted.withColumn("bm25", bm25)
 
 
 def _bpe_encode_oracle_sql(rounds: int) -> str:
