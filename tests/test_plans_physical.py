@@ -116,6 +116,12 @@ def test_nested_loop_joins_only_where_intended(spark):
         # ONE-row packed-centroid attach per Lloyd sweep — the corpus
         # never shuffles for assignment (operators/clustering.py)
         "kmeans_lloyd_assign",
+        # double-sweep final assembly: three one-row broadcast attaches
+        # (seed node, sweep-1 pivot, eccentricity tail) — each side is
+        # exactly one row by construction (graph6.py)
+        "graph_diameter_sweep",
+        # one-row global n_min attach (same shape as tfidf_top_terms)
+        "mixture_temperature_sample",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
@@ -238,6 +244,9 @@ _DECLARED_MAPINPANDAS = (
 # window closed form — the group walk IS the operator
 _DECLARED_GROUPED_PANDAS = (
     "clamped_inventory_balance",
+    # Holt level+trend recursion has no window closed form; one group =
+    # one daily series (SF-independent grid), Python never sees raw rows
+    "holt_trend_revenue",
 )
 # GROUPED_AGG pandas UDAF (ArrowAggregatePython) and mapInArrow — the
 # Arrow-bridge API-surface queries; the Python stage IS their point

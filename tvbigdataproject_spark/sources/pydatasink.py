@@ -19,6 +19,10 @@ makes the output atomic:
   all-None messages (observed on 4.1), so per-job namespacing is the
   only reliable cleanup handle. The job id is generated once on the
   driver when the writer is constructed and serialized to every task.
+  Because straggler tasks may still be creating temps when abort()
+  runs (task-kill latency), abort first drops an ``_aborted-{job}``
+  sentinel that every task re-checks after writing (self-clean), then
+  sweeps until quiescent; the next commit() janitors stale sentinels.
 
 Local-filesystem rename is atomic per file; on an object store the
 same protocol runs with multipart-upload completion as the "rename".
@@ -73,6 +77,9 @@ class JsonDirWriter(DataSourceWriter):
         # driver-side, once per write job; tasks inherit it via pickle
         self.job_id = uuid.uuid4().hex
 
+    def _sentinel(self) -> str:
+        return os.path.join(self.path, f"_aborted-{self.job_id}")
+
     def write(self, iterator) -> _PartMessage:
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(
@@ -94,6 +101,19 @@ class JsonDirWriter(DataSourceWriter):
             with contextlib.suppress(FileNotFoundError):
                 os.remove(tmp)
             raise
+        if os.path.exists(self._sentinel()):
+            # the driver already aborted this job (a sibling task
+            # failed) and its cleanup sweep may have run BEFORE this
+            # straggler created its temp — the sentinel closes that
+            # race: any temp created after the sweep is created after
+            # the sentinel, so its task sees the sentinel here and
+            # self-cleans instead of leaking the file.
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(tmp)
+            raise RuntimeError(
+                f"jsonldir job {self.job_id} was aborted; "
+                "straggler task output discarded"
+            )
         return _PartMessage(tmp_path=tmp, n_rows=n)
 
     def commit(self, messages) -> None:
@@ -148,12 +168,50 @@ class JsonDirWriter(DataSourceWriter):
                 {"rows": prev_rows + total, "parts": base + len(messages)},
                 fh,
             )
+        # janitor: a PRIOR job's abort leaves its sentinel behind (see
+        # abort() — removing it would reopen the straggler race). A
+        # later successful commit to the same directory is the safe
+        # point to clear that job's debris: its tasks are long dead.
+        for s in _glob.glob(os.path.join(self.path, "_aborted-*")):
+            job = os.path.basename(s)[len("_aborted-"):]
+            if job == self.job_id:
+                continue
+            for tmp in _glob.glob(os.path.join(self.path, f"_tmp-{job}-*")):
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(tmp)
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(s)
 
     def abort(self, messages) -> None:
         import glob as _glob
+        import time as _time
 
-        for tmp in _glob.glob(os.path.join(self.path, f"_tmp-{self.job_id}-*")):
-            os.remove(tmp)
+        # Spark can deliver the driver-side abort while straggler tasks
+        # of this job are still creating temps (task-kill latency), so a
+        # single glob sweep races them two ways: (a) a temp created
+        # after the glob leaks; (b) a temp the task's own except-handler
+        # just removed makes os.remove raise. Protocol: drop the
+        # job-scoped abort sentinel FIRST — every task re-checks it
+        # after finishing its temp and self-cleans (write()) — then
+        # sweep until two consecutive quiescent passes (bounded). The
+        # sentinel is retained: removing it would reopen the race for a
+        # task killed between sweeps; the next commit() janitors it.
+        os.makedirs(self.path, exist_ok=True)
+        open(self._sentinel(), "w").close()
+        quiescent = 0
+        deadline = _time.monotonic() + 10.0
+        while quiescent < 2:
+            temps = _glob.glob(
+                os.path.join(self.path, f"_tmp-{self.job_id}-*")
+            )
+            for tmp in temps:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(tmp)
+            quiescent = 0 if temps else quiescent + 1
+            if quiescent < 2:
+                if _time.monotonic() > deadline:
+                    break
+                _time.sleep(0.05)
 
 
 def register_json_sink(spark) -> None:
