@@ -126,3 +126,24 @@ def test_registered_query_sources_accrue_nothing(spark):
     # scaled integer and float agree
     for r in rows[:50]:
         assert abs(r.betweenness - r.bc_scaled / _BC_SCALE) < 1e-9
+
+
+def test_hop_budget_larger_than_graph_early_exits_and_stays_exact(spark):
+    # path 0-1-2 with max_hops=10: the forward sweep's frontier empties
+    # at hop 2 — the span-boundary convergence check must stop there
+    # (no empty re-checkpoint rounds) and the backward descent must
+    # start at the deepest REACHED level, with values still exact
+    pairs = [(0, 1), (1, 2)]
+    got, want = _run(spark, pairs, [0, 1, 2], max_hops=10)
+    for v, w in want.items():
+        assert abs(got.get(v, 0.0) - w) < 1e-6, (v, got.get(v), w)
+
+
+def test_isolated_sources_yield_empty_result(spark):
+    # sources with no outgoing edges reach nothing: deepest hop is 0,
+    # the zero-depth backward guard returns an empty typed frame
+    e = spark.createDataFrame([(10, 11)], "src long, dst long")
+    s = spark.createDataFrame([(99,)], "node long")
+    out = brandes_betweenness(e, s, max_hops=5)
+    assert out.columns == ["node", "bc_scaled", "betweenness"]
+    assert out.count() == 0

@@ -150,7 +150,8 @@ def _py_dbscan(ids, labels, vecs, threshold, min_pts):
                 if cos >= threshold:
                     nbrs[a].add(b)
                     nbrs[b].add(a)
-    core = {i for i in ids if len(nbrs[i]) >= min_pts}
+    # inclusive neighborhood (sklearn min_samples): the point counts itself
+    core = {i for i in ids if len(nbrs[i]) + 1 >= min_pts}
     # union-find over core-core edges
     parent = {i: i for i in core}
 

@@ -162,6 +162,33 @@ def test_community_modularity_releases_all_but_result(spark):
     assert after - before <= 2
 
 
+def test_community_modularity_spares_foreign_caches(spark):
+    # the release sweep must only touch blocks THIS query checkpointed:
+    # a concurrent user persist() alive across the call must survive
+    # (round-7 advice: the old global persistent-id diff swept it up)
+    from tvbigdataproject_spark.queries.registry import REGISTRY
+
+    sc = spark.sparkContext
+
+    def _alive():
+        return {
+            int(str(k)) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    foreign = spark.range(100).persist()
+    foreign.count()
+    mine = _alive()
+    try:
+        df = REGISTRY["community_modularity"].fn(spark, "/root/testdata/sf0.001")
+        assert df.count() == 1
+        # every persistent RDD id alive BEFORE the query (the foreign
+        # cache's blocks) must still be alive after it returns
+        assert mine - _alive() == set()
+        assert foreign.count() == 100
+    finally:
+        foreign.unpersist()
+
+
 def test_best_of_cluster_keeps_highest_quality(spark):
     from tvbigdataproject_spark.operators.components import (
         best_of_cluster_survivors,

@@ -87,3 +87,23 @@ def test_sparse_keys_stay_contiguous(spark):
         for r in global_row_numbers(df, "k", 64).collect()
     )
     assert got == [(5, 1), (7, 2), (100_000, 3), (999_999, 4)]
+
+
+def test_auto_bucket_width_bounds_bucket_count(spark):
+    from pyspark.sql import functions as F
+
+    # sparse wide domain: 1000 keys spread over [0, 4e9) — a fixed
+    # width-1024 bucketing would make ~4M buckets; auto mode must cap
+    # the bucket table near target_buckets while numbering stays exact
+    df = spark.range(1000).select(
+        (F.col("id") * 4_000_000).alias("k")
+    )
+    out = global_row_numbers(df, "k", target_buckets=64)
+    rows = sorted((r.k, r.seq) for r in out.collect())
+    assert [s for _, s in rows] == list(range(1, 1001))
+    # the derived width puts all 1000 present keys into <= ~64 buckets
+    width = -(-(999 * 4_000_000 + 1) // 64)
+    n_buckets = df.select(
+        F.floor(F.col("k") / F.lit(width)).alias("b")
+    ).distinct().count()
+    assert n_buckets <= 65

@@ -61,7 +61,7 @@ def main() -> None:
             .repartition(32)
             .localCheckpoint(eager=True)
         )
-        best, rows = float("inf"), None
+        best, rows, cold = float("inf"), None, None
         for rep in range(1 + args.reps):
             t0 = time.time()
             # dbscan_cosine materializes its verdict eagerly — the call
@@ -71,9 +71,14 @@ def main() -> None:
             )
             el = time.time() - t0
             if rep == 0:
+                cold = el
                 rows = df.count()
             else:
                 best = min(best, el)
+        if best == float("inf"):
+            # --reps 0: no warm rep ran — fall back to the cold elapsed
+            # rather than poisoning time_ratio/per_decade with inf
+            best = cold
         rec[f"c{copies}"] = {"rows": rows, "sec": round(best, 2)}
         print(f"dbscan @c{copies}: {rows} rows, {best:.2f}s warm", flush=True)
     lo, hi = f"c{rungs[0]}", f"c{rungs[-1]}"

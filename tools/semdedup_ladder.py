@@ -81,7 +81,7 @@ def main() -> None:
         )
         rec[f"c{copies}"] = {"k": k}
         for variant, two_level in (("flat", False), ("routed", True)):
-            best, rows = float("inf"), None
+            best, rows, cold = float("inf"), None, None
             for rep in range(1 + args.reps):
                 t0 = time.time()
                 df = semdedup_survivors(
@@ -90,9 +90,14 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 el = time.time() - t0
                 if rep == 0:
+                    cold = el
                     rows = df.count()
                 else:
                     best = min(best, el)
+            if best == float("inf"):
+                # --reps 0: no warm rep ran — use the cold elapsed
+                # rather than poisoning the ratio rows with inf
+                best = cold
             rec[f"c{copies}"][variant] = {"rows": rows, "sec": round(best, 2)}
             print(
                 f"semdedup[{variant}] @c{copies} (k={k}): {rows} rows, "

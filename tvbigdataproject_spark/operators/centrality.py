@@ -86,7 +86,13 @@ def brandes_betweenness(
         _unpersist_ids(sc, e_ids)
         raise
     try:
-        return _backward(e, settled, max_hops, sc)
+        # the graph may be shallower than the hop budget (the forward
+        # sweep early-exits on an empty frontier): descend only from the
+        # deepest level actually reached, else every unused level costs
+        # one empty checkpointed delta table. One 1-row aggregate over
+        # the already-checkpointed settled table.
+        deepest = settled.agg(F.max("hop")).collect()[0][0]
+        return _backward(e, settled, min(max_hops, int(deepest or 0)), sc)
     finally:
         _unpersist_ids(sc, settled_ids)
         _unpersist_ids(sc, e_ids)
@@ -132,6 +138,15 @@ def _forward(e, start, max_hops, checkpoint_interval, sc):
             stepped, stepped_ids = _checkpoint_tracked(plan, sc)
             _unpersist_ids(sc, visited_ids)
             visited, visited_ids = stepped, stepped_ids
+            # convergence check at the span boundary (the materialized
+            # frontier makes the count one cheap block scan — the same
+            # pattern as connected_components): a graph shallower than
+            # max_hops must not keep re-checkpointing the full visited
+            # table through empty join rounds.
+            if hop < max_hops and not visited.where(
+                F.col("hop") == hop
+            ).head(1):
+                break
     except Exception:
         _unpersist_ids(sc, visited_ids)
         raise
@@ -148,6 +163,14 @@ def _backward(e, settled, max_hops, sc):
     lineage would nest depth-deep — and every level's blocks are
     released once the final sum materializes.
     """
+    if max_hops <= 0:
+        # nothing was reached beyond the sources: no node accrues any
+        # dependency — an empty result with the output schema
+        return settled.limit(0).select(
+            "node",
+            F.lit(0).cast("long").alias("bc_scaled"),
+            F.lit(0.0).alias("betweenness"),
+        )
     level_ids: list[set[int]] = []
     levels: list[DataFrame] = []
     delta_next = settled.where(F.col("hop") == max_hops).select(

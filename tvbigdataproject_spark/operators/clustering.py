@@ -187,10 +187,13 @@ def dbscan_cosine(
 
     Returns (vec_id, role, cluster): role in {'core','border','noise'};
     cluster is the minimum core vec_id of the point's density-connected
-    component (NULL for noise). Classic DBSCAN leaves border assignment
-    scan-order-dependent when a border point touches two clusters; here
-    it is pinned to the MINIMUM neighboring core cluster id, making the
-    whole output deterministic and oracle-replayable.
+    component (NULL for noise). The core test uses the classic
+    INCLUSIVE convention — the eps-neighborhood contains the point
+    itself, so ``min_pts`` ports 1:1 from sklearn's ``min_samples``.
+    Classic DBSCAN leaves border assignment scan-order-dependent when a
+    border point touches two clusters; here it is pinned to the MINIMUM
+    neighboring core cluster id, making the whole output deterministic
+    and oracle-replayable.
 
     Plan shape: one guarded quadratic pair join (salted, AQE-proof —
     cosine_neardup_pairs), checkpointed once for its four consumers
@@ -226,10 +229,13 @@ def dbscan_cosine(
                 F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")
             )
         )
+        # classic (sklearn min_samples) convention: the eps-neighborhood
+        # INCLUDES the point itself; nbrs carries no self-pairs, so the
+        # test is count + 1 >= min_pts
         core = (
             nbrs.groupBy("vec_a")
             .count()
-            .where(F.col("count") >= min_pts)
+            .where(F.col("count") + 1 >= min_pts)
             .select(F.col("vec_a").alias("node"))
         )
         core_edges = (

@@ -38,12 +38,28 @@ from pyspark.sql import functions as F
 def global_row_numbers(
     df: DataFrame,
     key: str,
-    bucket_width: int,
+    bucket_width: int | None = None,
     out_col: str = "seq",
+    target_buckets: int = 4096,
 ) -> DataFrame:
     """Append ``out_col`` = the 1-based global rank of ``key`` (which
     must be unique — ties would make the numbering ambiguous on any
-    engine). Exact on any partitioning; one corpus shuffle."""
+    engine). Exact on any partitioning; one corpus shuffle.
+
+    ``bucket_width`` must scale with the KEY DOMAIN, not the row count:
+    buckets come only from keys present in the data, but a sparse/wide
+    domain (surrogate keys at large SF) still yields span/width buckets
+    — a fixed small width inflates both the offsets broadcast and the
+    single-task offsets window. Default (None) derives the width from
+    the observed min/max key so the bucket table stays ~``target_
+    buckets`` rows at ANY scale, at the cost of one extra map-side-
+    aggregated scan. The numbering itself is exact for any width."""
+    if bucket_width is None:
+        lo, hi = df.agg(
+            F.min(F.col(key).cast("long")), F.max(F.col(key).cast("long"))
+        ).first()
+        span = (int(hi) - int(lo) + 1) if lo is not None else 1
+        bucket_width = max(1, -(-span // int(target_buckets)))
     base = df.withColumn(
         "_b", F.floor(F.col(key).cast("long") / F.lit(int(bucket_width)))
     )

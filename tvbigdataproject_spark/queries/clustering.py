@@ -133,7 +133,7 @@ _MIN_PTS = 4
         UNION ALL
         SELECT vb, va FROM pairs
     ),
-    core AS (SELECT nd FROM nbrs GROUP BY nd HAVING count(*) >= {_MIN_PTS}),
+    core AS (SELECT nd FROM nbrs GROUP BY nd HAVING count(*) + 1 >= {_MIN_PTS}),
     ce AS (
         SELECT n.nd AS a, n.ot AS b
         FROM nbrs n
@@ -165,11 +165,13 @@ _MIN_PTS = 4
 )
 def dbscan_embeddings(spark, sf_dir):
     """Distributed DBSCAN over the embeddings table (cosine >= 0.2
-    within the coarse cell, min_pts 4): every vector tagged
-    core/border/noise with its density-connected cluster id (minimum
-    core vec_id). Border points pin to the MINIMUM neighboring core
-    cluster so the classic scan-order ambiguity is gone and the whole
-    partition replays in the recursive-CTE oracle.
+    within the coarse cell, min_pts 4 under the classic INCLUSIVE
+    neighborhood convention — the point counts itself, sklearn's
+    min_samples semantics): every vector tagged core/border/noise with
+    its density-connected cluster id (minimum core vec_id). Border
+    points pin to the MINIMUM neighboring core cluster so the classic
+    scan-order ambiguity is gone and the whole partition replays in
+    the recursive-CTE oracle.
 
     Scale path: the only quadratic step is the cell-blocked salted pair
     join (embed_neardup_pairs' guarded plan); the iterative component

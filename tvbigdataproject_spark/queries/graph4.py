@@ -498,7 +498,6 @@ def community_modularity(spark, sf_dir):
     )
 
     sc = spark.sparkContext
-    before_ids = _persistent_ids(sc)
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     e0 = (
@@ -515,7 +514,13 @@ def community_modularity(spark, sf_dir):
         ),
         sc,
     )
+    # capture LPA's surviving checkpoint blocks as the delta around the
+    # call itself — NOT a whole-query diff of global persistent-RDD
+    # state, which on a shared session would sweep up (and release)
+    # caches concurrent queries or user persist() calls created
+    before_lpa = _persistent_ids(sc)
     lab = label_propagation(bi, rounds=_LPA_ROUNDS)
+    lpa_ids = _persistent_ids(sc) - before_lpa
 
     deg = bi.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -580,5 +585,5 @@ def community_modularity(spark, sf_dir):
     # be released NOW instead of accruing on a long-lived session —
     # bench alone constructs this query 5x per run.
     out, out_ids = _checkpoint_tracked(result, sc)
-    _unpersist_ids(sc, (_persistent_ids(sc) - before_ids) - out_ids)
+    _unpersist_ids(sc, (_bi_ids | lpa_ids) - out_ids)
     return out

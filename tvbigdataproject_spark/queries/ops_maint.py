@@ -258,11 +258,14 @@ def global_row_numbers_orders(spark, sf_dir):
     counts + a bounded offsets window + within-bucket ranks
     (operators/sequence.py::global_row_numbers). The oracle's plain
     ROW_NUMBER is the semantic spec; the Spark plan is the shape that
-    survives 100 TB (one corpus shuffle, no global sort).
+    survives 100 TB (one corpus shuffle, no global sort). Bucket width
+    is derived from the observed key span (auto mode) so the offsets
+    table stays ~4k rows at ANY SF — a fixed width over a growing
+    surrogate-key domain would grow the broadcast with the data.
     """
     from tvbigdataproject_spark.operators.sequence import global_row_numbers
 
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
-    return global_row_numbers(orders, key="o_orderkey", bucket_width=1024)
+    return global_row_numbers(orders, key="o_orderkey")
