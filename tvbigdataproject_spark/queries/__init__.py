@@ -63,3 +63,6 @@ from tvbigdataproject_spark.queries import semantic  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph6  # noqa: F401,E402
 from tvbigdataproject_spark.queries import datacard  # noqa: F401,E402
 from tvbigdataproject_spark.queries import clustering  # noqa: F401,E402
+from tvbigdataproject_spark.queries import analytic6  # noqa: F401,E402
+from tvbigdataproject_spark.queries import dq2  # noqa: F401,E402
+from tvbigdataproject_spark.queries import llm_ops11  # noqa: F401,E402

@@ -1,0 +1,293 @@
+"""Training-data pipeline operators, batch 11: lexical diversity,
+vocabulary growth, the hashing trick, and smoothed target encoding.
+
+- token_gini_diversity  per-document Gini impurity of the token
+                        frequency distribution — the log-free lexical
+                        diversity score (entropy needs ln; Gini is an
+                        exact rational, so it cross-checks bit-for-bit)
+- vocab_growth_heaps    per-source type/token counts, hapax legomena,
+                        and exact ppm ratios — the Heaps-law corpus
+                        growth monitor
+- feature_hash_buckets  the hashing trick: 64-bucket signed token-count
+                        features per document from md5 buckets — the
+                        fixed-width featurizer that needs no vocabulary
+                        pass
+- target_encode_smoothed  m-estimate (smoothed mean) target encoding of
+                        customer segments by order value, as an exact
+                        integer rational
+
+Cross-engine exactness: the standard md5-prefix hashing for buckets and
+signs; every ratio is either an integer ppm quotient or a num/den pair
+whose single double division both engines perform on identical longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.functions.hashing import hex16_hash
+from tvbigdataproject_spark.functions.text import simple_tokens
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+
+@query(
+    "token_gini_diversity",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+    ),
+    tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    d AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * c) AS BIGINT) AS sq
+        FROM tc GROUP BY 1
+    )
+    SELECT doc_id, n AS n_tokens,
+           n * n - sq AS gini_num,
+           n * n AS gini_den,
+           CAST(n * n - sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+    FROM d
+    """,
+    tags=("llm", "text", "quality"),
+)
+def token_gini_diversity(spark, sf_dir):
+    """Per-document lexical diversity as the Gini impurity of the token
+    frequency distribution: 1 - sum_i (c_i/n)^2 = (n^2 - sum c_i^2) /
+    n^2. Near 0 means one token dominates (boilerplate, keyword spam);
+    near 1 means every token is distinct — the filter signal quality
+    pipelines usually compute as Shannon entropy, chosen in Gini form
+    because entropy needs a log (engine-divergent last bits) while Gini
+    is an exact integer rational both engines agree on bit-for-bit.
+
+    Scale shape: explode -> two partial-aggregated groupBys keyed by
+    doc; nothing global. The num/den columns carry the exact rational;
+    the double is one division of agreed longs.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "doc_id",
+            F.explode(simple_tokens(F.lower(F.col("text")))).alias("t"),
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    nn = F.col("n") * F.col("n")
+    return d.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (nn - F.col("sq")).alias("gini_num"),
+        nn.alias("gini_den"),
+        ((nn - F.col("sq")).cast("double") / nn.cast("double")).alias(
+            "gini"
+        ),
+    )
+
+
+@query(
+    "vocab_growth_heaps",
+    sql="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+    ),
+    tc AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST((1000000 * COUNT(*)) // SUM(c) AS BIGINT) AS ttr_ppm,
+           CAST((1000000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS hapax_ppm
+    FROM tc GROUP BY source
+    """,
+    tags=("llm", "text", "stats"),
+)
+def vocab_growth_heaps(spark, sf_dir):
+    """Per-source vocabulary growth statistics: token count, type
+    (distinct token) count, hapax legomena (types seen exactly once),
+    and the exact-ppm type-token and hapax ratios. Against Heaps' law
+    (types ~ tokens^beta) these expose which sources are linguistically
+    saturated vs still growing — and a hapax ratio collapsing toward 0
+    is the classic signature of template/boilerplate contamination.
+
+    Exactness: ratios are integer ppm quotients (1e6*a div b) — no
+    float shares. Scale shape: explode -> (source, token) partial
+    aggregation -> one grouped reduce to a row per source; the widest
+    intermediate is the per-source vocabulary, orders of magnitude
+    below the corpus.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(simple_tokens(F.lower(F.col("text")))).alias("t"),
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr("(1000000 * count(1)) div sum(c)")
+        .cast("long")
+        .alias("ttr_ppm"),
+        F.expr(
+            "(1000000 * sum(case when c = 1 then 1 else 0 end)) div count(1)"
+        )
+        .cast("long")
+        .alias("hapax_ppm"),
+    )
+
+
+_FH_BUCKETS = 64
+_FH_DOC_MOD = 97  # deterministic 1-in-97 doc sample keeps output bounded
+
+
+@query(
+    "feature_hash_buckets",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents WHERE doc_id % {_FH_DOC_MOD} = 0
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 4))::BIGINT % {_FH_BUCKETS}
+                   AS bucket,
+               CASE WHEN (('0x' || substr(md5(t), 1, 4))::BIGINT
+                          // {_FH_BUCKETS}) % 2 = 1
+                    THEN 1 ELSE -1 END AS sign
+        FROM tok
+    )
+    SELECT doc_id, bucket, COUNT(*) AS n,
+           CAST(SUM(sign) AS BIGINT) AS signed_sum
+    FROM h GROUP BY doc_id, bucket
+    """,
+    tags=("llm", "features", "hashing"),
+)
+def feature_hash_buckets(spark, sf_dir):
+    """The hashing trick (Weinberger et al. 2009): fixed-width signed
+    token-count features without any vocabulary pass — bucket =
+    md5_16(token) mod 64, sign from the next hash bit, feature value =
+    sum of signs (the sign makes collisions cancel in expectation,
+    which is what lets 64 buckets stand in for an unbounded
+    vocabulary). The zero-shuffle featurizer for streaming/linear
+    models over corpora whose vocabulary cannot be enumerated.
+
+    The registered query samples a deterministic 1-in-97 of documents
+    (doc_id modulus — reproducible, no RNG) to keep the oracle
+    comparison bounded; the operator itself is a pure scan-stage map +
+    one keyed aggregation at any corpus size. Bucket and sign reuse the
+    engine's md5-prefix convention, so DuckDB replays them exactly.
+    """
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _FH_DOC_MOD == 0
+    )
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(simple_tokens(F.lower(F.col("text")))).alias("t"),
+        )
+        .select("doc_id", hex16_hash(F.col("t")).alias("_h"))
+        .select(
+            "doc_id",
+            (F.col("_h") % _FH_BUCKETS).alias("bucket"),
+            F.when(F.expr(f"(_h div {_FH_BUCKETS}) % 2") == 1, 1)
+            .otherwise(-1)
+            .alias("sign"),
+        )
+    )
+    return tok.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sign").cast("long").alias("signed_sum"),
+    )
+
+
+_TE_M = 100  # m-estimate smoothing pseudo-count
+
+
+@query(
+    "target_encode_smoothed",
+    sql=f"""
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    seg AS (
+        SELECT segment, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM o GROUP BY segment
+    ),
+    g AS (
+        SELECT segment, n_orders, sum_cents,
+               CAST(SUM(n_orders) OVER () AS BIGINT) AS n_all,
+               CAST(SUM(sum_cents) OVER () AS BIGINT) AS s_all
+        FROM seg
+    )
+    SELECT segment, n_orders, sum_cents,
+           sum_cents * n_all + {_TE_M} * s_all AS enc_num,
+           n_all * (n_orders + {_TE_M}) AS enc_den,
+           CAST(sum_cents * n_all + {_TE_M} * s_all AS DOUBLE)
+               / CAST(n_all * (n_orders + {_TE_M}) AS DOUBLE) AS enc_cents
+    FROM g
+    """,
+    tags=("llm", "features", "encoding"),
+)
+def target_encode_smoothed(spark, sf_dir):
+    """m-estimate target encoding of customer segments by order value:
+    enc = (sum_seg + m * global_mean) / (n_seg + m) with m = 100 — the
+    leakage-averse categorical encoder (rare categories shrink toward
+    the global mean instead of memorizing their few targets). Kept as
+    the exact rational enc_num/enc_den: clearing global_mean = S/N
+    gives num = sum_seg*N + m*S, den = N*(n_seg + m) — pure integers,
+    so both engines agree bit-for-bit before the one final division.
+
+    Scale shape: one join + grouped aggregate to a row per segment; the
+    global totals come from a window over that bounded segment table
+    (never a one-row cross join). At extreme scales num approaches
+    long overflow (sum_cents*N ~ 1e17 at SF100) — the expression lifts
+    to DECIMAL(38,0) there; longs hold through bench SFs.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    o = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    seg = o.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    w = Window.partitionBy()
+    g = seg.select(
+        "segment",
+        "n_orders",
+        "sum_cents",
+        F.sum("n_orders").over(w).cast("long").alias("n_all"),
+        F.sum("sum_cents").over(w).cast("long").alias("s_all"),
+    )
+    num = F.col("sum_cents") * F.col("n_all") + _TE_M * F.col("s_all")
+    den = F.col("n_all") * (F.col("n_orders") + _TE_M)
+    return g.select(
+        "segment",
+        "n_orders",
+        "sum_cents",
+        num.alias("enc_num"),
+        den.alias("enc_den"),
+        (num.cast("double") / den.cast("double")).alias("enc_cents"),
+    )
