@@ -116,6 +116,8 @@ def test_nested_loop_joins_only_where_intended(spark):
         # ONE-row packed-centroid attach per Lloyd sweep — the corpus
         # never shuffles for assignment (operators/clustering.py)
         "kmeans_lloyd_assign",
+        # same one-row packed-codebook attach for PQ code assignment
+        "embed_pq_codes",
         # double-sweep final assembly: three one-row broadcast attaches
         # (seed node, sweep-1 pivot, eccentricity tail) — each side is
         # exactly one row by construction (graph6.py)

@@ -285,3 +285,89 @@ def dbscan_cosine(
         return out_ck
     finally:
         _unpersist_ids(sc, pair_ids)
+
+
+def pq_assign(
+    corpus: DataFrame,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment: split each vector into
+    ``n_sub`` contiguous subvectors and encode each against a
+    ``n_codes``-entry codebook by exact-integer squared distance —
+    the compression step of IVF-PQ ANN indexes (Jégou et al. 2011),
+    which stores dim*32-bit vectors as n_sub small codes.
+
+    Codebooks are the md5-seeded sample (the kmeans_lloyd seeding
+    rule): the n_codes md5-lowest vectors' quantized subvectors serve
+    as codewords for every subspace — deterministic and oracle-
+    replayable where a trained codebook would not be (a production
+    index trains each codebook with kmeans_lloyd on the subvectors;
+    the assignment plan below is identical either way).
+
+    Returns (id_col, code0..code{n_sub-1}, err_total): per-subspace
+    argmin codeword ids (ties -> lower id, via lexicographic struct
+    min) and the exact total squared quantization error.
+
+    Scale shape: ONE broadcast of a single packed codebook row against
+    a scan of the corpus; every distance/argmin is a JVM higher-order
+    function over n_codes elements — the corpus never shuffles and no
+    Python fence exists. The intentional one-row crossJoin is the
+    kmeans_lloyd_assign plan shape.
+    """
+    sub = dim // n_sub
+    quant = quantize_vectors(corpus, vec_col).select(id_col, "qv")
+    seed_order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.orderBy(*seed_order)
+    seeds = (
+        quant.orderBy(*seed_order)
+        .limit(n_codes)  # TakeOrdered; the window below sees n_codes rows
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cw"),
+            F.col("qv").alias("cv"),
+        )
+    )
+    packed = seeds.agg(
+        F.sort_array(F.collect_list(F.struct("cw", "cv"))).alias("cents")
+    )
+
+    def best(s: int):
+        lo = s * sub + 1  # slice() is 1-based
+
+        def dist_of(c):
+            return F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("qv"), lo, sub),
+                    F.slice(c["cv"], lo, sub),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        return F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(dist_of(c).alias("d"), c["cw"].alias("cw")),
+            )
+        )
+
+    joined = quant.crossJoin(F.broadcast(packed)).select(
+        id_col,
+        *[best(s).alias(f"_b{s}") for s in range(n_sub)],
+    )
+    err_total = None
+    for s in range(n_sub):
+        d = F.col(f"_b{s}.d")
+        err_total = d if err_total is None else err_total + d
+    return joined.select(
+        id_col,
+        *[
+            F.col(f"_b{s}.cw").cast("int").alias(f"code{s}")
+            for s in range(n_sub)
+        ],
+        err_total.cast("long").alias("err_total"),
+    )

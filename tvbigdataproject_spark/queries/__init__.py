@@ -66,3 +66,5 @@ from tvbigdataproject_spark.queries import clustering  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic6  # noqa: F401,E402
 from tvbigdataproject_spark.queries import dq2  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops11  # noqa: F401,E402
+from tvbigdataproject_spark.queries import graph7  # noqa: F401,E402
+from tvbigdataproject_spark.queries import temporal4  # noqa: F401,E402

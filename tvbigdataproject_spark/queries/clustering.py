@@ -14,6 +14,7 @@ from __future__ import annotations
 from tvbigdataproject_spark.operators.clustering import (
     QUANT_SCALE,
     kmeans_lloyd,
+    pq_assign,
 )
 from tvbigdataproject_spark.queries.embeddings import (
     _DOT as _E_DOT,
@@ -183,3 +184,77 @@ def dbscan_embeddings(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return dbscan_cosine(emb, threshold=_T, min_pts=_MIN_PTS)
+
+
+_PQ_SUB = 4
+_PQ_CODES = 16
+_PQ_SUBDIM = _DIM // _PQ_SUB
+
+
+def _pq_sub_dist(s: int) -> str:
+    lo = s * _PQ_SUBDIM + 1
+    return " + ".join(
+        f"(v.qv[{i}] - s.cv[{i}]) * (v.qv[{i}] - s.cv[{i}])"
+        for i in range(lo, lo + _PQ_SUBDIM)
+    )
+
+
+def _pq_code_cte(s: int) -> str:
+    return f"""
+    k{s} AS (
+        SELECT vec_id, cw AS code{s}, d AS err{s} FROM (
+            SELECT v.vec_id, s.cw, {_pq_sub_dist(s)} AS d,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_pq_sub_dist(s)}, s.cw)
+                       AS rn
+            FROM qp v CROSS JOIN seeds s
+        ) WHERE rn = 1
+    )"""
+
+
+_PQ_SQL = f"""
+    WITH qp AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(x::DOUBLE * {QUANT_SCALE}.0) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS INT) AS cw,
+               qv AS cv
+        FROM qp
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_PQ_CODES}
+    ),{','.join(_pq_code_cte(s) for s in range(_PQ_SUB))}
+    SELECT k0.vec_id, code0, code1, code2, code3,
+           CAST(err0 + err1 + err2 + err3 AS BIGINT) AS err_total
+    FROM k0
+    JOIN k1 USING (vec_id) JOIN k2 USING (vec_id) JOIN k3 USING (vec_id)
+"""
+
+
+@query(
+    "embed_pq_codes",
+    sql=_PQ_SQL,
+    tags=("embeddings", "clustering", "quantization"),
+)
+def embed_pq_codes(spark, sf_dir):
+    """Product-quantization codes for every embedding: 4 subspaces of
+    16 dims, each encoded against a 16-entry md5-seeded codebook by
+    exact integer squared distance (ties -> lower codeword id), plus
+    the total quantization error — the compression step of an IVF-PQ
+    ANN index, which replaces a 64x32-bit vector by four 4-bit codes
+    (embed_quantize_int8 is the scalar tier; PQ is the product tier
+    real indexes ship).
+
+    Scale shape: ONE broadcast one-row packed codebook against a corpus
+    scan; per-row work is four 16-codeword HOF argmins, all JVM-side.
+    The corpus never shuffles. See operators/clustering.py::pq_assign.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_assign(
+        emb, n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=_DIM
+    )

@@ -1,0 +1,154 @@
+"""Graph batch 7: k-truss peeling over the near-duplicate graph.
+
+The k-truss is the edge analogue of the k-core: keep only edges that
+participate in at least k-2 triangles OF THE SURVIVING SUBGRAPH,
+iterated to (bounded) fixpoint. On a duplication graph the 3-truss
+strips bridge edges (chance shingle collisions between unrelated
+templates) while keeping clique interiors — a sharper cluster core
+than triangle counts alone, because support is recomputed as weak
+edges fall away (a triangle standing on a removed edge stops counting).
+
+Bounded-round discipline: exactly 2 peel sweeps, replayed by the oracle
+as unrolled CTE rounds (the kcore_trade_graph design, lifted from node
+degrees to edge supports).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tvbigdataproject_spark.operators.components import (
+    _checkpoint_tracked,
+    _unpersist_ids,
+)
+from tvbigdataproject_spark.operators.dedup import ngram_jaccard_pairs
+from tvbigdataproject_spark.queries.dedup import _SH_SQL
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+_TRUSS_K = 3  # keep edges with support >= k-2 = 1
+
+
+def _support(pairs: DataFrame) -> DataFrame:
+    """Triangle support per canonical (a<b) edge of the CURRENT edge
+    set: the wedge join counts common neighbors x through the
+    bidirectional view. Shuffle-hash pinned — both sides are
+    corpus-pair-sized, and a size misestimate must not broadcast one
+    (the dedup-family join contract)."""
+    und = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    u1 = und.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("x"))
+    u2 = und.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("x2"))
+    return (
+        pairs.join(u1.hint("shuffle_hash"), pairs.doc_a == u1.a)
+        .join(
+            u2.hint("shuffle_hash"),
+            (F.col("doc_b") == u2.b) & (F.col("x") == u2.x2),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+_KTRUSS_SQL = f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+    ),
+    und0 AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    sup1 AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS s
+        FROM pairs p
+        JOIN und0 u1 ON u1.doc_a = p.doc_a
+        JOIN und0 u2 ON u2.doc_a = p.doc_b AND u2.doc_b = u1.doc_b
+        GROUP BY 1, 2
+    ),
+    e1 AS (
+        SELECT doc_a, doc_b FROM sup1 WHERE s >= {_TRUSS_K - 2}
+    ),
+    und1 AS (
+        SELECT doc_a, doc_b FROM e1
+        UNION ALL SELECT doc_b, doc_a FROM e1
+    ),
+    sup2 AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS s
+        FROM e1 p
+        JOIN und1 u1 ON u1.doc_a = p.doc_a
+        JOIN und1 u2 ON u2.doc_a = p.doc_b AND u2.doc_b = u1.doc_b
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(s AS BIGINT) AS support
+    FROM sup2 WHERE s >= {_TRUSS_K - 2}
+"""
+
+
+@query(
+    "ktruss_neardup",
+    sql=_KTRUSS_SQL,
+    tags=("graph", "dedup", "triangles", "iterative"),
+)
+def ktruss_neardup(spark, sf_dir):
+    """3-truss of the near-duplicate document graph (word-3-gram
+    Jaccard >= 0.4 edges), two bounded peel sweeps: round 1 drops edges
+    in zero triangles, round 2 recomputes support on the survivors and
+    drops edges whose triangles all stood on removed edges. Returns the
+    surviving canonical edges with their final (round-2) support.
+
+    Why not triangle_count_neardup: node triangle counts keep a bridge
+    edge whose endpoints are each dense elsewhere; trussness is an EDGE
+    property of the surviving subgraph, so the peel severs exactly
+    those bridges — the subgraph dedup policy treats as one template
+    family is a 3-truss, not a triangle-touching set.
+
+    Scale shape: each sweep is the oriented pair set joined twice
+    against its bidirectional view (shuffle-hash pinned, cell-bounded
+    like every dedup-family self-join) + one partial-aggregated count.
+    The expensive shingle self-join runs ONCE: the pair set is
+    checkpointed, each round's survivor set is checkpointed and the
+    previous round's blocks released (the iterative-operator lineage
+    discipline), and the returned result is materialized before its
+    inputs are freed.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sc = spark.sparkContext
+    pairs, pair_ids = _checkpoint_tracked(
+        ngram_jaccard_pairs(docs, n=3, threshold=0.4).select(
+            "doc_a", "doc_b"
+        ),
+        sc,
+    )
+    try:
+        e1, e1_ids = _checkpoint_tracked(
+            _support(pairs)
+            .where(F.col("support") >= _TRUSS_K - 2)
+            .select("doc_a", "doc_b"),
+            sc,
+        )
+    except Exception:
+        _unpersist_ids(sc, pair_ids)
+        raise
+    try:
+        out = _support(e1).where(F.col("support") >= _TRUSS_K - 2).select(
+            "doc_a", "doc_b", F.col("support").cast("long")
+        )
+        out_ck, _ = _checkpoint_tracked(out, sc)
+        return out_ck
+    finally:
+        _unpersist_ids(sc, e1_ids)
+        _unpersist_ids(sc, pair_ids)
