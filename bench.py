@@ -90,6 +90,12 @@ HEADLINE = [
     "cusum_changepoint",        # integer CUSUM level-shift argmax
     "holt_trend_revenue",       # two-state dyadic smoothing recursion
     "mixture_temperature_sample",  # T=2 flattening, integer keep test
+    "ktruss_neardup",           # 2-sweep edge-support peel (wedge joins)
+    "embed_pq_codes",           # PQ codes: one-row codebook bcast assign
+    "mann_whitney_u",           # tie-ranked U via bucket-cumsum decomp
+    "fk_integrity_audit",       # 7-edge orphan audit (per-key collapse)
+    "interval_coalesce_user",   # packing intervals: running-max sweep
+    "hits_scores",              # unrolled bipartite hub/authority rounds
 ]
 
 
