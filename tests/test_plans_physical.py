@@ -124,6 +124,8 @@ def test_nested_loop_joins_only_where_intended(spark):
         "graph_diameter_sweep",
         # one-row global n_min attach (same shape as tfidf_top_terms)
         "mixture_temperature_sample",
+        # one-row key-mass totals attach under the top-k (tfidf shape)
+        "skew_key_profile",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
