@@ -219,3 +219,63 @@ def test_mann_whitney_matches_python_ranks(spark):
     assert row.r1_doubled == r1_doubled
     assert row.u1_doubled == u1_doubled
     assert abs(row.u1 - u1_doubled / 2.0) < 1e-9
+
+
+# ----------------------------------------------- U-shaped attribution
+
+
+def test_u_shaped_weights_sum_to_1000_per_purchase(spark):
+    from tvbigdataproject_spark.queries.registry import REGISTRY
+
+    out = REGISTRY["attribution_u_shaped"].fn(spark, SF_DIR).collect()
+    assert out, "no attributed clicks"
+    by_p: dict = {}
+    for r in out:
+        by_p.setdefault(r.purchase_id, []).append(r)
+    for pid, rows in by_p.items():
+        total = sum(r.weight_permille for r in rows)
+        assert total == 1000, (pid, total)
+        n = rows[0].n_clicks
+        assert len(rows) == n
+        w_by_pos = {r.pos: r.weight_permille for r in rows}
+        if n >= 3:
+            assert w_by_pos[1] == 400 and w_by_pos[n] == 400
+            mids = [w_by_pos[p] for p in range(2, n)]
+            # middles differ by at most 1 permille, earliest get extras
+            assert max(mids) - min(mids) <= 1
+            assert sorted(mids, reverse=True) == mids
+
+
+# -------------------------------------------- label dispersion
+
+
+def test_label_dispersion_matches_python(spark):
+    from tvbigdataproject_spark.queries.registry import REGISTRY
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label: dict = {}
+    for r in emb:
+        q = [int(_half_away(float(x) * (1 << 20))) for x in r.embedding]
+        by_label.setdefault(r.label, []).append(q)
+    want = {}
+    for lb, vecs in by_label.items():
+        n = len(vecs)
+        cent = [
+            int(__import__("math").floor(sum(v[i] for v in vecs) / n))
+            for i in range(64)
+        ]
+        tot = sum(
+            sum((v[i] - cent[i]) ** 2 for i in range(64)) for v in vecs
+        )
+        want[lb] = (n, tot, tot // n)
+    got = {
+        r.label: (r.n, r.total_disp, r.avg_disp)
+        for r in REGISTRY["embed_label_dispersion"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def _half_away(v: float) -> int:
+    import math
+
+    return int(math.copysign(math.floor(abs(v) + 0.5), v))

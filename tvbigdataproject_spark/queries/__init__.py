@@ -70,3 +70,4 @@ from tvbigdataproject_spark.queries import graph7  # noqa: F401,E402
 from tvbigdataproject_spark.queries import temporal4  # noqa: F401,E402
 from tvbigdataproject_spark.queries import ops_maint2  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic7  # noqa: F401,E402
+from tvbigdataproject_spark.queries import embeddings2  # noqa: F401,E402

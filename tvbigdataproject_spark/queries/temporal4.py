@@ -114,3 +114,99 @@ def interval_coalesce_user(spark, sf_dir):
         F.count(F.lit(1)).alias("n_intervals"),
         F.expr("(max(e_us) - min(s_us)) div 1000000").alias("span_seconds"),
     )
+
+
+@query(
+    "attribution_u_shaped",
+    sql="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.purchase_id, c.click_id, c.c_us,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.c_us, c.click_id) AS pos,
+               COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_clicks
+        FROM p JOIN c ON p.user_id = c.user_id
+        WHERE p.p_us - c.c_us BETWEEN 0 AND 3600000000
+    )
+    SELECT purchase_id, click_id, CAST(pos AS BIGINT) AS pos,
+           CAST(n_clicks AS BIGINT) AS n_clicks,
+           CAST(CASE
+               WHEN n_clicks = 1 THEN 1000
+               WHEN n_clicks = 2 THEN 500
+               WHEN pos = 1 OR pos = n_clicks THEN 400
+               ELSE 200 // (n_clicks - 2)
+                    + CASE WHEN pos - 1 <= 200 % (n_clicks - 2)
+                           THEN 1 ELSE 0 END
+           END AS BIGINT) AS weight_permille
+    FROM j
+    """,
+    tags=("temporal", "attribution", "window"),
+)
+def attribution_u_shaped(spark, sf_dir):
+    """U-shaped (position-based) multi-touch attribution: each purchase
+    credits its same-user clicks of the preceding hour 40% to the
+    first touch, 40% to the last, and 20% split across the middles —
+    in exact integer permille, with the indivisible remainder of
+    200/(n-2) assigned one point each to the EARLIEST middles, so
+    credits always sum to exactly 1000 and both engines agree
+    bit-for-bit (attribution_last_touch is the 100%-last special case;
+    the U-shape is what growth teams actually report).
+
+    Scale shape: one user-keyed equi join with the 1-hour band as a
+    post-filter (the nearest_click_join contract), then two windows
+    sharing the per-purchase partitioning — no global sort, no second
+    shuffle.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
+    )
+    gap = F.col("p_us") - F.col("c_us")
+    w = Window.partitionBy("purchase_id")
+    j = (
+        p.join(c, p.user_id == c.c_user)
+        .where((gap >= 0) & (gap <= 3_600_000_000))
+        .select(
+            "purchase_id",
+            "click_id",
+            F.row_number()
+            .over(w.orderBy("c_us", "click_id"))
+            .cast("long")
+            .alias("pos"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_clicks"),
+        )
+    )
+    mid_q = F.expr("200 div (n_clicks - 2)")
+    mid_r = F.expr("200 % (n_clicks - 2)")
+    weight = (
+        F.when(F.col("n_clicks") == 1, 1000)
+        .when(F.col("n_clicks") == 2, 500)
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n_clicks")), 400
+        )
+        .otherwise(
+            mid_q
+            + F.when(F.col("pos") - 1 <= mid_r, 1).otherwise(0)
+        )
+    )
+    return j.select(
+        "purchase_id",
+        "click_id",
+        "pos",
+        "n_clicks",
+        weight.cast("long").alias("weight_permille"),
+    )
