@@ -218,3 +218,55 @@ def test_streaming_scd2_matches_batch_across_batches(spark, tmp_path):
         assert (v.n_events, v.event_type, v.valid_to_us, v.is_current) == want[k], (
             k, v, want[k],
         )
+
+
+def test_streaming_interval_coalesce_matches_batch_across_batches(
+    spark, tmp_path
+):
+    # same 3-way time-split contract as the SCD2 test: closed spans +
+    # the final open-span emission must reconstruct the batch packing
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tvbigdataproject_spark.queries.registry import REGISTRY
+    from tvbigdataproject_spark.streaming.stateful import (
+        streaming_interval_coalesce,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    t = t.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    n = t.num_rows
+    d = tmp_path / "events_split_ivc"
+    d.mkdir()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        p = d / f"part-{i}.parquet"
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    run_to_memory_sink(
+        streaming_interval_coalesce(stream), "t_ivc", output_mode="update"
+    )
+    # per (user, grp): the open span is re-emitted as it grows, the
+    # closing emission repeats its final extent — max(n, end) is the
+    # settled verdict either way
+    emitted = spark.table("t_ivc")
+    got = {
+        (r.user_id, r.grp): (r.v.span_start_us, r.v.span_end_us, r.v.n_intervals)
+        for r in emitted.groupBy("user_id", "grp")
+        .agg(
+            F.max(
+                F.struct("n_intervals", "span_end_us", "span_start_us")
+            ).alias("v")
+        )
+        .collect()
+    }
+    batch = REGISTRY["interval_coalesce_user"].fn(spark, SF_DIR)
+    want = {
+        (r.user_id, r.grp): (r.span_start_us, r.span_end_us, r.n_intervals)
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert v == want[k], (k, v, want[k])

@@ -16,6 +16,7 @@ unbounded key spaces so idle keys evict).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -334,6 +335,99 @@ def streaming_scd2_state(events: DataFrame) -> DataFrame:
         update,
         outputStructType=SCD2_STREAM_SCHEMA,
         stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+INTERVAL_COALESCE_SCHEMA = (
+    "user_id long, grp long, span_start_us long, span_end_us long, "
+    "n_intervals long, is_open boolean"
+)
+_IVC_STATE_SCHEMA = "start_us long, end_us long, n_intervals long, n_closed long"
+
+
+def streaming_interval_coalesce(events: DataFrame) -> DataFrame:
+    """Streaming packing-intervals — the twin of
+    queries/temporal4.py::interval_coalesce_user: per user, maintain
+    the one OPEN span across micro-batches; an interval starting
+    strictly after the open span's max end closes it (emitted with its
+    1-based grp) and opens the next. Every batch re-emits the open span
+    (is_open=true) so a consumer always sees current coverage; the
+    closed emissions plus the final open one reconstruct the batch
+    operator's rows exactly.
+
+    The interval bounds are computed SPARK-SIDE before the stateful
+    walk (same derivation as the batch query: integer micros, duration
+    |round(value*10)| % 600 + 60 s) so the pandas walk touches only
+    integers — pandas' round() is half-even and must never see the
+    raw doubles.
+
+    Same sequential-state contract as streaming_clamped_balance:
+    micro-batches arrive in start-time order (a time-split log; rows
+    within a batch are sorted before walking). State per user is four
+    longs — fixed-width, NoTimeout (bounded user population); with
+    unbounded keys this is where event-time timers + TTL go.
+    """
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (
+                F.abs(F.round(F.col("value") * 10).cast("long")) % 600
+                + 60
+            )
+            * 1_000_000
+        ).alias("e_us"),
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            start, end, n, closed = state.get
+            has_open = True
+        else:
+            start = end = n = closed = 0
+            has_open = False
+        pdfs = list(pdf_iter)
+        pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values(["s_us", "e_us", "event_id"], kind="mergesort")
+        rows = []
+        for s, e in zip(
+            pdf["s_us"].to_numpy(), pdf["e_us"].to_numpy()
+        ):
+            s, e = int(s), int(e)
+            if not has_open:
+                start, end, n, has_open = s, e, 1, True
+            elif s > end:
+                closed += 1
+                rows.append((key[0], closed, start, end, n, False))
+                start, end, n = s, e, 1
+            else:
+                end = max(end, e)
+                n += 1
+        state.update((start, end, n, closed))
+        if has_open:
+            rows.append((key[0], closed + 1, start, end, n, True))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id",
+                "grp",
+                "span_start_us",
+                "span_end_us",
+                "n_intervals",
+                "is_open",
+            ],
+        )
+
+    return iv.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=INTERVAL_COALESCE_SCHEMA,
+        stateStructType=_IVC_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
