@@ -118,6 +118,8 @@ def test_nested_loop_joins_only_where_intended(spark):
         "kmeans_lloyd_assign",
         # same one-row packed-codebook attach for PQ code assignment
         "embed_pq_codes",
+        # hard_negative_mining blocks on PQ code0 — same codebook attach
+        "hard_negative_mining",
         # double-sweep final assembly: three one-row broadcast attaches
         # (seed node, sweep-1 pivot, eccentricity tail) — each side is
         # exactly one row by construction (graph6.py)

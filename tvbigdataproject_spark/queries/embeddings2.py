@@ -101,3 +101,118 @@ def embed_label_dispersion(spark, sf_dir):
             "avg_disp_f"
         ),
     )
+
+
+@query(
+    "hard_negative_mining",
+    sql=f"""
+    WITH qp AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(x::DOUBLE * {QUANT_SCALE}.0) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS INT) AS cw,
+               qv AS cv
+        FROM qp
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    ),
+    k0 AS (
+        SELECT vec_id, cw AS blk FROM (
+            SELECT v.vec_id, s.cw,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY (v.qv[1] - s.cv[1]) * (v.qv[1] - s.cv[1]) + (v.qv[2] - s.cv[2]) * (v.qv[2] - s.cv[2]) + (v.qv[3] - s.cv[3]) * (v.qv[3] - s.cv[3]) + (v.qv[4] - s.cv[4]) * (v.qv[4] - s.cv[4]) + (v.qv[5] - s.cv[5]) * (v.qv[5] - s.cv[5]) + (v.qv[6] - s.cv[6]) * (v.qv[6] - s.cv[6]) + (v.qv[7] - s.cv[7]) * (v.qv[7] - s.cv[7]) + (v.qv[8] - s.cv[8]) * (v.qv[8] - s.cv[8]) + (v.qv[9] - s.cv[9]) * (v.qv[9] - s.cv[9]) + (v.qv[10] - s.cv[10]) * (v.qv[10] - s.cv[10]) + (v.qv[11] - s.cv[11]) * (v.qv[11] - s.cv[11]) + (v.qv[12] - s.cv[12]) * (v.qv[12] - s.cv[12]) + (v.qv[13] - s.cv[13]) * (v.qv[13] - s.cv[13]) + (v.qv[14] - s.cv[14]) * (v.qv[14] - s.cv[14]) + (v.qv[15] - s.cv[15]) * (v.qv[15] - s.cv[15]) + (v.qv[16] - s.cv[16]) * (v.qv[16] - s.cv[16]), s.cw) AS rn
+            FROM qp v CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    b AS (
+        SELECT e.vec_id, e.label, e.embedding, k0.blk
+        FROM embeddings e JOIN k0 ON e.vec_id = k0.vec_id
+    ),
+    cand AS (
+        SELECT a.vec_id, b.vec_id AS neg_id,
+               a.label AS own_label, b.label AS neg_label,
+               (a.embedding[1]::DOUBLE * b.embedding[1]::DOUBLE + a.embedding[2]::DOUBLE * b.embedding[2]::DOUBLE + a.embedding[3]::DOUBLE * b.embedding[3]::DOUBLE + a.embedding[4]::DOUBLE * b.embedding[4]::DOUBLE + a.embedding[5]::DOUBLE * b.embedding[5]::DOUBLE + a.embedding[6]::DOUBLE * b.embedding[6]::DOUBLE + a.embedding[7]::DOUBLE * b.embedding[7]::DOUBLE + a.embedding[8]::DOUBLE * b.embedding[8]::DOUBLE + a.embedding[9]::DOUBLE * b.embedding[9]::DOUBLE + a.embedding[10]::DOUBLE * b.embedding[10]::DOUBLE + a.embedding[11]::DOUBLE * b.embedding[11]::DOUBLE + a.embedding[12]::DOUBLE * b.embedding[12]::DOUBLE + a.embedding[13]::DOUBLE * b.embedding[13]::DOUBLE + a.embedding[14]::DOUBLE * b.embedding[14]::DOUBLE + a.embedding[15]::DOUBLE * b.embedding[15]::DOUBLE + a.embedding[16]::DOUBLE * b.embedding[16]::DOUBLE + a.embedding[17]::DOUBLE * b.embedding[17]::DOUBLE + a.embedding[18]::DOUBLE * b.embedding[18]::DOUBLE + a.embedding[19]::DOUBLE * b.embedding[19]::DOUBLE + a.embedding[20]::DOUBLE * b.embedding[20]::DOUBLE + a.embedding[21]::DOUBLE * b.embedding[21]::DOUBLE + a.embedding[22]::DOUBLE * b.embedding[22]::DOUBLE + a.embedding[23]::DOUBLE * b.embedding[23]::DOUBLE + a.embedding[24]::DOUBLE * b.embedding[24]::DOUBLE + a.embedding[25]::DOUBLE * b.embedding[25]::DOUBLE + a.embedding[26]::DOUBLE * b.embedding[26]::DOUBLE + a.embedding[27]::DOUBLE * b.embedding[27]::DOUBLE + a.embedding[28]::DOUBLE * b.embedding[28]::DOUBLE + a.embedding[29]::DOUBLE * b.embedding[29]::DOUBLE + a.embedding[30]::DOUBLE * b.embedding[30]::DOUBLE + a.embedding[31]::DOUBLE * b.embedding[31]::DOUBLE + a.embedding[32]::DOUBLE * b.embedding[32]::DOUBLE + a.embedding[33]::DOUBLE * b.embedding[33]::DOUBLE + a.embedding[34]::DOUBLE * b.embedding[34]::DOUBLE + a.embedding[35]::DOUBLE * b.embedding[35]::DOUBLE + a.embedding[36]::DOUBLE * b.embedding[36]::DOUBLE + a.embedding[37]::DOUBLE * b.embedding[37]::DOUBLE + a.embedding[38]::DOUBLE * b.embedding[38]::DOUBLE + a.embedding[39]::DOUBLE * b.embedding[39]::DOUBLE + a.embedding[40]::DOUBLE * b.embedding[40]::DOUBLE + a.embedding[41]::DOUBLE * b.embedding[41]::DOUBLE + a.embedding[42]::DOUBLE * b.embedding[42]::DOUBLE + a.embedding[43]::DOUBLE * b.embedding[43]::DOUBLE + a.embedding[44]::DOUBLE * b.embedding[44]::DOUBLE + a.embedding[45]::DOUBLE * b.embedding[45]::DOUBLE + a.embedding[46]::DOUBLE * b.embedding[46]::DOUBLE + a.embedding[47]::DOUBLE * b.embedding[47]::DOUBLE + a.embedding[48]::DOUBLE * b.embedding[48]::DOUBLE + a.embedding[49]::DOUBLE * b.embedding[49]::DOUBLE + a.embedding[50]::DOUBLE * b.embedding[50]::DOUBLE + a.embedding[51]::DOUBLE * b.embedding[51]::DOUBLE + a.embedding[52]::DOUBLE * b.embedding[52]::DOUBLE + a.embedding[53]::DOUBLE * b.embedding[53]::DOUBLE + a.embedding[54]::DOUBLE * b.embedding[54]::DOUBLE + a.embedding[55]::DOUBLE * b.embedding[55]::DOUBLE + a.embedding[56]::DOUBLE * b.embedding[56]::DOUBLE + a.embedding[57]::DOUBLE * b.embedding[57]::DOUBLE + a.embedding[58]::DOUBLE * b.embedding[58]::DOUBLE + a.embedding[59]::DOUBLE * b.embedding[59]::DOUBLE + a.embedding[60]::DOUBLE * b.embedding[60]::DOUBLE + a.embedding[61]::DOUBLE * b.embedding[61]::DOUBLE + a.embedding[62]::DOUBLE * b.embedding[62]::DOUBLE + a.embedding[63]::DOUBLE * b.embedding[63]::DOUBLE + a.embedding[64]::DOUBLE * b.embedding[64]::DOUBLE) / (sqrt(a.embedding[1]::DOUBLE * a.embedding[1]::DOUBLE + a.embedding[2]::DOUBLE * a.embedding[2]::DOUBLE + a.embedding[3]::DOUBLE * a.embedding[3]::DOUBLE + a.embedding[4]::DOUBLE * a.embedding[4]::DOUBLE + a.embedding[5]::DOUBLE * a.embedding[5]::DOUBLE + a.embedding[6]::DOUBLE * a.embedding[6]::DOUBLE + a.embedding[7]::DOUBLE * a.embedding[7]::DOUBLE + a.embedding[8]::DOUBLE * a.embedding[8]::DOUBLE + a.embedding[9]::DOUBLE * a.embedding[9]::DOUBLE + a.embedding[10]::DOUBLE * a.embedding[10]::DOUBLE + a.embedding[11]::DOUBLE * a.embedding[11]::DOUBLE + a.embedding[12]::DOUBLE * a.embedding[12]::DOUBLE + a.embedding[13]::DOUBLE * a.embedding[13]::DOUBLE + a.embedding[14]::DOUBLE * a.embedding[14]::DOUBLE + a.embedding[15]::DOUBLE * a.embedding[15]::DOUBLE + a.embedding[16]::DOUBLE * a.embedding[16]::DOUBLE + a.embedding[17]::DOUBLE * a.embedding[17]::DOUBLE + a.embedding[18]::DOUBLE * a.embedding[18]::DOUBLE + a.embedding[19]::DOUBLE * a.embedding[19]::DOUBLE + a.embedding[20]::DOUBLE * a.embedding[20]::DOUBLE + a.embedding[21]::DOUBLE * a.embedding[21]::DOUBLE + a.embedding[22]::DOUBLE * a.embedding[22]::DOUBLE + a.embedding[23]::DOUBLE * a.embedding[23]::DOUBLE + a.embedding[24]::DOUBLE * a.embedding[24]::DOUBLE + a.embedding[25]::DOUBLE * a.embedding[25]::DOUBLE + a.embedding[26]::DOUBLE * a.embedding[26]::DOUBLE + a.embedding[27]::DOUBLE * a.embedding[27]::DOUBLE + a.embedding[28]::DOUBLE * a.embedding[28]::DOUBLE + a.embedding[29]::DOUBLE * a.embedding[29]::DOUBLE + a.embedding[30]::DOUBLE * a.embedding[30]::DOUBLE + a.embedding[31]::DOUBLE * a.embedding[31]::DOUBLE + a.embedding[32]::DOUBLE * a.embedding[32]::DOUBLE + a.embedding[33]::DOUBLE * a.embedding[33]::DOUBLE + a.embedding[34]::DOUBLE * a.embedding[34]::DOUBLE + a.embedding[35]::DOUBLE * a.embedding[35]::DOUBLE + a.embedding[36]::DOUBLE * a.embedding[36]::DOUBLE + a.embedding[37]::DOUBLE * a.embedding[37]::DOUBLE + a.embedding[38]::DOUBLE * a.embedding[38]::DOUBLE + a.embedding[39]::DOUBLE * a.embedding[39]::DOUBLE + a.embedding[40]::DOUBLE * a.embedding[40]::DOUBLE + a.embedding[41]::DOUBLE * a.embedding[41]::DOUBLE + a.embedding[42]::DOUBLE * a.embedding[42]::DOUBLE + a.embedding[43]::DOUBLE * a.embedding[43]::DOUBLE + a.embedding[44]::DOUBLE * a.embedding[44]::DOUBLE + a.embedding[45]::DOUBLE * a.embedding[45]::DOUBLE + a.embedding[46]::DOUBLE * a.embedding[46]::DOUBLE + a.embedding[47]::DOUBLE * a.embedding[47]::DOUBLE + a.embedding[48]::DOUBLE * a.embedding[48]::DOUBLE + a.embedding[49]::DOUBLE * a.embedding[49]::DOUBLE + a.embedding[50]::DOUBLE * a.embedding[50]::DOUBLE + a.embedding[51]::DOUBLE * a.embedding[51]::DOUBLE + a.embedding[52]::DOUBLE * a.embedding[52]::DOUBLE + a.embedding[53]::DOUBLE * a.embedding[53]::DOUBLE + a.embedding[54]::DOUBLE * a.embedding[54]::DOUBLE + a.embedding[55]::DOUBLE * a.embedding[55]::DOUBLE + a.embedding[56]::DOUBLE * a.embedding[56]::DOUBLE + a.embedding[57]::DOUBLE * a.embedding[57]::DOUBLE + a.embedding[58]::DOUBLE * a.embedding[58]::DOUBLE + a.embedding[59]::DOUBLE * a.embedding[59]::DOUBLE + a.embedding[60]::DOUBLE * a.embedding[60]::DOUBLE + a.embedding[61]::DOUBLE * a.embedding[61]::DOUBLE + a.embedding[62]::DOUBLE * a.embedding[62]::DOUBLE + a.embedding[63]::DOUBLE * a.embedding[63]::DOUBLE + a.embedding[64]::DOUBLE * a.embedding[64]::DOUBLE) * sqrt(b.embedding[1]::DOUBLE * b.embedding[1]::DOUBLE + b.embedding[2]::DOUBLE * b.embedding[2]::DOUBLE + b.embedding[3]::DOUBLE * b.embedding[3]::DOUBLE + b.embedding[4]::DOUBLE * b.embedding[4]::DOUBLE + b.embedding[5]::DOUBLE * b.embedding[5]::DOUBLE + b.embedding[6]::DOUBLE * b.embedding[6]::DOUBLE + b.embedding[7]::DOUBLE * b.embedding[7]::DOUBLE + b.embedding[8]::DOUBLE * b.embedding[8]::DOUBLE + b.embedding[9]::DOUBLE * b.embedding[9]::DOUBLE + b.embedding[10]::DOUBLE * b.embedding[10]::DOUBLE + b.embedding[11]::DOUBLE * b.embedding[11]::DOUBLE + b.embedding[12]::DOUBLE * b.embedding[12]::DOUBLE + b.embedding[13]::DOUBLE * b.embedding[13]::DOUBLE + b.embedding[14]::DOUBLE * b.embedding[14]::DOUBLE + b.embedding[15]::DOUBLE * b.embedding[15]::DOUBLE + b.embedding[16]::DOUBLE * b.embedding[16]::DOUBLE + b.embedding[17]::DOUBLE * b.embedding[17]::DOUBLE + b.embedding[18]::DOUBLE * b.embedding[18]::DOUBLE + b.embedding[19]::DOUBLE * b.embedding[19]::DOUBLE + b.embedding[20]::DOUBLE * b.embedding[20]::DOUBLE + b.embedding[21]::DOUBLE * b.embedding[21]::DOUBLE + b.embedding[22]::DOUBLE * b.embedding[22]::DOUBLE + b.embedding[23]::DOUBLE * b.embedding[23]::DOUBLE + b.embedding[24]::DOUBLE * b.embedding[24]::DOUBLE + b.embedding[25]::DOUBLE * b.embedding[25]::DOUBLE + b.embedding[26]::DOUBLE * b.embedding[26]::DOUBLE + b.embedding[27]::DOUBLE * b.embedding[27]::DOUBLE + b.embedding[28]::DOUBLE * b.embedding[28]::DOUBLE + b.embedding[29]::DOUBLE * b.embedding[29]::DOUBLE + b.embedding[30]::DOUBLE * b.embedding[30]::DOUBLE + b.embedding[31]::DOUBLE * b.embedding[31]::DOUBLE + b.embedding[32]::DOUBLE * b.embedding[32]::DOUBLE + b.embedding[33]::DOUBLE * b.embedding[33]::DOUBLE + b.embedding[34]::DOUBLE * b.embedding[34]::DOUBLE + b.embedding[35]::DOUBLE * b.embedding[35]::DOUBLE + b.embedding[36]::DOUBLE * b.embedding[36]::DOUBLE + b.embedding[37]::DOUBLE * b.embedding[37]::DOUBLE + b.embedding[38]::DOUBLE * b.embedding[38]::DOUBLE + b.embedding[39]::DOUBLE * b.embedding[39]::DOUBLE + b.embedding[40]::DOUBLE * b.embedding[40]::DOUBLE + b.embedding[41]::DOUBLE * b.embedding[41]::DOUBLE + b.embedding[42]::DOUBLE * b.embedding[42]::DOUBLE + b.embedding[43]::DOUBLE * b.embedding[43]::DOUBLE + b.embedding[44]::DOUBLE * b.embedding[44]::DOUBLE + b.embedding[45]::DOUBLE * b.embedding[45]::DOUBLE + b.embedding[46]::DOUBLE * b.embedding[46]::DOUBLE + b.embedding[47]::DOUBLE * b.embedding[47]::DOUBLE + b.embedding[48]::DOUBLE * b.embedding[48]::DOUBLE + b.embedding[49]::DOUBLE * b.embedding[49]::DOUBLE + b.embedding[50]::DOUBLE * b.embedding[50]::DOUBLE + b.embedding[51]::DOUBLE * b.embedding[51]::DOUBLE + b.embedding[52]::DOUBLE * b.embedding[52]::DOUBLE + b.embedding[53]::DOUBLE * b.embedding[53]::DOUBLE + b.embedding[54]::DOUBLE * b.embedding[54]::DOUBLE + b.embedding[55]::DOUBLE * b.embedding[55]::DOUBLE + b.embedding[56]::DOUBLE * b.embedding[56]::DOUBLE + b.embedding[57]::DOUBLE * b.embedding[57]::DOUBLE + b.embedding[58]::DOUBLE * b.embedding[58]::DOUBLE + b.embedding[59]::DOUBLE * b.embedding[59]::DOUBLE + b.embedding[60]::DOUBLE * b.embedding[60]::DOUBLE + b.embedding[61]::DOUBLE * b.embedding[61]::DOUBLE + b.embedding[62]::DOUBLE * b.embedding[62]::DOUBLE + b.embedding[63]::DOUBLE * b.embedding[63]::DOUBLE + b.embedding[64]::DOUBLE * b.embedding[64]::DOUBLE)) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY (a.embedding[1]::DOUBLE * b.embedding[1]::DOUBLE + a.embedding[2]::DOUBLE * b.embedding[2]::DOUBLE + a.embedding[3]::DOUBLE * b.embedding[3]::DOUBLE + a.embedding[4]::DOUBLE * b.embedding[4]::DOUBLE + a.embedding[5]::DOUBLE * b.embedding[5]::DOUBLE + a.embedding[6]::DOUBLE * b.embedding[6]::DOUBLE + a.embedding[7]::DOUBLE * b.embedding[7]::DOUBLE + a.embedding[8]::DOUBLE * b.embedding[8]::DOUBLE + a.embedding[9]::DOUBLE * b.embedding[9]::DOUBLE + a.embedding[10]::DOUBLE * b.embedding[10]::DOUBLE + a.embedding[11]::DOUBLE * b.embedding[11]::DOUBLE + a.embedding[12]::DOUBLE * b.embedding[12]::DOUBLE + a.embedding[13]::DOUBLE * b.embedding[13]::DOUBLE + a.embedding[14]::DOUBLE * b.embedding[14]::DOUBLE + a.embedding[15]::DOUBLE * b.embedding[15]::DOUBLE + a.embedding[16]::DOUBLE * b.embedding[16]::DOUBLE + a.embedding[17]::DOUBLE * b.embedding[17]::DOUBLE + a.embedding[18]::DOUBLE * b.embedding[18]::DOUBLE + a.embedding[19]::DOUBLE * b.embedding[19]::DOUBLE + a.embedding[20]::DOUBLE * b.embedding[20]::DOUBLE + a.embedding[21]::DOUBLE * b.embedding[21]::DOUBLE + a.embedding[22]::DOUBLE * b.embedding[22]::DOUBLE + a.embedding[23]::DOUBLE * b.embedding[23]::DOUBLE + a.embedding[24]::DOUBLE * b.embedding[24]::DOUBLE + a.embedding[25]::DOUBLE * b.embedding[25]::DOUBLE + a.embedding[26]::DOUBLE * b.embedding[26]::DOUBLE + a.embedding[27]::DOUBLE * b.embedding[27]::DOUBLE + a.embedding[28]::DOUBLE * b.embedding[28]::DOUBLE + a.embedding[29]::DOUBLE * b.embedding[29]::DOUBLE + a.embedding[30]::DOUBLE * b.embedding[30]::DOUBLE + a.embedding[31]::DOUBLE * b.embedding[31]::DOUBLE + a.embedding[32]::DOUBLE * b.embedding[32]::DOUBLE + a.embedding[33]::DOUBLE * b.embedding[33]::DOUBLE + a.embedding[34]::DOUBLE * b.embedding[34]::DOUBLE + a.embedding[35]::DOUBLE * b.embedding[35]::DOUBLE + a.embedding[36]::DOUBLE * b.embedding[36]::DOUBLE + a.embedding[37]::DOUBLE * b.embedding[37]::DOUBLE + a.embedding[38]::DOUBLE * b.embedding[38]::DOUBLE + a.embedding[39]::DOUBLE * b.embedding[39]::DOUBLE + a.embedding[40]::DOUBLE * b.embedding[40]::DOUBLE + a.embedding[41]::DOUBLE * b.embedding[41]::DOUBLE + a.embedding[42]::DOUBLE * b.embedding[42]::DOUBLE + a.embedding[43]::DOUBLE * b.embedding[43]::DOUBLE + a.embedding[44]::DOUBLE * b.embedding[44]::DOUBLE + a.embedding[45]::DOUBLE * b.embedding[45]::DOUBLE + a.embedding[46]::DOUBLE * b.embedding[46]::DOUBLE + a.embedding[47]::DOUBLE * b.embedding[47]::DOUBLE + a.embedding[48]::DOUBLE * b.embedding[48]::DOUBLE + a.embedding[49]::DOUBLE * b.embedding[49]::DOUBLE + a.embedding[50]::DOUBLE * b.embedding[50]::DOUBLE + a.embedding[51]::DOUBLE * b.embedding[51]::DOUBLE + a.embedding[52]::DOUBLE * b.embedding[52]::DOUBLE + a.embedding[53]::DOUBLE * b.embedding[53]::DOUBLE + a.embedding[54]::DOUBLE * b.embedding[54]::DOUBLE + a.embedding[55]::DOUBLE * b.embedding[55]::DOUBLE + a.embedding[56]::DOUBLE * b.embedding[56]::DOUBLE + a.embedding[57]::DOUBLE * b.embedding[57]::DOUBLE + a.embedding[58]::DOUBLE * b.embedding[58]::DOUBLE + a.embedding[59]::DOUBLE * b.embedding[59]::DOUBLE + a.embedding[60]::DOUBLE * b.embedding[60]::DOUBLE + a.embedding[61]::DOUBLE * b.embedding[61]::DOUBLE + a.embedding[62]::DOUBLE * b.embedding[62]::DOUBLE + a.embedding[63]::DOUBLE * b.embedding[63]::DOUBLE + a.embedding[64]::DOUBLE * b.embedding[64]::DOUBLE) / (sqrt(a.embedding[1]::DOUBLE * a.embedding[1]::DOUBLE + a.embedding[2]::DOUBLE * a.embedding[2]::DOUBLE + a.embedding[3]::DOUBLE * a.embedding[3]::DOUBLE + a.embedding[4]::DOUBLE * a.embedding[4]::DOUBLE + a.embedding[5]::DOUBLE * a.embedding[5]::DOUBLE + a.embedding[6]::DOUBLE * a.embedding[6]::DOUBLE + a.embedding[7]::DOUBLE * a.embedding[7]::DOUBLE + a.embedding[8]::DOUBLE * a.embedding[8]::DOUBLE + a.embedding[9]::DOUBLE * a.embedding[9]::DOUBLE + a.embedding[10]::DOUBLE * a.embedding[10]::DOUBLE + a.embedding[11]::DOUBLE * a.embedding[11]::DOUBLE + a.embedding[12]::DOUBLE * a.embedding[12]::DOUBLE + a.embedding[13]::DOUBLE * a.embedding[13]::DOUBLE + a.embedding[14]::DOUBLE * a.embedding[14]::DOUBLE + a.embedding[15]::DOUBLE * a.embedding[15]::DOUBLE + a.embedding[16]::DOUBLE * a.embedding[16]::DOUBLE + a.embedding[17]::DOUBLE * a.embedding[17]::DOUBLE + a.embedding[18]::DOUBLE * a.embedding[18]::DOUBLE + a.embedding[19]::DOUBLE * a.embedding[19]::DOUBLE + a.embedding[20]::DOUBLE * a.embedding[20]::DOUBLE + a.embedding[21]::DOUBLE * a.embedding[21]::DOUBLE + a.embedding[22]::DOUBLE * a.embedding[22]::DOUBLE + a.embedding[23]::DOUBLE * a.embedding[23]::DOUBLE + a.embedding[24]::DOUBLE * a.embedding[24]::DOUBLE + a.embedding[25]::DOUBLE * a.embedding[25]::DOUBLE + a.embedding[26]::DOUBLE * a.embedding[26]::DOUBLE + a.embedding[27]::DOUBLE * a.embedding[27]::DOUBLE + a.embedding[28]::DOUBLE * a.embedding[28]::DOUBLE + a.embedding[29]::DOUBLE * a.embedding[29]::DOUBLE + a.embedding[30]::DOUBLE * a.embedding[30]::DOUBLE + a.embedding[31]::DOUBLE * a.embedding[31]::DOUBLE + a.embedding[32]::DOUBLE * a.embedding[32]::DOUBLE + a.embedding[33]::DOUBLE * a.embedding[33]::DOUBLE + a.embedding[34]::DOUBLE * a.embedding[34]::DOUBLE + a.embedding[35]::DOUBLE * a.embedding[35]::DOUBLE + a.embedding[36]::DOUBLE * a.embedding[36]::DOUBLE + a.embedding[37]::DOUBLE * a.embedding[37]::DOUBLE + a.embedding[38]::DOUBLE * a.embedding[38]::DOUBLE + a.embedding[39]::DOUBLE * a.embedding[39]::DOUBLE + a.embedding[40]::DOUBLE * a.embedding[40]::DOUBLE + a.embedding[41]::DOUBLE * a.embedding[41]::DOUBLE + a.embedding[42]::DOUBLE * a.embedding[42]::DOUBLE + a.embedding[43]::DOUBLE * a.embedding[43]::DOUBLE + a.embedding[44]::DOUBLE * a.embedding[44]::DOUBLE + a.embedding[45]::DOUBLE * a.embedding[45]::DOUBLE + a.embedding[46]::DOUBLE * a.embedding[46]::DOUBLE + a.embedding[47]::DOUBLE * a.embedding[47]::DOUBLE + a.embedding[48]::DOUBLE * a.embedding[48]::DOUBLE + a.embedding[49]::DOUBLE * a.embedding[49]::DOUBLE + a.embedding[50]::DOUBLE * a.embedding[50]::DOUBLE + a.embedding[51]::DOUBLE * a.embedding[51]::DOUBLE + a.embedding[52]::DOUBLE * a.embedding[52]::DOUBLE + a.embedding[53]::DOUBLE * a.embedding[53]::DOUBLE + a.embedding[54]::DOUBLE * a.embedding[54]::DOUBLE + a.embedding[55]::DOUBLE * a.embedding[55]::DOUBLE + a.embedding[56]::DOUBLE * a.embedding[56]::DOUBLE + a.embedding[57]::DOUBLE * a.embedding[57]::DOUBLE + a.embedding[58]::DOUBLE * a.embedding[58]::DOUBLE + a.embedding[59]::DOUBLE * a.embedding[59]::DOUBLE + a.embedding[60]::DOUBLE * a.embedding[60]::DOUBLE + a.embedding[61]::DOUBLE * a.embedding[61]::DOUBLE + a.embedding[62]::DOUBLE * a.embedding[62]::DOUBLE + a.embedding[63]::DOUBLE * a.embedding[63]::DOUBLE + a.embedding[64]::DOUBLE * a.embedding[64]::DOUBLE) * sqrt(b.embedding[1]::DOUBLE * b.embedding[1]::DOUBLE + b.embedding[2]::DOUBLE * b.embedding[2]::DOUBLE + b.embedding[3]::DOUBLE * b.embedding[3]::DOUBLE + b.embedding[4]::DOUBLE * b.embedding[4]::DOUBLE + b.embedding[5]::DOUBLE * b.embedding[5]::DOUBLE + b.embedding[6]::DOUBLE * b.embedding[6]::DOUBLE + b.embedding[7]::DOUBLE * b.embedding[7]::DOUBLE + b.embedding[8]::DOUBLE * b.embedding[8]::DOUBLE + b.embedding[9]::DOUBLE * b.embedding[9]::DOUBLE + b.embedding[10]::DOUBLE * b.embedding[10]::DOUBLE + b.embedding[11]::DOUBLE * b.embedding[11]::DOUBLE + b.embedding[12]::DOUBLE * b.embedding[12]::DOUBLE + b.embedding[13]::DOUBLE * b.embedding[13]::DOUBLE + b.embedding[14]::DOUBLE * b.embedding[14]::DOUBLE + b.embedding[15]::DOUBLE * b.embedding[15]::DOUBLE + b.embedding[16]::DOUBLE * b.embedding[16]::DOUBLE + b.embedding[17]::DOUBLE * b.embedding[17]::DOUBLE + b.embedding[18]::DOUBLE * b.embedding[18]::DOUBLE + b.embedding[19]::DOUBLE * b.embedding[19]::DOUBLE + b.embedding[20]::DOUBLE * b.embedding[20]::DOUBLE + b.embedding[21]::DOUBLE * b.embedding[21]::DOUBLE + b.embedding[22]::DOUBLE * b.embedding[22]::DOUBLE + b.embedding[23]::DOUBLE * b.embedding[23]::DOUBLE + b.embedding[24]::DOUBLE * b.embedding[24]::DOUBLE + b.embedding[25]::DOUBLE * b.embedding[25]::DOUBLE + b.embedding[26]::DOUBLE * b.embedding[26]::DOUBLE + b.embedding[27]::DOUBLE * b.embedding[27]::DOUBLE + b.embedding[28]::DOUBLE * b.embedding[28]::DOUBLE + b.embedding[29]::DOUBLE * b.embedding[29]::DOUBLE + b.embedding[30]::DOUBLE * b.embedding[30]::DOUBLE + b.embedding[31]::DOUBLE * b.embedding[31]::DOUBLE + b.embedding[32]::DOUBLE * b.embedding[32]::DOUBLE + b.embedding[33]::DOUBLE * b.embedding[33]::DOUBLE + b.embedding[34]::DOUBLE * b.embedding[34]::DOUBLE + b.embedding[35]::DOUBLE * b.embedding[35]::DOUBLE + b.embedding[36]::DOUBLE * b.embedding[36]::DOUBLE + b.embedding[37]::DOUBLE * b.embedding[37]::DOUBLE + b.embedding[38]::DOUBLE * b.embedding[38]::DOUBLE + b.embedding[39]::DOUBLE * b.embedding[39]::DOUBLE + b.embedding[40]::DOUBLE * b.embedding[40]::DOUBLE + b.embedding[41]::DOUBLE * b.embedding[41]::DOUBLE + b.embedding[42]::DOUBLE * b.embedding[42]::DOUBLE + b.embedding[43]::DOUBLE * b.embedding[43]::DOUBLE + b.embedding[44]::DOUBLE * b.embedding[44]::DOUBLE + b.embedding[45]::DOUBLE * b.embedding[45]::DOUBLE + b.embedding[46]::DOUBLE * b.embedding[46]::DOUBLE + b.embedding[47]::DOUBLE * b.embedding[47]::DOUBLE + b.embedding[48]::DOUBLE * b.embedding[48]::DOUBLE + b.embedding[49]::DOUBLE * b.embedding[49]::DOUBLE + b.embedding[50]::DOUBLE * b.embedding[50]::DOUBLE + b.embedding[51]::DOUBLE * b.embedding[51]::DOUBLE + b.embedding[52]::DOUBLE * b.embedding[52]::DOUBLE + b.embedding[53]::DOUBLE * b.embedding[53]::DOUBLE + b.embedding[54]::DOUBLE * b.embedding[54]::DOUBLE + b.embedding[55]::DOUBLE * b.embedding[55]::DOUBLE + b.embedding[56]::DOUBLE * b.embedding[56]::DOUBLE + b.embedding[57]::DOUBLE * b.embedding[57]::DOUBLE + b.embedding[58]::DOUBLE * b.embedding[58]::DOUBLE + b.embedding[59]::DOUBLE * b.embedding[59]::DOUBLE + b.embedding[60]::DOUBLE * b.embedding[60]::DOUBLE + b.embedding[61]::DOUBLE * b.embedding[61]::DOUBLE + b.embedding[62]::DOUBLE * b.embedding[62]::DOUBLE + b.embedding[63]::DOUBLE * b.embedding[63]::DOUBLE + b.embedding[64]::DOUBLE * b.embedding[64]::DOUBLE)) DESC, b.vec_id
+               ) AS rn
+        FROM b a JOIN b b ON a.blk = b.blk AND a.label <> b.label
+    )
+    SELECT vec_id, neg_id, own_label, neg_label, cos
+    FROM cand WHERE rn = 1
+    """,
+    tags=("embeddings", "mining", "contrastive"),
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per vector, the
+    most-similar vector of a DIFFERENT label inside its PQ-code-0 block
+    (the 16-bucket md5-seeded codebook of embed_pq_codes) — exactly the
+    near-miss pairs a contrastive or reranker fine-tune wants, found
+    without an all-pairs sweep because the PQ block bounds the
+    candidate space the way an IVF cell bounds ANN.
+
+    Determinism: block assignment is the exact-integer PQ argmin;
+    similarity is the sequential-fold cosine (identical doubles in both
+    engines); the per-vector winner breaks ties on neighbor id. At
+    density-scaled corpora the block key extends to (code0, code1) —
+    256 buckets — the standard PQ-blocking ladder step.
+
+    Scale shape: one broadcast codebook scan (no corpus shuffle) for
+    blocks, then ONE shuffle-hash self-join keyed on the block and one
+    per-vector window — the dedup-family pair-join geometry with the
+    cross-label filter inside the join.
+    """
+    from tvbigdataproject_spark.functions import cosine_similarity
+    from tvbigdataproject_spark.operators.clustering import pq_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    blocks = pq_assign(emb).select("vec_id", F.col("code0").alias("blk"))
+    b = emb.join(blocks, "vec_id").select(
+        "vec_id", "label", "embedding", "blk"
+    )
+    lhs = b.select(
+        F.col("vec_id"),
+        F.col("label").alias("own_label"),
+        F.col("embedding").alias("_ea"),
+        "blk",
+    )
+    rhs = b.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("_eb"),
+        F.col("blk").alias("_blk2"),
+    )
+    cand = lhs.join(
+        rhs.hint("shuffle_hash"),
+        (F.col("blk") == F.col("_blk2"))
+        & (F.col("own_label") != F.col("neg_label")),
+    ).select(
+        "vec_id",
+        "neg_id",
+        "own_label",
+        "neg_label",
+        cosine_similarity(F.col("_ea"), F.col("_eb")).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), "neg_id"
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "neg_id",
+            "own_label",
+            "neg_label",
+            "cos",
+            F.row_number().over(w).alias("_rn"),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
