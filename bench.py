@@ -116,7 +116,12 @@ def _regression_verdict(
     the round-6 wiring bug)."""
     regress: dict = {"regressions": [], "advisory": False, "n_compared": 0}
     try:
-        from tools.bench_compare import compare, latest_round_artifact, _load_queries
+        from tools.bench_compare import (
+            compare,
+            latest_round_artifact,
+            load_waivers,
+            _load_queries,
+        )
 
         prev_path = latest_round_artifact(repo)
         if prev_path:
@@ -124,11 +129,61 @@ def _regression_verdict(
             cur_probe = {"calib": float(min(calib_sec))}
             if probe and len(probe) == 2:
                 cur_probe["shuffle"], cur_probe["scan"] = map(float, probe)
-            regress = compare(prev_q, timings, prev_probe, cur_probe)
+            regress = compare(
+                prev_q, timings, prev_probe, cur_probe, waivers=load_waivers(repo)
+            )
             regress["vs"] = os.path.basename(prev_path)
     except Exception as exc:  # the bench must never die on the guard
         print(f"WARN bench_compare failed: {exc!r}", file=sys.stderr)
     return regress
+
+
+def _vs_r1(
+    timings: dict[str, float],
+    calib_sec: list[float],
+    probe: list[float],
+    repo: str = REPO,
+) -> dict:
+    """Project-baseline drift tracking (round-7 verdict item 6): median
+    ratio of this run's gate stats to the round-1 artifact over shared
+    queries. r1 carries no probe suite, so direct probe normalization
+    is impossible; the recorded ``host_ratio_vs_prev`` (this session's
+    probes vs the newest probed artifact) is the best machine-tracked
+    drift proxy — the r1..r6 sessions measured on equivalent-weather
+    hosts per the r6/r7 adjudications, so normalizing the raw median by
+    the current probe drift approximates the r1-anchored number the
+    judges have been computing by hand."""
+    out: dict = {"n_shared": 0}
+    try:
+        import statistics
+
+        from tools.bench_compare import _load_queries, host_ratio, latest_round_artifact
+
+        r1 = os.path.join(repo, "BENCH_r01.json")
+        if not os.path.exists(r1):
+            return out
+        r1_q, _ = _load_queries(r1)
+        shared = sorted(set(r1_q) & set(timings))
+        ratios = [timings[k] / r1_q[k] for k in shared if r1_q[k] > 0]
+        if not ratios:
+            return out
+        out["n_shared"] = len(ratios)
+        out["median_ratio_raw"] = round(statistics.median(ratios), 3)
+        prev_path = latest_round_artifact(repo)
+        if prev_path:
+            _, prev_probe = _load_queries(prev_path)
+            cur_probe = {"calib": float(min(calib_sec))}
+            if probe and len(probe) == 2:
+                cur_probe["shuffle"], cur_probe["scan"] = map(float, probe)
+            hr = host_ratio(prev_probe, cur_probe)
+            if hr:
+                out["host_ratio_vs_prev"] = round(hr, 3)
+                out["median_ratio_normalized"] = round(
+                    out["median_ratio_raw"] / hr, 3
+                )
+    except Exception as exc:  # tracking only — never fail the bench
+        print(f"WARN vs_r1 tracking failed: {exc!r}", file=sys.stderr)
+    return out
 
 
 def main() -> None:
@@ -309,35 +364,57 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     regress = _regression_verdict(timings, [calib_start, calib_end], probe)
-    # Transport contract: the consumer keeps only a ~2000-char TAIL of
-    # stdout, so stdout carries exactly ONE compact JSON line — the gate
-    # keys (metric/value/queries) and nothing else — emitted last.
+    # Transport contract: the consumer keeps only the last ~2000 chars
+    # of stdout, so stdout carries exactly ONE compact JSON line — the
+    # gate keys (metric/value/queries) and nothing else — emitted last.
     # Everything bulky (cold times, spreads, inversion list) goes to
-    # bench_detail.json next to this script and to stderr; inlining it
-    # once pushed the warm-medians dict past the tail window and the
-    # round artifact recorded "parsed": null.
-    gate_line = json.dumps(
-        {
-            "metric": "headline_queries_total_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "n_queries": len(timings),
-            "calib_sec": [calib_start, calib_end],
-            # Spark probe suite [shuffle, scan] — min of start/end pairs;
-            # bench_compare._load_queries reads this key for host-drift
-            # normalization of the NEXT round's comparison
-            "probe": probe,
-            # compact: names only in the gate line (stdout tail window
-            # is ~2000 chars); full prev/cur/ratio rows in the detail
-            "regressions": [r["name"] for r in regress["regressions"]][:8],
-            "regress_advisory": regress["advisory"],
-        },
-        separators=(",", ":"),
-    )
+    # bench_detail.json next to this script and to stderr.
+    #
+    # The per-query dict itself no longer fits the window (74+ names x
+    # ~24 chars each overflowed it in round 7 — the artifact recorded
+    # "parsed": null and the WHOLE line was lost). So the gate line is
+    # built to a hard byte budget: times at 2 decimals, and if the dict
+    # still overflows, entries are dropped from the TAIL of HEADLINE
+    # order (the newest additions) until it fits. The long-standing
+    # baseline-comparable queries always survive; dropped names are
+    # listed in bench_detail.json (gate_line_omitted) which carries the
+    # full-precision complete dict either way.
+    GATE_BUDGET = 1950  # < 2000-char tail window, margin for the newline
+
+    def _gate_line(qdict: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": qdict,
+                "sf": sf,
+                "calib_sec": [calib_start, calib_end],
+                # Spark probe suite [shuffle, scan] — min of start/end
+                # pairs; bench_compare reads this for host-drift
+                # normalization of the NEXT round's comparison
+                "probe": probe,
+                "n_regress": len(regress["regressions"]),
+            },
+            separators=(",", ":"),
+        )
+
+    gate_queries = {k: round(v, 2) for k, v in timings.items()}
+    omitted: list[str] = []
+    gate_line = _gate_line(gate_queries)
+    for name in reversed(names):
+        if len(gate_line) <= GATE_BUDGET:
+            break
+        if name in gate_queries:
+            del gate_queries[name]
+            omitted.append(name)
+            gate_line = _gate_line(gate_queries)
     detail = {
         "regress": regress,
+        # project-baseline drift, machine-tracked (r7 verdict item 6)
+        "vs_r1": _vs_r1(timings, [calib_start, calib_end], probe),
+        "gate_queries": timings,
+        "gate_line_omitted": omitted,
         "cold": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
         "warm_median": median,
@@ -365,10 +442,10 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     print(json.dumps(detail), file=sys.stderr)
-    if len(gate_line) > 1900:
+    if omitted:
         print(
-            f"WARN gate line is {len(gate_line)} chars — nearing the "
-            "2000-char stdout tail window; trim HEADLINE or shorten names",
+            f"NOTE gate line at budget: {len(omitted)} newest queries carried in "
+            f"bench_detail.json only: {omitted}",
             file=sys.stderr,
         )
     sys.stderr.flush()

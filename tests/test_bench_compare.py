@@ -183,6 +183,74 @@ def test_bench_regression_verdict_wires_probe(tmp_path):
     assert [r["name"] for r in out2["regressions"]] == ["a"]
 
 
+def test_median_normalization_on_large_shared_sets():
+    """r8 adjudication: with >= 20 shared queries the median query
+    ratio, not the probe ratio, is the drift estimator — probes
+    over-respond to host weather (r7: probes 1.406x vs queries 1.315x;
+    r8: probes 0.844x vs queries 0.949x, which spuriously flagged 9
+    untouched queries under probe normalization)."""
+    prev = {f"q{i}": 1.0 for i in range(24)}
+    # whole fleet 5% faster, probes 16% faster; one query genuinely 1.4x
+    cur = {k: 0.95 for k in prev}
+    cur["q3"] = 1.4
+    out = compare(
+        prev, cur,
+        {"shuffle": 0.40, "scan": 0.30},
+        {"shuffle": 0.336, "scan": 0.252},
+    )
+    assert out["norm_source"] == "median"
+    assert out["median_query_ratio"] == pytest.approx(0.95, abs=0.01)
+    assert [r["name"] for r in out["regressions"]] == ["q3"]
+    assert out["uniform_drift"] is False
+
+
+def test_uniform_regression_not_masked_by_median():
+    """A session-wide 1.4x slowdown with QUIET probes is a real uniform
+    regression (config/session change) — the median ratio would
+    normalize every per-query flag away, so the uniform_drift guard
+    must fire instead."""
+    prev = {f"q{i}": 1.0 for i in range(24)}
+    cur = {k: 1.4 for k in prev}
+    out = compare(
+        prev, cur,
+        {"shuffle": 0.40, "scan": 0.30},
+        {"shuffle": 0.41, "scan": 0.30},
+    )
+    assert out["uniform_drift"] is True
+    assert out["regressions"] == []  # per-query flags normalized away
+
+
+def test_waivers_move_flags_to_waived_list():
+    prev = {"a": 1.0, "b": 1.0}
+    cur = {"a": 1.4, "b": 1.4}
+    waivers = {"a": {"max_ratio": 1.5, "reason": "deliberate trade"}}
+    out = compare(prev, cur, waivers=waivers)
+    assert [r["name"] for r in out["regressions"]] == ["b"]
+    assert [w["name"] for w in out["waived"]] == ["a"]
+    assert out["waived"][0]["reason"] == "deliberate trade"
+    # beyond the waiver's cap the flag comes back
+    out2 = compare(prev, {"a": 1.6, "b": 1.0}, waivers=waivers)
+    assert [r["name"] for r in out2["regressions"]] == ["a"]
+
+
+def test_load_queries_recovers_truncated_tail(tmp_path):
+    """BENCH_r07.json shipped with "parsed": null because the gate line
+    overflowed the driver's 2000-char stdout tail window — the line
+    arrives with its HEAD cut off. The queries dict and probe fields
+    sit at the END and must be recovered."""
+    p = tmp_path / "BENCH_r07.json"
+    p.write_text(
+        '{"n": 7, "rc": 0, "parsed": null, '
+        '"tail": "\\":\\"headline_queries_total_sec\\",\\"value\\":1.0,'
+        '\\"queries\\":{\\"a\\":1.5,\\"b\\":0.25},\\"sf\\":0.1,'
+        '\\"calib_sec\\":[0.22,0.13],\\"probe\\":[0.41,0.33],'
+        '\\"regressions\\":[]}"}'
+    )
+    qs, probe = _load_queries(str(p))
+    assert qs == {"a": 1.5, "b": 0.25}
+    assert probe == {"calib": 0.13, "shuffle": 0.41, "scan": 0.33}
+
+
 def test_bench_regression_verdict_no_artifact(tmp_path):
     import bench
 

@@ -67,6 +67,15 @@ def _load_queries(path: str) -> tuple[dict[str, float], dict[str, float]]:
     if "parsed" in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
     qs = d.get("queries")
+    if not isinstance(qs, dict) and isinstance(d.get("tail"), str):
+        # Driver artifacts keep only the last ~2000 chars of stdout; a
+        # gate line longer than that window arrives with its HEAD cut
+        # off and "parsed": null (BENCH_r07.json shipped this way).
+        # The queries dict and the probe fields sit at the END of the
+        # gate line, so they survive the truncation — recover them by
+        # brace-matching the "queries" object and regexing the arrays.
+        d = _recover_from_tail(d["tail"])
+        qs = d.get("queries")
     if not isinstance(qs, dict):
         raise ValueError(f"{path}: no per-query timings found")
     probe: dict[str, float] = {}
@@ -77,6 +86,49 @@ def _load_queries(path: str) -> tuple[dict[str, float], dict[str, float]]:
     if isinstance(spark_probe, (list, tuple)) and len(spark_probe) == 2:
         probe["shuffle"], probe["scan"] = float(spark_probe[0]), float(spark_probe[1])
     return {k: float(v) for k, v in qs.items()}, probe
+
+
+def _recover_from_tail(tail: str) -> dict:
+    """Best-effort parse of a head-truncated gate line: extract the
+    ``"queries":{...}`` object by brace matching and the ``calib_sec``
+    / ``probe`` number arrays by regex. Returns {} when nothing is
+    recoverable (caller raises its usual ValueError)."""
+    out: dict = {}
+    i = tail.rfind('"queries":{')
+    if i >= 0:
+        j = tail.find("{", i)
+        depth = 0
+        for k in range(j, len(tail)):
+            if tail[k] == "{":
+                depth += 1
+            elif tail[k] == "}":
+                depth -= 1
+                if depth == 0:
+                    try:
+                        out["queries"] = json.loads(tail[j : k + 1])
+                    except ValueError:
+                        pass
+                    break
+    for key in ("calib_sec", "probe"):
+        m = re.search(rf'"{key}":\[([-0-9.,eE]+)\]', tail)
+        if m:
+            try:
+                out[key] = [float(x) for x in m.group(1).split(",")]
+            except ValueError:
+                pass
+    return out
+
+
+def load_waivers(repo: str = REPO) -> dict[str, dict]:
+    """Adjudicated-slowdown waivers: {query: {max_ratio, reason}}.
+    Missing/unreadable file = no waivers."""
+    path = os.path.join(repo, "tools", "bench_waivers.json")
+    try:
+        with open(path) as fh:
+            d = json.load(fh)
+        return d if isinstance(d, dict) else {}
+    except (OSError, ValueError):
+        return {}
 
 
 def latest_round_artifact(repo: str = REPO) -> str | None:
@@ -112,6 +164,7 @@ def compare(
     cur_probe: dict[str, float] | None = None,
     threshold: float = THRESHOLD,
     abs_slack: float = ABS_SLACK_SEC,
+    waivers: dict[str, dict] | None = None,
 ) -> dict:
     """Return {"regressions": [...], "advisory": bool, ...}.
 
@@ -125,19 +178,55 @@ def compare(
     """
     hr = host_ratio(prev_probe, cur_probe)
     advisory = hr is not None and (hr > CALIB_NOISE_RATIO or hr < 1 / CALIB_NOISE_RATIO)
-    # normalize symmetrically: a slower host inflates cur (divide it
-    # down); a faster host deflates cur and would MASK a plan
-    # regression (divide it up). Inside the 1.15x band, raw gating.
-    # Beyond the 1.5x ceiling the drift is too large to assume uniform,
-    # so raw times are gated and the whole verdict is advisory instead.
-    norm = (
-        hr
-        if hr is not None
-        and not advisory
-        and not (1 / HOST_DRIFT_RATIO < hr < HOST_DRIFT_RATIO)
-        else 1.0
-    )
     shared = sorted(set(prev_queries) & set(cur_queries))
+    # Host-drift normalization, two estimators:
+    #
+    # 1. MEDIAN QUERY RATIO (preferred when >= 20 shared queries): the
+    #    r7 and r8 adjudications both measured that the probe suite
+    #    over-responds to host weather relative to full query plans
+    #    (r7: probes 1.406x vs query median 1.315x; r8: probes 0.844x
+    #    vs query median 0.949x — probe-normalized gating spuriously
+    #    flagged 9 untouched queries). The median of cur/prev over the
+    #    shared set is robust to up to half the queries genuinely
+    #    regressing, so it isolates per-query PLAN changes from
+    #    uniform session drift.
+    # 2. PROBE RATIO (fallback for small shared sets, and always the
+    #    guard against a UNIFORM regression): if every query slowed
+    #    down because of a bad session/config change, the median ratio
+    #    normalizes it away — so when the median ratio itself exceeds
+    #    the probes' explanation by the threshold, report it as a
+    #    ``uniform_drift`` finding.
+    med = None
+    rlist = [
+        cur_queries[k] / prev_queries[k]
+        for k in shared
+        if prev_queries[k] > 0
+    ]
+    if len(rlist) >= 20:
+        rlist.sort()
+        mid = len(rlist) // 2
+        med = rlist[mid] if len(rlist) % 2 else (rlist[mid - 1] + rlist[mid]) / 2
+    if med is not None:
+        norm = med
+    else:
+        # probe fallback: symmetric — a slower host inflates cur
+        # (divide down); a faster host deflates cur and would MASK a
+        # regression (divide up). Inside the 1.15x band, raw gating.
+        # Beyond the 1.5x ceiling the drift is too large to assume
+        # uniform, so raw times are gated and the verdict is advisory.
+        norm = (
+            hr
+            if hr is not None
+            and not advisory
+            and not (1 / HOST_DRIFT_RATIO < hr < HOST_DRIFT_RATIO)
+            else 1.0
+        )
+    uniform_drift = (
+        med is not None
+        and hr is not None
+        and not advisory
+        and med / hr > threshold
+    )
     regs = []
     for name in shared:
         prev, cur = prev_queries[name], cur_queries[name]
@@ -155,11 +244,31 @@ def compare(
                 }
             )
     regs.sort(key=lambda r: -r["ratio"])
+    # Adjudicated plan changes: a waiver (tools/bench_waivers.json) is a
+    # deliberate, documented slowdown — an operator traded bench time
+    # for robustness/scale and the trade is recorded. Waived flags move
+    # to a "waived" list (still visible in every artifact) instead of
+    # failing the gate; a waiver caps the tolerated ratio so a further
+    # regression on the same query still fails.
+    waived = []
+    if waivers:
+        kept = []
+        for r in regs:
+            w = waivers.get(r["name"])
+            if w and r["ratio"] <= float(w.get("max_ratio", threshold)):
+                waived.append({**r, "reason": w.get("reason", "")})
+            else:
+                kept.append(r)
+        regs = kept
     return {
         "regressions": regs,
+        "waived": waived,
         "advisory": advisory,
         "host_ratio": round(hr, 3) if hr is not None else None,
+        "median_query_ratio": round(med, 3) if med is not None else None,
         "normalized": norm != 1.0,
+        "norm_source": "median" if med is not None else ("probe" if norm != 1.0 else "raw"),
+        "uniform_drift": uniform_drift,
         "n_compared": len(shared),
         "threshold": threshold,
     }
@@ -197,8 +306,18 @@ def main(argv: list[str]) -> int:
             cur_p["calib"] = float(min(d["calib_sec"]))
         if d.get("probe"):
             cur_p["shuffle"], cur_p["scan"] = map(float, d["probe"][:2])
-    out = compare(prev_q, cur_q, prev_p, cur_p, threshold=ns.threshold)
+    out = compare(
+        prev_q, cur_q, prev_p, cur_p, threshold=ns.threshold, waivers=load_waivers()
+    )
     print(json.dumps(out, indent=1))
+    if out.get("uniform_drift"):
+        print(
+            f"FAIL: uniform drift — median query ratio {out['median_query_ratio']} "
+            f"exceeds probe-explained host drift {out['host_ratio']} by >{ns.threshold}x "
+            "(session-wide regression, not weather)",
+            file=sys.stderr,
+        )
+        return 1
     if out["regressions"] and not out["advisory"]:
         print(
             f"FAIL: {len(out['regressions'])} quer{'y' if len(out['regressions']) == 1 else 'ies'} "
