@@ -147,3 +147,51 @@ def test_isolated_sources_yield_empty_result(spark):
     out = brandes_betweenness(e, s, max_hops=5)
     assert out.columns == ["node", "bc_scaled", "betweenness"]
     assert out.count() == 0
+
+
+def test_dense_graph_promotes_to_decimal_and_stays_exact(spark):
+    """Layered dense DAG whose path counts provably overflow the BIGINT
+    backward numerator: 7 fully-connected 64-wide layers give sigma =
+    64^6 ~ 6.9e10 at the last layer, so sigma * 2^30 ~ 7.4e19 > 2^63.
+    Without the automatic DECIMAL(38,0) promotion the ANSI multiply
+    raises ArithmeticException; with it the sweep completes and the
+    scaled integers match the exact unbounded-int Python recursion."""
+    width, depth = 64, 7
+    node = lambda h, j: h * 1000 + j  # noqa: E731
+    edges = [(0, node(1, j)) for j in range(width)]
+    for h in range(1, depth):
+        edges += [
+            (node(h, i), node(h + 1, j))
+            for i in range(width)
+            for j in range(width)
+        ]
+    sink = 999_999
+    edges += [(node(depth, i), sink) for i in range(width)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(0,)], "node long")
+
+    got = {
+        r.node: r.bc_scaled
+        for r in brandes_betweenness(e, s, max_hops=depth + 1).collect()
+    }
+
+    # exact integer replay of the scaled recursion, layer-symmetric:
+    # sigma(h) = width^(h-1); all nodes of a layer share one delta.
+    S = _BC_SCALE
+    sigma = {h: width ** (h - 1) for h in range(1, depth + 1)}
+    sigma[depth + 1] = width ** depth  # sink
+    delta = {depth + 1: 0}
+    for h in range(depth, 0, -1):
+        if h == depth:
+            # one successor: the sink
+            delta[h] = sigma[h] * (S + delta[h + 1]) // sigma[h + 1]
+        else:
+            delta[h] = width * (
+                sigma[h] * (S + delta[h + 1]) // sigma[h + 1]
+            )
+    # sanity: the BIGINT numerator really would overflow at depth
+    assert sigma[depth] * (S + delta[depth + 1]) >= (1 << 63)
+    assert sink not in got or got[sink] == 0  # sink has no successors
+    for h in range(1, depth + 1):
+        for j in (0, width - 1):
+            assert got[node(h, j)] == delta[h], (h, got[node(h, j)], delta[h])

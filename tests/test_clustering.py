@@ -216,3 +216,177 @@ def test_dbscan_partitioning_invariance(spark):
         )
     )
     assert base == shuf
+
+
+# ---------------------------------------------------------------------------
+# Cell-blocking recall bounds (VERDICT r7 item 4): quantify how much of the
+# TRUE eps-neighbor mass each blocking strategy keeps, against the unblocked
+# relation computed with the SAME Spark kernel (so the only difference is the
+# blocking — no float-convention noise at the threshold boundary).
+# ---------------------------------------------------------------------------
+
+
+def _pair_set(df):
+    return set(map(tuple, df.select("vec_a", "vec_b").collect()))
+
+
+def _py_probes(ids, vecs, k, p):
+    """Reference multi-probe assignment: md5-seeded quantized centroids,
+    exact integer distances, (d, cell) tie-break — the
+    nearest_cells_quantized contract."""
+    q = {i: _quant(np.asarray(v, dtype=np.float32)) for i, v in zip(ids, vecs)}
+    seed_ids = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:k]
+    cents = {c: q[i] for c, i in enumerate(seed_ids)}
+    out = {}
+    for i in ids:
+        ranked = sorted(
+            (int(((q[i] - cv) ** 2).sum()), c) for c, cv in cents.items()
+        )
+        out[i] = [c for _, c in ranked[:p]]
+    return out
+
+
+def test_multiprobe_cells_match_python_model(spark):
+    import pyarrow.parquet as pq
+
+    from tvbigdataproject_spark.operators.similarity import (
+        nearest_cells_quantized,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    want = _py_probes(ids, vecs, k=16, p=2)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {
+        r.vec_id: list(r.cells)
+        for r in nearest_cells_quantized(emb, k=16, n_probes=2).collect()
+    }
+    assert got == want
+
+
+def test_label_blocking_recall_is_the_sampling_floor(spark):
+    """The testdata's `label` column carries NO cosine signal (within-
+    cell and cross-cell cosine distributions are identical — measured
+    2026-08-15: identical 50/90/99th percentiles 0.161/0.284), so
+    same-label blocking keeps ~1/n_labels of the true neighbor mass:
+    measured 657/6903 = 0.095 at threshold 0.2 with 10 labels. This
+    test pins that floor so the dbscan_embeddings docstring's claim
+    stays honest, and pins blocked ⊆ unblocked (blocking only ever
+    REMOVES pairs)."""
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    blocked = _pair_set(cosine_neardup_pairs(emb, threshold=0.2))
+    unblocked = _pair_set(
+        cosine_neardup_pairs(emb.withColumn("label", F.lit(0)), threshold=0.2)
+    )
+    assert blocked <= unblocked
+    recall = len(blocked) / len(unblocked)
+    # ~1/10 labels; band allows data regeneration jitter
+    assert 0.05 < recall < 0.2, recall
+
+
+def test_multiprobe_recall_beats_label_blocking(spark):
+    """Geometric 16-cell 2-probe blocking on the SAME isotropic corpus:
+    measured 0.423 pair recall at ~25% of the brute-force candidate
+    count — 4.4x the label-blocking recall. (On isotropic data with a
+    loose threshold the eps-graph is Theta(n^2) dense, so sub-quadratic
+    blocking MUST lose mass; the point is that geometric cells lose
+    far less per unit cost than geometry-blind cells.)"""
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_pairs_multiprobe,
+        nearest_cells_quantized,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probed = nearest_cells_quantized(emb, k=16, n_probes=2)
+    mp = _pair_set(cosine_pairs_multiprobe(probed, threshold=0.2))
+    unblocked = _pair_set(
+        cosine_neardup_pairs(emb.withColumn("label", F.lit(0)), threshold=0.2)
+    )
+    assert mp <= unblocked
+    recall = len(mp) / len(unblocked)
+    assert recall > 0.35, recall
+
+
+def test_multiprobe_recall_high_on_clustered_data(spark):
+    """The production regime: on geometrically CLUSTERED data (10 tight
+    Gaussian bundles — where density clustering is meaningful at all),
+    2 probes of 16 cells measure ~0.94 pair recall at far-sub-quadratic
+    cost, and single-probe drops to ~0.69 — the multi-probe lever is
+    what recovers the Voronoi-boundary neighbors."""
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_pairs_multiprobe,
+        nearest_cells_quantized,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, 40, axis=0) + rng.normal(scale=0.15, size=(400, 64))
+    rows = [
+        (int(i), [float(x) for x in X[i]]) for i in range(len(X))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    unblocked = _pair_set(
+        cosine_neardup_pairs(
+            emb.withColumn("label", F.lit(0)), threshold=0.5
+        )
+    )
+    p2 = _pair_set(
+        cosine_pairs_multiprobe(
+            nearest_cells_quantized(emb, k=16, n_probes=2), threshold=0.5
+        )
+    )
+    p1 = _pair_set(
+        cosine_pairs_multiprobe(
+            nearest_cells_quantized(emb, k=16, n_probes=1), threshold=0.5
+        )
+    )
+    assert p1 <= p2 <= unblocked
+    r2 = len(p2) / len(unblocked)
+    r1 = len(p1) / len(unblocked)
+    assert r2 > 0.9, r2
+    assert r1 < r2
+
+
+def test_dbscan_multiprobe_partitioning_invariance(spark):
+    from tvbigdataproject_spark.operators.clustering import dbscan_cosine
+    from tvbigdataproject_spark.operators.similarity import (
+        nearest_cells_quantized,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probed = nearest_cells_quantized(emb, k=16, n_probes=2)
+    base = sorted(
+        map(
+            tuple,
+            dbscan_cosine(
+                probed, threshold=0.2, min_pts=4, cells_col="cells"
+            ).collect(),
+        )
+    )
+    shuf = sorted(
+        map(
+            tuple,
+            dbscan_cosine(
+                probed.repartition(7), threshold=0.2, min_pts=4, cells_col="cells"
+            ).collect(),
+        )
+    )
+    assert base == shuf

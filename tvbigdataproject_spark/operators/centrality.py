@@ -17,9 +17,12 @@ rational, so it is accumulated as 2^30-SCALED INTEGERS with one
 integer division per (v, w) successor edge — float-order-independent,
 so repeated runs hash identically at any parallelism (the established
 scaled-integer convention, queries/_stable.py). Precision loss is
-<= 2^-30 per level, far below sampling error. At extreme scale the
-sigma * (SCALE + delta) numerator outgrows BIGINT on dense graphs —
-the documented switch is DECIMAL(38,0) accumulation.
+<= 2^-30 per level, far below sampling error. On dense graphs whose
+path counts push the sigma * (SCALE + delta) numerator past 2^63, the
+multiply is automatically promoted to exact DECIMAL(38,0) — decided
+from the measured max sigma after the forward phase (the bound
+max_sigma * SCALE * settled_rows), so the common sparse case pays
+nothing and the dense case cannot hit ANSI's BIGINT overflow.
 
 No GraphFrames (SURVEY.md §1.1): plain (src, dst) edge DataFrames.
 """
@@ -86,13 +89,34 @@ def brandes_betweenness(
         _unpersist_ids(sc, e_ids)
         raise
     try:
-        # the graph may be shallower than the hop budget (the forward
-        # sweep early-exits on an empty frontier): descend only from the
-        # deepest level actually reached, else every unused level costs
-        # one empty checkpointed delta table. One 1-row aggregate over
-        # the already-checkpointed settled table.
-        deepest = settled.agg(F.max("hop")).collect()[0][0]
-        return _backward(e, settled, min(max_hops, int(deepest or 0)), sc)
+        # One 1-row aggregate over the already-checkpointed settled
+        # table serves two guards:
+        # - the graph may be shallower than the hop budget (the forward
+        #   sweep early-exits on an empty frontier): descend only from
+        #   the deepest level actually reached, else every unused level
+        #   costs one empty checkpointed delta table;
+        # - OVERFLOW PROMOTION: the backward numerator is
+        #   sigma_v * (SCALE + delta_w). sigma_v <= max(sigma) and
+        #   delta_w <= SCALE * (reachable - 1) (each successor term
+        #   sigma_v/sigma_w <= 1 because sigma is monotone along
+        #   shortest-path DAG edges, and per-landmark dependency of one
+        #   node is < reachable), so max(sigma) * SCALE * rows bounds
+        #   the numerator. When that bound reaches 2^63 the BIGINT
+        #   product would raise under ANSI — promote the multiply to
+        #   DECIMAL(38,0) (exact; the div result is <= SCALE * rows and
+        #   always fits BIGINT). Python-side arithmetic: unbounded ints,
+        #   no overflow in the check itself.
+        deepest, max_sigma, n_rows = settled.agg(
+            F.max("hop"), F.max("sigma"), F.count(F.lit(1))
+        ).collect()[0]
+        use_decimal = (
+            int(max_sigma or 0) * _BC_SCALE * (int(n_rows or 0) + 1)
+            >= (1 << 63)
+        )
+        return _backward(
+            e, settled, min(max_hops, int(deepest or 0)), sc,
+            use_decimal=use_decimal,
+        )
     finally:
         _unpersist_ids(sc, settled_ids)
         _unpersist_ids(sc, e_ids)
@@ -153,10 +177,17 @@ def _forward(e, start, max_hops, checkpoint_interval, sc):
     return visited, visited_ids
 
 
-def _backward(e, settled, max_hops, sc):
+def _backward(e, settled, max_hops, sc, use_decimal: bool = False):
     """Dependency accumulation by descending depth level:
     delta(v) = sum over successor edges v->w with hop(w) = hop(v)+1 of
     sigma_v * (SCALE + delta_w) div sigma_w (exact integers).
+
+    ``use_decimal`` promotes the numerator product to DECIMAL(38,0) —
+    exact, and its integral-div result still lands in BIGINT — for
+    dense graphs whose path counts push sigma * (SCALE + delta) past
+    2^63 (brandes_betweenness decides from the measured max sigma;
+    tests/test_centrality.py exercises the promotion on a layered
+    dense DAG whose BIGINT path provably overflows).
 
     Each level's delta is eagerly checkpointed — level h references
     level h+1's plan plus the settled table, so without truncation the
@@ -199,7 +230,9 @@ def _backward(e, settled, max_hops, sc):
                     "landmark",
                     "node",
                     F.expr(
-                        f"sigma * ({_BC_SCALE}L + delta_w) div sigma_w"
+                        f"cast(sigma as decimal(38,0)) * ({_BC_SCALE}L + delta_w) div sigma_w"
+                        if use_decimal
+                        else f"sigma * ({_BC_SCALE}L + delta_w) div sigma_w"
                     ).alias("c"),
                 )
             )

@@ -177,6 +177,7 @@ def dbscan_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    cells_col: str | None = None,
 ) -> DataFrame:
     """Distributed DBSCAN over an embedding column with cosine
     similarity >= ``threshold`` as the eps-neighborhood relation,
@@ -184,6 +185,30 @@ def dbscan_cosine(
     cosine_neardup_pairs — at 100 TB the cell bound keeps the pair
     space per-cell, and a production run scales the cell count with
     corpus density).
+
+    Blocking and its measured recall (tests/test_clustering.py):
+    the semantics computed is exactly "density over SAME-CELL
+    neighbors", deterministic and oracle-replayable — but how well it
+    approximates unblocked DBSCAN depends entirely on whether the
+    cells are GEOMETRIC:
+
+    - ``cell_col`` (default): block by an existing column. If that
+      column is uncorrelated with embedding geometry (the testdata's
+      ``label`` is: its within-cell and cross-cell cosine
+      distributions are identical), same-cell blocking keeps ~1/cells
+      of the true neighbor mass — measured 0.095 pair recall at 10
+      labels — i.e. it degrades to uniform pair sampling.
+    - ``cells_col`` (the production path): pass an array column of
+      MULTI-PROBE geometric cells (nearest_cells_quantized) and pairs
+      come from cosine_pairs_multiprobe — candidates share at least
+      one probed IVF cell. On geometrically clustered data 2 probes
+      of 16 cells measure 0.94 pair recall at far-sub-quadratic cost.
+      On isotropic data with a LOOSE threshold no sub-quadratic
+      blocking can win: the eps-graph itself is Theta(n^2) dense
+      (measured: cos>=0.2 holds for 5.5% of ALL pairs), so recall
+      buys cost linearly (0.42 recall at 25% of brute-force pairs,
+      k=16 p=2) — raise the probe count or accept the documented
+      sampling semantics.
 
     Returns (vec_id, role, cluster): role in {'core','border','noise'};
     cluster is the minimum core vec_id of the point's density-connected
@@ -210,17 +235,30 @@ def dbscan_cosine(
         _persistent_ids,
         connected_components,
     )
-    from tvbigdataproject_spark.operators.similarity import cosine_neardup_pairs
+    from tvbigdataproject_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_pairs_multiprobe,
+    )
 
     sc = emb.sparkSession.sparkContext
-    pairs, pair_ids = _checkpoint_tracked(
-        cosine_neardup_pairs(
+    if cells_col is not None:
+        raw_pairs = cosine_pairs_multiprobe(
+            emb,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            cells_col=cells_col,
+        )
+    else:
+        raw_pairs = cosine_neardup_pairs(
             emb,
             threshold=threshold,
             id_col=id_col,
             vec_col=vec_col,
             cell_col=cell_col,
-        ).select("vec_a", "vec_b"),
+        )
+    pairs, pair_ids = _checkpoint_tracked(
+        raw_pairs.select("vec_a", "vec_b"),
         sc,
     )
     try:

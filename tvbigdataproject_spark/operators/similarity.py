@@ -357,6 +357,133 @@ def cosine_neardup_pairs(
     return pairs.where(cos >= threshold).select("vec_a", "vec_b", cos.alias("cos"))
 
 
+def nearest_cells_quantized(
+    corpus: DataFrame,
+    k: int,
+    n_probes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cells",
+) -> DataFrame:
+    """Multi-probe geometric cell assignment: for every vector, the
+    ``n_probes`` nearest of ``k`` md5-seeded centroids by EXACT integer
+    squared distance (the kmeans_lloyd seeding + quantization rules, so
+    the whole assignment replays bit-for-bit in a SQL oracle).
+
+    Returns the corpus with ``out_col`` = array<int> of probed cell
+    ids, ordered nearest-first (ties -> lower cell). Blocking pairs by
+    "share at least one probed cell" is the standard IVF multi-probe
+    recall lever: a point near a Voronoi boundary is visible from both
+    adjacent cells, so boundary-adjacent neighbors are not lost the
+    way single-cell blocking loses them (measured in
+    tests/test_clustering.py: 0.94 pair recall at 2 probes on
+    geometrically clustered data vs 0.69 at 1 probe).
+
+    Scale shape: one-row packed-centroid broadcast against a corpus
+    scan (the kmeans_lloyd assignment shape); the per-row top-p is a
+    k-element sort_array + slice, all JVM-side. The corpus never
+    shuffles.
+    """
+    from pyspark.sql import Window
+
+    from tvbigdataproject_spark.operators.clustering import quantize_vectors
+
+    quant = quantize_vectors(corpus, vec_col)
+    seed_order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.orderBy(*seed_order)
+    cents = (
+        quant.orderBy(*seed_order)
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell"),
+            F.col("qv").alias("cv"),
+        )
+    )
+    packed = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "cv"))).alias("_cents")
+    )
+    dist_of = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("qv"), c["cv"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    top = F.slice(
+        F.sort_array(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(dist_of(c).alias("d"), c["cell"].alias("cell")),
+            )
+        ),
+        1,
+        n_probes,
+    )
+    return (
+        quant.crossJoin(F.broadcast(packed))
+        .withColumn(out_col, F.transform(top, lambda s: s["cell"]))
+        .drop("qv", "_cents")
+    )
+
+
+def cosine_pairs_multiprobe(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells_col: str = "cells",
+    salt_buckets: int = 8,
+    kernel: str = "arrow",
+) -> DataFrame:
+    """cosine_neardup_pairs over MULTI-PROBE cell membership: ``cells_
+    col`` is an array of cell ids per vector (nearest_cells_quantized),
+    and a pair is a candidate when the two vectors share ANY probed
+    cell. Each candidate is scored exactly once WITHOUT a distinct
+    shuffle: the pair is matched only in the MINIMUM shared cell
+    (cell == array_min(array_intersect(cells_a, cells_b)) — both probe
+    arrays ride along, so the dedup is a scan-local filter on the
+    joined row, not a post-join aggregation).
+
+    Same scale guards as cosine_neardup_pairs: salted pair parallelism
+    and AQE-proof repartition-by-number on the (cell, salt) join key.
+    Probe count multiplies the exploded input by p (not the pair space
+    by p^2 — only min-shared-cell matches survive).
+    """
+    nparts = shuffle_partition_count(corpus)
+    a = corpus.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(cells_col).alias("cells_a"),
+        F.col(vec_col).alias("emb_a"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets)).alias("salt_a"),
+    ).withColumn("cell_a", F.explode("cells_a"))
+    b = (
+        corpus.select(
+            F.col(id_col).alias("vec_b"),
+            F.col(cells_col).alias("cells_b"),
+            F.col(vec_col).alias("emb_b"),
+        )
+        .withColumn("cell_b", F.explode("cells_b"))
+        .withColumn(
+            "salt_b",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+        )
+    )
+    pairs = (
+        a.repartition(nparts, "cell_a", "salt_a")
+        .hint("SHUFFLE_HASH")
+        .join(
+            b.repartition(nparts, "cell_b", "salt_b").hint("SHUFFLE_HASH"),
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("salt_a") == F.col("salt_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .where(
+            F.col("cell_a")
+            == F.array_min(F.array_intersect("cells_a", "cells_b"))
+        )
+    )
+    cos = _KERNELS[kernel](F.col("emb_a"), F.col("emb_b"))
+    return pairs.where(cos >= threshold).select("vec_a", "vec_b", cos.alias("cos"))
+
+
 def assign_nearest_centroid(
     corpus: DataFrame,
     centroids: DataFrame,
