@@ -96,6 +96,12 @@ HEADLINE = [
     "fk_integrity_audit",       # 7-edge orphan audit (per-key collapse)
     "interval_coalesce_user",   # packing intervals: running-max sweep
     "hits_scores",              # unrolled bipartite hub/authority rounds
+    "dbscan_kmeans_cells",      # multi-probe geometric-cell DBSCAN
+    "spearman_rank_corr",       # bucket-decomposed doubled-rank Pearson
+    "kendall_tau_daily",        # integer pair concordance on day grain
+    "acf_daily_revenue",        # decimal-exact lagged autocovariance
+    "benford_price_audit",      # integer power-ladder digit-law audit
+    "matryoshka_prefix_nn",     # truncated-dim NN agreement + regret
 ]
 
 

@@ -128,6 +128,14 @@ def test_nested_loop_joins_only_where_intended(spark):
         "mixture_temperature_sample",
         # one-row key-mass totals attach under the top-k (tfidf shape)
         "skew_key_profile",
+        # broadcast bounded 100-query set x corpus — the brute-force
+        # truncation-audit baseline, embed_cosine_topk's exact shape
+        "matryoshka_prefix_nn",
+        # one-row totals + one-row denominator + 7-row lag-spine
+        # attaches (tfidf shape over the bounded day grid)
+        "acf_daily_revenue",
+        # one-row grand-total attach (tfidf shape)
+        "benford_price_audit",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name

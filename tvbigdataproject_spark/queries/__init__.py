@@ -72,3 +72,4 @@ from tvbigdataproject_spark.queries import ops_maint2  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic7  # noqa: F401,E402
 from tvbigdataproject_spark.queries import embeddings2  # noqa: F401,E402
 from tvbigdataproject_spark.queries import relational5  # noqa: F401,E402
+from tvbigdataproject_spark.queries import analytic8  # noqa: F401,E402

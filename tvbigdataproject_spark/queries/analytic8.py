@@ -1,0 +1,490 @@
+"""Statistical analytics, batch 8: rank correlation, serial
+correlation, and digit-law auditing.
+
+- spearman_rank_corr   Spearman rho between per-customer order
+                       frequency and monetary total — Pearson over
+                       tie-averaged DOUBLED ranks, both rank
+                       transforms computed by the bucket-decomposed
+                       cumulative-sum (no global data window)
+- kendall_tau_daily    Kendall tau-b concordance between daily event
+                       value and daily event count, per event type —
+                       pure integer pair sign counts on the
+                       calendar-bounded day grain
+- acf_daily_revenue    lag-1..7 autocorrelation of daily order revenue
+                       with n-scaled integer deviations (no rational
+                       mean), DECIMAL(38,0)-exact sums
+- benford_price_audit  first-digit distribution of order totals vs
+                       Benford's law — integer power-ladder digit
+                       extraction, cross-multiplied expected counts
+
+Cross-engine exactness: ranks are doubled integers (the mann_whitney_u
+convention); Kendall counts are integer sign buckets; ACF deviations
+are n*x - S integers summed in DECIMAL(38,0) (their squares overflow
+BIGINT at this grain — the betweenness-promotion precedent); Benford's
+expected probabilities are literal parts-per-million integers
+(301030..45757, summing to exactly 1e6). Every double is one fixed
+expression over already-agreed exact values.
+
+Reference parity: beyond-reference statistics tier (SURVEY.md §2 stops
+at grouped aggregates); sits beside mann_whitney_u / theil_sen_slope /
+mann_kendall_trend.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+# Spearman monetary ranks: per-customer lifetime spend in cents tops
+# out near 6e7, so width 2^22 keeps the offsets table <= ~few dozen
+# rows at ANY row count (bucket count is a function of the spend
+# DOMAIN, which grows with order COUNT per customer, not corpus size).
+_SP_W = 1 << 22
+
+
+def _doubled_ranks(vals, col: str, bucket_width: int):
+    """(value, n_v) -> (value, r2) where r2 = doubled tie-averaged rank
+    = 2*(rows before value) + n_v + 1. The global cumulative decomposes
+    into range buckets: one bounded window over bucket totals + one
+    window partitioned BY bucket — the mann_whitney_u machinery."""
+    v = vals.withColumn("_b", F.expr(f"{col} div {bucket_width}"))
+    bucket_tot = v.groupBy("_b").agg(F.sum("n_v").alias("_t"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "_b",
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0).cast("long")).alias("_off"),
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        v.join(F.broadcast(offsets), "_b")
+        .select(
+            col,
+            "n_v",
+            (
+                2 * (F.col("_off") + F.coalesce(F.sum("n_v").over(w_in), F.lit(0)))
+                + F.col("n_v")
+                + 1
+            ).alias("r2"),
+        )
+        .drop("n_v")
+    )
+
+
+_SP_RHO = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+    "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+@query(
+    "spearman_rank_corr",
+    sql=f"""
+    WITH base AS (
+        SELECT o_custkey,
+               COUNT(*) AS f,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+        FROM orders GROUP BY 1
+    ),
+    fv AS (SELECT f, COUNT(*) AS n_v FROM base GROUP BY 1),
+    fr AS (
+        SELECT f,
+               2 * CAST(COALESCE(SUM(n_v) OVER (
+                   ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) + n_v + 1 AS r2
+        FROM fv
+    ),
+    mv AS (SELECT m, COUNT(*) AS n_v FROM base GROUP BY 1),
+    mr AS (
+        SELECT m,
+               2 * CAST(COALESCE(SUM(n_v) OVER (
+                   ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) + n_v + 1 AS r2
+        FROM mv
+    ),
+    ranked AS (
+        SELECT fr.r2 AS rx, mr.r2 AS ry
+        FROM base JOIN fr ON base.f = fr.f JOIN mr ON base.m = mr.m
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+               CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+               CAST(SUM(ry * ry) AS BIGINT) AS syy,
+               CAST(SUM(rx * ry) AS BIGINT) AS sxy
+        FROM ranked
+    )
+    SELECT n, sx, sy, sxx, syy, sxy, {_SP_RHO} AS rho
+    FROM s
+    """,
+    tags=("analytics", "stats", "ranktest"),
+)
+def spearman_rank_corr(spark, sf_dir):
+    """Spearman rank correlation between order FREQUENCY and MONETARY
+    total per customer (are frequent buyers also big spenders, monotone
+    version) — Pearson over tie-averaged ranks, ranks carried DOUBLED
+    so everything before the final rho stays integer-exact.
+
+    Scale shape: both rank transforms avoid any global data window.
+    Frequency values collapse to their (bounded) value domain first;
+    monetary cents decompose into range buckets (offsets bounded by
+    the spend domain / 2^22), then rank lookup is an equi-join back on
+    the value. The six moment sums are one map-side-combined aggregate.
+    BIGINT bound: sums are <= 4n^3 — exact to n ~ 1.3e6 customers; at
+    larger n promote to DECIMAL(38,0) (the betweenness precedent).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("f"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("m"),
+    )
+    fv = base.groupBy("f").agg(F.count(F.lit(1)).alias("n_v"))
+    # frequency domain is tiny (<= ~50 distinct order counts): a single
+    # bounded window over the VALUE table is the degenerate one-bucket
+    # case of the decomposition
+    w_f = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, -1)
+    fr = fv.select(
+        "f",
+        (
+            2 * F.coalesce(F.sum("n_v").over(w_f), F.lit(0).cast("long"))
+            + F.col("n_v")
+            + 1
+        ).alias("r2"),
+    )
+    mv = base.groupBy("m").agg(F.count(F.lit(1)).alias("n_v"))
+    mr = _doubled_ranks(mv, "m", _SP_W).withColumnRenamed("r2", "r2_m")
+    ranked = (
+        base.join(F.broadcast(fr), "f")
+        .join(mr, "m")
+        .select(F.col("r2").alias("rx"), F.col("r2_m").alias("ry"))
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    return s.select("n", "sx", "sy", "sxx", "syy", "sxy", F.expr(_SP_RHO).alias("rho"))
+
+
+_KT_TAU = (
+    "CAST(nc - nd AS DOUBLE) / "
+    "(sqrt(CAST(nc + nd + tx AS DOUBLE)) * sqrt(CAST(nc + nd + ty AS DOUBLE)))"
+)
+
+
+@query(
+    "kendall_tau_daily",
+    sql=f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v,
+               COUNT(*) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    p AS (
+        SELECT a.event_type,
+               CASE WHEN (b.v - a.v) * (b.c - a.c) > 0 THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (b.v - a.v) * (b.c - a.c) < 0 THEN 1 ELSE 0 END AS disc,
+               CASE WHEN b.v = a.v AND b.c <> a.c THEN 1 ELSE 0 END AS tiex,
+               CASE WHEN b.c = a.c AND b.v <> a.v THEN 1 ELSE 0 END AS tiey,
+               CASE WHEN b.v = a.v AND b.c = a.c THEN 1 ELSE 0 END AS tieb
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(SUM(conc) AS BIGINT) AS nc, CAST(SUM(disc) AS BIGINT) AS nd,
+               CAST(SUM(tiex) AS BIGINT) AS tx, CAST(SUM(tiey) AS BIGINT) AS ty,
+               CAST(SUM(tieb) AS BIGINT) AS tb
+        FROM p GROUP BY 1
+    )
+    SELECT event_type, nc, nd, tx, ty, tb, {_KT_TAU} AS tau_b
+    FROM s
+    """,
+    tags=("analytics", "stats", "ranktest"),
+)
+def kendall_tau_daily(spark, sf_dir):
+    """Kendall tau-b between daily total event value and daily event
+    count, per event type — the pairwise-concordance alternative to
+    Spearman (no ranks at all: every pair of days contributes one
+    integer sign, so ties need no averaging convention).
+
+    Scale shape: the quadratic is over the calendar-bounded (type, day)
+    grain — theil_sen_slope's proven join shape (equi on type, residual
+    day<day: a shuffle join with residual, never a cartesian) — so at
+    100 TB the event stream pays one pre-aggregation scan and the pair
+    space is constant. tau-b denominator uses the pair-count form
+    sqrt((nc+nd+tx)(nc+nd+ty)) with tx/ty tied-in-one-variable-only.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("2024-01-01").cast("date")).alias("x"),
+            "v",
+            "c",
+        )
+    )
+    a = daily.select(
+        "event_type",
+        F.col("x").alias("xa"),
+        F.col("v").alias("va"),
+        F.col("c").alias("ca"),
+    )
+    b = daily.select(
+        "event_type",
+        F.col("x").alias("xb"),
+        F.col("v").alias("vb"),
+        F.col("c").alias("cb"),
+    )
+    dv = F.col("vb") - F.col("va")
+    dc = F.col("cb") - F.col("ca")
+    p = (
+        a.join(b, "event_type")
+        .where(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            F.when(dv * dc > 0, 1).otherwise(0).alias("conc"),
+            F.when(dv * dc < 0, 1).otherwise(0).alias("disc"),
+            F.when((dv == 0) & (dc != 0), 1).otherwise(0).alias("tiex"),
+            F.when((dc == 0) & (dv != 0), 1).otherwise(0).alias("tiey"),
+            F.when((dv == 0) & (dc == 0), 1).otherwise(0).alias("tieb"),
+        )
+    )
+    s = p.groupBy("event_type").agg(
+        F.sum("conc").alias("nc"),
+        F.sum("disc").alias("nd"),
+        F.sum("tiex").alias("tx"),
+        F.sum("tiey").alias("ty"),
+        F.sum("tieb").alias("tb"),
+    )
+    return s.select(
+        "event_type", "nc", "nd", "tx", "ty", "tb", F.expr(_KT_TAU).alias("tau_b")
+    )
+
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "acf_daily_revenue",
+    sql=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS s FROM daily),
+    dev AS (
+        SELECT d.x, CAST(t.n AS BIGINT) * d.y - t.s AS e
+        FROM daily d CROSS JOIN tot t
+    ),
+    den AS (
+        SELECT CAST(SUM(CAST(e AS DECIMAL(38,0)) * CAST(e AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS den
+        FROM dev
+    ),
+    lags AS (SELECT UNNEST(range(1, {_ACF_MAX_LAG + 1})) AS k),
+    num AS (
+        SELECT l.k,
+               CAST(SUM(CAST(a.e AS DECIMAL(38,0)) * CAST(b.e AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS num,
+               COUNT(*) AS n_pairs
+        FROM lags l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.x = a.x + l.k
+        GROUP BY l.k
+    )
+    SELECT CAST(k AS INT) AS k, n_pairs,
+           CAST(num AS DOUBLE) AS num_d,
+           CAST(den AS DOUBLE) AS den_d,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+    FROM num CROSS JOIN den
+    ORDER BY k
+    """,
+    tags=("analytics", "stats", "timeseries"),
+)
+def acf_daily_revenue(spark, sf_dir):
+    """Lag-1..7 autocorrelation of daily order revenue — the
+    seasonality detector behind dow_seasonal_anomaly (a weekly cycle
+    shows as an acf peak at k=7).
+
+    Exactness: deviations are n*y_t - S (n-scaled, so the mean never
+    becomes a rational); their products overflow BIGINT at this grain
+    (~(3.5e12)^2), so the sums run in DECIMAL(38,0) — exact, the
+    betweenness-promotion precedent — and each final double is one
+    cast of an exact decimal. Lag pairing is an EQUI-join on
+    x + k = x' over the calendar-bounded day grain (missing days
+    simply contribute no pair at that lag — documented semantics).
+
+    Scale shape: one pre-aggregation scan of orders; everything after
+    runs on the bounded day grid. The one-row totals and the one-row
+    denominator attach by broadcast.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+        .select(
+            F.datediff("day", F.lit("1992-01-01").cast("date")).alias("x"),
+            "y",
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "x", (F.col("n").cast("long") * F.col("y") - F.col("s")).alias("e")
+    )
+    ed = F.col("e").cast("decimal(38,0)")
+    den = dev.agg(F.sum(ed * ed).cast("decimal(38,0)").alias("den"))
+    lags = F.broadcast(
+        dev.sparkSession.range(1, _ACF_MAX_LAG + 1).select(
+            F.col("id").cast("long").alias("k")
+        )
+    )
+    a = dev.crossJoin(lags).select(
+        "k", (F.col("x") + F.col("k")).alias("xk"), F.col("e").alias("ea")
+    )
+    b = dev.select(F.col("x").alias("xk"), F.col("e").alias("eb"))
+    num = (
+        a.join(b, "xk")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.col("ea").cast("decimal(38,0)")
+                * F.col("eb").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("num"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_pairs",
+            F.col("num").cast("double").alias("num_d"),
+            F.col("den").cast("double").alias("den_d"),
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "acf"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+# Benford P(d) in exact parts-per-million; sums to exactly 1_000_000.
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+# o_totalprice cents < 10^9: a 9-step literal power ladder extracts the
+# leading digit in pure integer arithmetic (no float log10, no string
+# formatting — both engines compare the same integers)
+_POW_LADDER = " ".join(
+    f"WHEN cents >= {10**p} THEN cents div {10**p}" for p in range(8, 0, -1)
+)
+
+
+@query(
+    "benford_price_audit",
+    sql=f"""
+    WITH c AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    d AS (
+        SELECT CASE {_POW_LADDER} ELSE cents END AS digit FROM c
+    ),
+    obs AS (SELECT CAST(digit AS INT) AS digit, COUNT(*) AS observed FROM d GROUP BY 1),
+    exp AS (
+        SELECT UNNEST(range(1, 10)) AS digit,
+               UNNEST([{", ".join(str(p) for p in _BENFORD_PPM)}]) AS ppm
+    ),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS total FROM obs)
+    SELECT CAST(e.digit AS INT) AS digit,
+           CAST(COALESCE(o.observed, 0) AS BIGINT) AS observed,
+           t.total,
+           CAST(e.ppm AS BIGINT) AS expected_ppm,
+           CAST(COALESCE(o.observed, 0) * 1000000 - t.total * e.ppm AS BIGINT)
+               AS dev_ppm_scaled,
+           CAST(COALESCE(o.observed, 0) * 1000000 - t.total * e.ppm AS DOUBLE)
+               * CAST(COALESCE(o.observed, 0) * 1000000 - t.total * e.ppm AS DOUBLE)
+               / (1000000.0 * CAST(t.total AS DOUBLE) * CAST(e.ppm AS DOUBLE))
+               AS chi2_contrib
+    FROM exp e
+    LEFT JOIN obs o ON e.digit = o.digit
+    CROSS JOIN tot t
+    ORDER BY digit
+    """,
+    tags=("analytics", "dq", "stats"),
+)
+def benford_price_audit(spark, sf_dir):
+    """First-digit (Benford's law) audit of order totals — the classic
+    fabricated-data / pricing-anomaly screen: observed leading-digit
+    counts vs the log10(1+1/d) expectation, with exact integer
+    deviations and per-digit chi-square contributions.
+
+    Exactness: the leading digit comes from a literal integer power
+    ladder (cents div 10^p), never float log10 or string formatting;
+    expected probabilities are literal parts-per-million integers
+    summing to exactly 1e6; the deviation observed*1e6 - total*ppm is
+    exact BIGINT and the chi-square contribution is one fixed double
+    expression over those integers.
+
+    Scale shape: one scan, 9-row output; the digit extraction is
+    scan-local codegen and the one-row total attaches by broadcast.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    ladder = "CASE " + _POW_LADDER + " ELSE cents END"
+    obs = (
+        c.select(F.expr(ladder).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    exp = obs.sparkSession.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)], "digit int, ppm long"
+    )
+    tot = obs.agg(F.sum("observed").cast("long").alias("total"))
+    dev = F.coalesce(F.col("observed"), F.lit(0)) * 1000000 - F.col(
+        "total"
+    ) * F.col("ppm")
+    return (
+        F.broadcast(exp)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias("observed"),
+            "total",
+            F.col("ppm").cast("long").alias("expected_ppm"),
+            dev.cast("long").alias("dev_ppm_scaled"),
+            (
+                dev.cast("double")
+                * dev.cast("double")
+                / (
+                    F.lit(1000000.0)
+                    * F.col("total").cast("double")
+                    * F.col("ppm").cast("double")
+                )
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )

@@ -216,3 +216,135 @@ def hard_negative_mining(spark, sf_dir):
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# Matryoshka prefix audit: cosine over the first 16 of 64 dims vs the
+# full vector — explicit per-index sums so the oracle's left-to-right
+# float order matches the Spark HOF fold bit-for-bit (the embeddings.py
+# convention), here parameterized by prefix length.
+_MAT_PRE = 16
+
+
+def _dot(pre: int, ac: str = "a", bc: str = "b") -> str:
+    return " + ".join(
+        f"{ac}.embedding[{i}]::DOUBLE * {bc}.embedding[{i}]::DOUBLE"
+        for i in range(1, pre + 1)
+    )
+
+
+def _norm(pre: int, ac: str) -> str:
+    return (
+        "sqrt("
+        + " + ".join(
+            f"{ac}.embedding[{i}]::DOUBLE * {ac}.embedding[{i}]::DOUBLE"
+            for i in range(1, pre + 1)
+        )
+        + ")"
+    )
+
+
+@query(
+    "matryoshka_prefix_nn",
+    sql=f"""
+    WITH scored AS MATERIALIZED (
+        SELECT a.vec_id AS q_vec_id, b.vec_id AS vec_id,
+               ({_dot(64)}) / ({_norm(64, 'a')} * {_norm(64, 'b')}) AS cos_full,
+               ({_dot(_MAT_PRE)}) / ({_norm(_MAT_PRE, 'a')} * {_norm(_MAT_PRE, 'b')}) AS cos_pre
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 100
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                  ORDER BY cos_full DESC, vec_id) AS rn_full,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                  ORDER BY cos_pre DESC, vec_id) AS rn_pre
+        FROM scored
+    ),
+    nf AS (SELECT q_vec_id, vec_id AS nn_full, cos_full AS best_full
+           FROM r WHERE rn_full = 1),
+    np AS (SELECT q_vec_id, vec_id AS nn_prefix, cos_pre AS best_pre,
+                  cos_full AS full_at_prefix
+           FROM r WHERE rn_pre = 1)
+    SELECT nf.q_vec_id, nn_full, best_full, nn_prefix, best_pre,
+           full_at_prefix,
+           CASE WHEN nn_full = nn_prefix THEN 1 ELSE 0 END AS agree,
+           best_full - full_at_prefix AS regret
+    FROM nf JOIN np ON nf.q_vec_id = np.q_vec_id
+    """,
+    tags=("embeddings", "ann", "quantization"),
+)
+def matryoshka_prefix_nn(spark, sf_dir):
+    """Matryoshka-style truncation audit: for 100 query vectors, the
+    exact nearest neighbor under FULL 64-dim cosine vs under the first
+    16 dims only — per query the agreement flag and the cosine REGRET
+    (how much full-space similarity the truncated index gives up).
+    This is the measurement that sizes a matryoshka/truncated-index
+    tier before deploying it (the int8 quantize_recall_topk pattern,
+    applied to dimension truncation instead of scalar quantization).
+
+    Exactness: both cosines are explicit left-to-right per-index sums
+    (the embeddings.py convention), ranking ties break on vec_id, and
+    regret is one subtraction of two already-agreed doubles.
+
+    Scale shape: the bounded query set broadcasts against one corpus
+    scan (cosine_topk's plan); both rankings share one (q_vec_id)
+    partitioning, so the pair stream shuffles once. Truncated scoring
+    reads the SAME column (a slice of it) — no second index needed,
+    which is the operational point of matryoshka embeddings.
+    """
+    from pyspark.sql import Window
+
+    from tvbigdataproject_spark.functions import cosine_similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(emb.select("vec_id", "embedding"))
+        .where(F.col("q_vec_id") != F.col("vec_id"))
+    )
+    pre = lambda c: F.slice(c, 1, _MAT_PRE)  # noqa: E731
+    scored = pairs.select(
+        "q_vec_id",
+        "vec_id",
+        cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos_full"),
+        cosine_similarity(pre(F.col("q_emb")), pre(F.col("embedding"))).alias(
+            "cos_pre"
+        ),
+    )
+    w = Window.partitionBy("q_vec_id")
+    r = scored.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(F.desc("cos_full"), F.asc("vec_id")))
+        .alias("rn_full"),
+        F.row_number()
+        .over(w.orderBy(F.desc("cos_pre"), F.asc("vec_id")))
+        .alias("rn_pre"),
+    )
+    nf = r.where(F.col("rn_full") == 1).select(
+        "q_vec_id",
+        F.col("vec_id").alias("nn_full"),
+        F.col("cos_full").alias("best_full"),
+    )
+    np_ = r.where(F.col("rn_pre") == 1).select(
+        "q_vec_id",
+        F.col("vec_id").alias("nn_prefix"),
+        F.col("cos_pre").alias("best_pre"),
+        F.col("cos_full").alias("full_at_prefix"),
+    )
+    return nf.join(np_, "q_vec_id").select(
+        "q_vec_id",
+        "nn_full",
+        "best_full",
+        "nn_prefix",
+        "best_pre",
+        "full_at_prefix",
+        F.when(F.col("nn_full") == F.col("nn_prefix"), 1)
+        .otherwise(0)
+        .alias("agree"),
+        (F.col("best_full") - F.col("full_at_prefix")).alias("regret"),
+    )
