@@ -395,10 +395,16 @@ def acf_daily_revenue(spark, sf_dir):
 _BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
 # o_totalprice cents < 10^9: a 9-step literal power ladder extracts the
 # leading digit in pure integer arithmetic (no float log10, no string
-# formatting — both engines compare the same integers)
-_POW_LADDER = " ".join(
-    f"WHEN cents >= {10**p} THEN cents div {10**p}" for p in range(8, 0, -1)
-)
+# formatting — both engines compare the same integers). Integer
+# division spells `//` in DuckDB and `div` in Spark SQL; positive
+# operands make the two identical.
+
+
+def _pow_ladder(idiv: str) -> str:
+    return " ".join(
+        f"WHEN cents >= {10**p} THEN cents {idiv} {10**p}"
+        for p in range(8, 0, -1)
+    )
 
 
 @query(
@@ -408,7 +414,7 @@ _POW_LADDER = " ".join(
         SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
     ),
     d AS (
-        SELECT CASE {_POW_LADDER} ELSE cents END AS digit FROM c
+        SELECT CASE {_pow_ladder('//')} ELSE cents END AS digit FROM c
     ),
     obs AS (SELECT CAST(digit AS INT) AS digit, COUNT(*) AS observed FROM d GROUP BY 1),
     exp AS (
@@ -453,7 +459,7 @@ def benford_price_audit(spark, sf_dir):
     c = orders.select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
-    ladder = "CASE " + _POW_LADDER + " ELSE cents END"
+    ladder = "CASE " + _pow_ladder("div") + " ELSE cents END"
     obs = (
         c.select(F.expr(ladder).cast("int").alias("digit"))
         .groupBy("digit")
