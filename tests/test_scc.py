@@ -1,0 +1,143 @@
+"""strongly_connected_components vs an exact Tarjan reference on hand
+and random directed graphs, plus partitioning invariance and the
+no-leaked-checkpoint-blocks contract."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.operators.components import (
+    _persistent_ids,
+    strongly_connected_components,
+)
+
+
+def _tarjan(n_nodes, edges):
+    """Iterative Tarjan; returns {node: min-id-of-its-SCC}."""
+    adj = {v: [] for v in n_nodes}
+    for a, b in edges:
+        if a != b:
+            adj[a].append(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    sccs = []
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for v in n_nodes:
+        if v not in index:
+            strongconnect(v)
+    out = {}
+    for comp in sccs:
+        m = min(comp)
+        for v in comp:
+            out[v] = m
+    return out
+
+
+def _run(spark, edges):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.scc for r in strongly_connected_components(e).collect()
+    }
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    want = _tarjan(sorted(nodes), edges)
+    return got, want
+
+
+def test_two_cycles_and_a_bridge(spark):
+    # 1<->2<->3 cycle, 10<->11 cycle, DAG bridge 3->10, pendant 20
+    edges = [
+        (1, 2), (2, 3), (3, 1),
+        (10, 11), (11, 10),
+        (3, 10),
+        (10, 20),
+    ]
+    got, want = _run(spark, edges)
+    assert got == want
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == 20
+
+
+def test_pure_path_is_all_singletons(spark):
+    # the coloring-only worst case; trim must peel it without O(n) peels
+    edges = [(i, i + 1) for i in range(12)]
+    got, want = _run(spark, edges)
+    assert got == want
+    assert len(set(got.values())) == 13
+
+
+def test_random_digraphs_match_tarjan(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 30
+        edges = list(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(70)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        got, want = _run(spark, edges)
+        assert got == want, f"trial {trial}"
+
+
+def test_partitioning_invariance_and_no_leaked_blocks(spark):
+    sc = spark.sparkContext
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    before = _persistent_ids(sc)
+    base = sorted(
+        map(tuple, strongly_connected_components(e).collect())
+    )
+    shuf = sorted(
+        map(
+            tuple,
+            strongly_connected_components(e.repartition(7)).collect(),
+        )
+    )
+    assert base == shuf
+    # self-loop node 6 is a singleton SCC and must be present
+    assert (6, 6) in dict(base).items()
+    # only the two returned results' own checkpoint blocks may remain
+    leaked = _persistent_ids(sc) - before
+    assert len(leaked) <= 4, leaked

@@ -346,3 +346,196 @@ def best_of_cluster_survivors(
     return labeled.withColumn(
         "keep", F.row_number().over(w) == 1
     ).select(id_col, "component", quality_col, "keep")
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_peels: int = 30,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, scc) for every node of the DIRECTED graph; scc is the
+    minimum node id of the node's strongly connected component —
+    connected_components' directed sibling (mutual reachability, the
+    equivalence CC can't see: a DAG has only singleton SCCs).
+
+    Algorithm: distributed Trim + Forward-color + Backward-sweep (the
+    FW-BW-Trim family of Slota et al. / the coloring method of Orzan),
+    peeled iteratively:
+
+    1. TRIM — a node with no incoming or no outgoing edge in the
+       remaining graph is its own SCC. One trim pass per peel removes
+       the DAG-like mass (a pure path graph trims away entirely, which
+       is exactly the pathological case that makes coloring alone
+       O(n) peels).
+    2. FORWARD COLOR — propagate min node id along edge direction to a
+       fixpoint: color(v) = min over forward-ancestors-and-self. Labels
+       are monotone non-increasing, so the fixpoint is exact and the
+       convergence check ("no label changed") is a correctness proof.
+    3. BACKWARD SWEEP — every fixpoint root (color(v) == v) anchors one
+       SCC: SCC(r) = {v : color(v) = r and v reaches r}, collected by a
+       backward BFS from the roots restricted to same-color nodes. All
+       discovered SCCs peel off together; edges touching them drop; the
+       next peel runs on the remainder.
+
+    Every round of every phase is two corpus-partitioned equi-joins +
+    a groupBy (the connected_components shuffle shape), eagerly
+    checkpointed with tracked release, and every loop's exit condition
+    is a scalar count — nothing per-row reaches the driver. Rounds are
+    data-dependent (bounded by the condensation depth); ``max_peels``/
+    ``max_rounds`` raise rather than return a wrong fixpoint.
+    """
+    sc = edges.sparkSession.sparkContext
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col(src) != F.col(dst)
+    ).distinct()
+    rem_e, rem_e_ids = _checkpoint_tracked(e0, sc)
+    rem_n, rem_n_ids = _checkpoint_tracked(
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct(),
+        sc,
+    )
+    done: list[DataFrame] = []
+    done_ids: list[set[int]] = []
+
+    def _shrink(members: DataFrame) -> None:
+        """Drop assigned nodes from the remaining graph (both tables
+        re-checkpointed; previous blocks released)."""
+        nonlocal rem_e, rem_e_ids, rem_n, rem_n_ids
+        m = members.select("node")
+        new_n, new_n_ids = _checkpoint_tracked(
+            rem_n.join(m, "node", "left_anti"), sc
+        )
+        new_e, new_e_ids = _checkpoint_tracked(
+            rem_e.join(m.select(F.col("node").alias("s")), "s", "left_anti")
+            .join(m.select(F.col("node").alias("d")), "d", "left_anti"),
+            sc,
+        )
+        _unpersist_ids(sc, rem_n_ids)
+        _unpersist_ids(sc, rem_e_ids)
+        rem_n, rem_n_ids = new_n, new_n_ids
+        rem_e, rem_e_ids = new_e, new_e_ids
+
+    try:
+        for _ in range(max_peels):
+            if not rem_n.head(1):
+                break
+            # 1. TRIM: no in-edge or no out-edge -> singleton SCC
+            trivial = rem_n.join(
+                rem_e.select(F.col("d").alias("node")).distinct(),
+                "node",
+                "left_anti",
+            ).unionByName(
+                rem_n.join(
+                    rem_e.select(F.col("s").alias("node")).distinct(),
+                    "node",
+                    "left_anti",
+                )
+            ).distinct()
+            t_ck, t_ids = _checkpoint_tracked(
+                trivial.select("node", F.col("node").alias("scc")), sc
+            )
+            if t_ck.head(1):
+                done.append(t_ck)
+                done_ids.append(t_ids)
+                _shrink(t_ck)
+                continue
+            _unpersist_ids(sc, t_ids)
+
+            # 2. FORWARD COLOR to fixpoint (min over ancestors + self)
+            colors, c_ids = _checkpoint_tracked(
+                rem_n.select("node", F.col("node").alias("color")), sc
+            )
+            for _r in range(max_rounds):
+                incoming = (
+                    rem_e.join(
+                        colors.select(
+                            F.col("node").alias("s"),
+                            F.col("color").alias("c_in"),
+                        ),
+                        "s",
+                    )
+                    .groupBy(F.col("d").alias("node"))
+                    .agg(F.min("c_in").alias("c_min"))
+                )
+                stepped = colors.join(incoming, "node", "left").select(
+                    "node",
+                    F.least(
+                        F.col("color"), F.coalesce("c_min", F.col("color"))
+                    ).alias("color"),
+                )
+                new_c, new_c_ids = _checkpoint_tracked(stepped, sc)
+                changed = (
+                    new_c.join(
+                        colors.select("node", F.col("color").alias("old")),
+                        "node",
+                    )
+                    .where(F.col("color") != F.col("old"))
+                    .head(1)
+                )
+                _unpersist_ids(sc, c_ids)
+                colors, c_ids = new_c, new_c_ids
+                if not changed:
+                    break
+            else:
+                raise RuntimeError(
+                    f"scc: forward coloring did not converge in {max_rounds} rounds"
+                )
+
+            # 3. BACKWARD SWEEP from the roots within same color
+            member, m_ids = _checkpoint_tracked(
+                colors.where(F.col("node") == F.col("color")).select(
+                    "node", F.col("color").alias("scc")
+                ),
+                sc,
+            )
+            for _r in range(max_rounds):
+                grown = (
+                    rem_e.join(
+                        member.select(F.col("node").alias("d"), "scc"), "d"
+                    )
+                    .select(F.col("s").alias("node"), "scc")
+                    .join(
+                        colors.select("node", F.col("color").alias("scc")),
+                        ["node", "scc"],
+                        "left_semi",
+                    )
+                    .join(member.select("node"), "node", "left_anti")
+                    .distinct()
+                )
+                g_ck, g_ids = _checkpoint_tracked(grown, sc)
+                if not g_ck.head(1):
+                    _unpersist_ids(sc, g_ids)
+                    break
+                new_m, new_m_ids = _checkpoint_tracked(
+                    member.unionByName(g_ck), sc
+                )
+                _unpersist_ids(sc, g_ids)
+                _unpersist_ids(sc, m_ids)
+                member, m_ids = new_m, new_m_ids
+            else:
+                raise RuntimeError(
+                    f"scc: backward sweep did not converge in {max_rounds} rounds"
+                )
+            _unpersist_ids(sc, c_ids)
+            done.append(member)
+            done_ids.append(m_ids)
+            _shrink(member)
+        else:
+            raise RuntimeError(f"scc: not settled after {max_peels} peels")
+
+        from functools import reduce
+
+        out = reduce(DataFrame.unionByName, done) if done else rem_n.limit(
+            0
+        ).select("node", F.col("node").alias("scc"))
+        # one row per node: materialize, then every peel table is dead
+        out_ck, _ = _checkpoint_tracked(out, sc)
+        return out_ck
+    finally:
+        _unpersist_ids(sc, rem_e_ids)
+        _unpersist_ids(sc, rem_n_ids)
+        for ids in done_ids:
+            _unpersist_ids(sc, ids)

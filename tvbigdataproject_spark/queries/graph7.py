@@ -152,3 +152,88 @@ def ktruss_neardup(spark, sf_dir):
     finally:
         _unpersist_ids(sc, e1_ids)
         _unpersist_ids(sc, pair_ids)
+
+
+@query(
+    "scc_trade_returns",
+    sql="""
+    WITH RECURSIVE
+    cust AS MATERIALIZED (
+        SELECT c_custkey FROM customer WHERE c_nationkey = 0
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS s, -l_suppkey AS d
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN cust ON o_custkey = c_custkey
+        UNION
+        SELECT DISTINCT -l_suppkey AS s, o_custkey AS d
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN cust ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+    ),
+    nodes AS MATERIALIZED (
+        SELECT s AS node FROM e UNION SELECT d FROM e
+    ),
+    reach(a, b) AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN e ON e.s = r.b
+    ),
+    mutual AS MATERIALIZED (
+        SELECT r1.a AS u, r1.b AS v
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    )
+    SELECT n.node,
+           LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc
+    FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+    GROUP BY n.node
+    """,
+    tags=("graph", "iterative", "components"),
+)
+def scc_trade_returns(spark, sf_dir):
+    """Strongly connected components of the DIRECTED trade-returns
+    graph: customer -> supplier when any lineitem flows between them,
+    supplier -> customer only when that supplier shipped the customer a
+    RETURNED item (l_returnflag = 'R') — so an SCC is a maximal set of
+    mutual ship-and-return trade relationships, the directed structure
+    the undirected dedup_components/CC tier cannot see (suppliers
+    negated into their own id space, the pagerank_trade_graph
+    convention; restricted to nation-0 customers so the oracle's
+    transitive closure stays bounded — the operator itself is general).
+
+    Scale shape: operators/components.py::strongly_connected_components
+    — distributed Trim + forward-min-coloring + backward sweep (the
+    FW-BW-Trim family): trim peels the DAG mass as singleton SCCs, the
+    coloring fixpoint is monotone (convergence check = correctness
+    proof), and each backward sweep collects every root's SCC at once.
+    All rounds are corpus-partitioned equi-joins, eagerly checkpointed
+    with tracked release. Oracle: mutual transitive reachability via
+    recursive CTE, SCC label = min mutually-reachable node.
+    """
+    from tvbigdataproject_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") == 0)
+        .select("c_custkey")
+    )
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    fwd = base.select(
+        F.col("o_custkey").alias("src"), (-F.col("l_suppkey")).alias("dst")
+    ).distinct()
+    bwd = (
+        base.where(F.col("l_returnflag") == "R")
+        .select(
+            (-F.col("l_suppkey")).alias("src"), F.col("o_custkey").alias("dst")
+        )
+        .distinct()
+    )
+    return strongly_connected_components(fwd.unionByName(bwd))
