@@ -498,3 +498,78 @@ def luby_mis(
         # is dead
         _unpersist_ids(sc, e_ids | active_ids)
     return selected
+
+
+def dag_longest_path_levels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, level) for a DAG: level = length of the LONGEST path from
+    any source to the node (sources are level 0) — the topological
+    stratification used for dependency scheduling and, composed with
+    strongly_connected_components, for condensation-DAG analysis.
+
+    Iterative max-propagation: level(v) = max(level(v),
+    max over in-edges u->v of level(u) + 1), from all-zeros. Levels are
+    monotone non-decreasing and bounded by the DAG depth, so the
+    fixpoint is exact and "no change" is the correctness proof. On a
+    graph WITH a cycle the recursion has no fixpoint — the
+    ``max_rounds`` guard raises, doubling as a cycle detector (levels
+    on a cycle grow without bound).
+
+    Each round is one corpus-partitioned equi-join + groupBy-max with
+    eager tracked checkpointing (the connected_components discipline).
+    """
+    sc = edges.sparkSession.sparkContext
+    e, e_ids = _checkpoint_tracked(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct(),
+        sc,
+    )
+    lvl, lvl_ids = _checkpoint_tracked(
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("level")),
+        sc,
+    )
+    try:
+        for _ in range(max_rounds):
+            incoming = (
+                e.join(
+                    lvl.select(
+                        F.col("node").alias("s"), F.col("level").alias("lu")
+                    ),
+                    "s",
+                )
+                .groupBy(F.col("d").alias("node"))
+                .agg((F.max("lu") + 1).alias("lin"))
+            )
+            stepped = lvl.join(incoming, "node", "left").select(
+                "node",
+                F.greatest(
+                    F.col("level"), F.coalesce("lin", F.col("level"))
+                ).alias("level"),
+            )
+            new_lvl, new_ids = _checkpoint_tracked(stepped, sc)
+            changed = (
+                new_lvl.join(
+                    lvl.select("node", F.col("level").alias("old")), "node"
+                )
+                .where(F.col("level") != F.col("old"))
+                .head(1)
+            )
+            _unpersist_ids(sc, lvl_ids)
+            lvl, lvl_ids = new_lvl, new_ids
+            if not changed:
+                return lvl
+        raise RuntimeError(
+            f"dag_longest_path_levels: no fixpoint in {max_rounds} rounds "
+            "(deep DAG or a cycle — levels on a cycle grow without bound)"
+        )
+    except Exception:
+        _unpersist_ids(sc, lvl_ids)
+        raise
+    finally:
+        _unpersist_ids(sc, e_ids)

@@ -154,10 +154,10 @@ def ktruss_neardup(spark, sf_dir):
         _unpersist_ids(sc, pair_ids)
 
 
-@query(
-    "scc_trade_returns",
-    sql="""
-    WITH RECURSIVE
+# The trade-returns digraph + its mutual-reachability SCC labels as a
+# reusable oracle fragment (scc_trade_returns consumes it directly;
+# condensation_levels_trade builds the contracted DAG on top of it)
+_SCC_CTES = """
     cust AS MATERIALIZED (
         SELECT c_custkey FROM customer WHERE c_nationkey = 0
     ),
@@ -184,11 +184,20 @@ def ktruss_neardup(spark, sf_dir):
     mutual AS MATERIALIZED (
         SELECT r1.a AS u, r1.b AS v
         FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
-    )
-    SELECT n.node,
-           LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc
-    FROM nodes n LEFT JOIN mutual m ON m.u = n.node
-    GROUP BY n.node
+    ),
+    scc_of AS MATERIALIZED (
+        SELECT n.node,
+               LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc
+        FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+        GROUP BY n.node
+    )"""
+
+
+@query(
+    "scc_trade_returns",
+    sql=f"""
+    WITH RECURSIVE {_SCC_CTES}
+    SELECT node, scc FROM scc_of
     """,
     tags=("graph", "iterative", "components"),
 )
@@ -237,3 +246,115 @@ def scc_trade_returns(spark, sf_dir):
         .distinct()
     )
     return strongly_connected_components(fwd.unionByName(bwd))
+
+
+@query(
+    "condensation_levels_trade",
+    sql=f"""
+    WITH RECURSIVE {_SCC_CTES},
+    ce AS MATERIALIZED (
+        SELECT DISTINCT s1.scc AS s, s2.scc AS d
+        FROM e
+        JOIN scc_of s1 ON e.s = s1.node
+        JOIN scc_of s2 ON e.d = s2.node
+        WHERE s1.scc <> s2.scc
+    ),
+    cnodes AS MATERIALIZED (SELECT DISTINCT scc FROM scc_of),
+    lvl(c, l) AS (
+        SELECT scc, 0 FROM cnodes
+        UNION
+        SELECT ce.d, lvl.l + 1 FROM ce JOIN lvl ON ce.s = lvl.c
+    ),
+    members AS MATERIALIZED (
+        SELECT scc, COUNT(*) AS n_members FROM scc_of GROUP BY scc
+    )
+    SELECT lvl.c AS scc, CAST(MAX(lvl.l) AS INT) AS level,
+           CAST(m.n_members AS BIGINT) AS n_members
+    FROM lvl JOIN members m ON lvl.c = m.scc
+    GROUP BY lvl.c, m.n_members
+    """,
+    tags=("graph", "iterative", "components"),
+)
+def condensation_levels_trade(spark, sf_dir):
+    """Topological stratification of the trade-returns CONDENSATION:
+    contract every strongly connected component of scc_trade_returns'
+    digraph to one node (the contracted graph is a DAG by
+    construction), then assign each component its longest-path-from-
+    source level — the dependency depth a scheduler would execute it
+    at — plus its member count. Composes the two new directed-graph
+    operators end-to-end: strongly_connected_components -> contract ->
+    dag_longest_path_levels.
+
+    Scale shape: contraction is two equi-joins of the edge list against
+    the (node, scc) labels + distinct; level assignment is monotone
+    max-propagation to a fixpoint whose round count is the condensation
+    DEPTH (checkpoint-tracked; the max_rounds guard doubles as a cycle
+    detector, which on a correct contraction never fires). Oracle:
+    longest path via recursive CTE enumerating (component, path-length)
+    pairs, MAX-aggregated — bounded because the condensation is a small
+    DAG on this nation-restricted graph.
+    """
+    from tvbigdataproject_spark.operators.components import (
+        _checkpoint_tracked,
+        strongly_connected_components,
+    )
+    from tvbigdataproject_spark.operators.traversal import (
+        dag_longest_path_levels,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") == 0)
+        .select("c_custkey")
+    )
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    fwd = base.select(
+        F.col("o_custkey").alias("src"), (-F.col("l_suppkey")).alias("dst")
+    ).distinct()
+    bwd = (
+        base.where(F.col("l_returnflag") == "R")
+        .select(
+            (-F.col("l_suppkey")).alias("src"), F.col("o_custkey").alias("dst")
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(bwd)
+    sc = spark.sparkContext
+    labels = strongly_connected_components(edges)  # checkpointed result
+    # contract: edge (u, v) -> (scc(u), scc(v)), self-edges dropped
+    cond, cond_ids = _checkpoint_tracked(
+        edges.join(
+            labels.select(F.col("node").alias("src"), F.col("scc").alias("s")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("node").alias("dst"), F.col("scc").alias("d")),
+            "dst",
+        )
+        .where(F.col("s") != F.col("d"))
+        .select(F.col("s").alias("src"), F.col("d").alias("dst"))
+        .distinct(),
+        sc,
+    )
+    members = labels.groupBy("scc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    try:
+        # isolated components (no condensation edge) never enter the
+        # level table — they are level 0 by definition
+        lvl = dag_longest_path_levels(cond)
+    finally:
+        from tvbigdataproject_spark.operators.components import _unpersist_ids
+
+        _unpersist_ids(sc, cond_ids)
+    return members.join(
+        lvl.withColumnRenamed("node", "scc"), "scc", "left"
+    ).select(
+        "scc",
+        F.coalesce("level", F.lit(0)).cast("int").alias("level"),
+        "n_members",
+    )

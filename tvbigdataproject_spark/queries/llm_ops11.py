@@ -291,3 +291,105 @@ def target_encode_smoothed(spark, sf_dir):
         den.alias("enc_den"),
         (num.cast("double") / den.cast("double")).alias("enc_cents"),
     )
+
+
+_QA_K = 100  # total sample slots to allocate across sources
+
+
+@query(
+    "quota_sample_allocation",
+    sql=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM counts),
+    alloc AS (
+        SELECT c.source, c.n_s,
+               CAST((c.n_s * {_QA_K}) // t.n AS BIGINT) AS base,
+               CAST(c.n_s * {_QA_K} - ((c.n_s * {_QA_K}) // t.n) * t.n
+                    AS BIGINT) AS rem
+        FROM counts c CROSS JOIN tot t
+    ),
+    leftover AS (
+        SELECT CAST({_QA_K} - SUM(base) AS BIGINT) AS extra FROM alloc
+    ),
+    quota AS (
+        SELECT source, n_s, base, rem,
+               base + CASE WHEN ROW_NUMBER() OVER (
+                   ORDER BY rem DESC, source) <= l.extra
+                   THEN 1 ELSE 0 END AS quota
+        FROM alloc CROSS JOIN leftover l
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rk
+        FROM documents d
+    )
+    SELECT r.doc_id, r.source, r.rk, q.quota
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.rk <= q.quota
+    """,
+    tags=("llm", "sampling"),
+)
+def quota_sample_allocation(spark, sf_dir):
+    """Proportional quota sampling with LARGEST-REMAINDER allocation
+    (Hare quota): split 100 total sample slots across document
+    sources proportional to source size — floor share first, then the
+    unallocated remainder goes one slot at a time to the largest
+    fractional remainders (ties -> source name) — and draw each
+    source's quota by portable hash order (md5, doc_id). This is how a
+    curation pipeline pins a FIXED total budget while keeping the
+    source mixture unbiased; priority_sample_per_source is the
+    fixed-per-group twin, this one allocates the group sizes
+    themselves. Largest-remainder is exact integer arithmetic end to
+    end (the remainder comparison is n_s*K mod N — no fractions).
+
+    Scale shape: the allocation runs entirely on the bounded SOURCE
+    table (one window over a handful of rows); the draw is one
+    per-source-partitioned rank over the corpus with the quota table
+    broadcast. One corpus shuffle total.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(F.sum("n_s").cast("long").alias("n"))
+    alloc = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        F.expr(f"(n_s * {_QA_K}) div n").cast("long").alias("base"),
+        F.expr(f"n_s * {_QA_K} - ((n_s * {_QA_K}) div n) * n")
+        .cast("long")
+        .alias("rem"),
+    )
+    leftover = alloc.agg(
+        (F.lit(_QA_K) - F.sum("base")).cast("long").alias("extra")
+    )
+    w_rem = Window.orderBy(F.desc("rem"), F.asc("source"))
+    quota = (
+        alloc.crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "n_s",
+            "base",
+            "rem",
+            (
+                F.col("base")
+                + F.when(
+                    F.row_number().over(w_rem) <= F.col("extra"), 1
+                ).otherwise(0)
+            ).alias("quota"),
+        )
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w_src).alias("rk")
+    )
+    return ranked.join(
+        F.broadcast(quota.select("source", "quota")), "source"
+    ).where(F.col("rk") <= F.col("quota")).select(
+        "doc_id", "source", "rk", "quota"
+    )
