@@ -272,6 +272,9 @@ _DECLARED_ARROW_KERNEL = (
     # centroid-assignment sweep + within-cell pair join, both on the
     # arrow cosine kernel
     "semdedup_prune",
+    # full + prefix cosine over the 200k-pair probe stream — the HOF
+    # kernel measured 9.5s of interpreted eval here; arrow runs ~1s
+    "matryoshka_prefix_nn",
 )
 
 

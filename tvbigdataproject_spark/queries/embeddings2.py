@@ -295,7 +295,7 @@ def matryoshka_prefix_nn(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    from tvbigdataproject_spark.functions import cosine_similarity
+    from tvbigdataproject_spark.functions import cosine_arrow
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 100).select(
@@ -307,11 +307,15 @@ def matryoshka_prefix_nn(spark, sf_dir):
         .where(F.col("q_vec_id") != F.col("vec_id"))
     )
     pre = lambda c: F.slice(c, 1, _MAT_PRE)  # noqa: E731
+    # Arrow kernel (vectorized numpy, bitwise-equal fold order to the
+    # HOF form and the oracle's explicit sums) — the HOF kernel on this
+    # 200k-pair stream measured 9.5s of interpreted CodegenFallback
+    # eval; one ArrowEvalPython stage scores both metrics
     scored = pairs.select(
         "q_vec_id",
         "vec_id",
-        cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos_full"),
-        cosine_similarity(pre(F.col("q_emb")), pre(F.col("embedding"))).alias(
+        cosine_arrow(F.col("q_emb"), F.col("embedding")).alias("cos_full"),
+        cosine_arrow(pre(F.col("q_emb")), pre(F.col("embedding"))).alias(
             "cos_pre"
         ),
     )

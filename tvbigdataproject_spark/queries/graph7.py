@@ -157,21 +157,37 @@ def ktruss_neardup(spark, sf_dir):
 # The trade-returns digraph + its mutual-reachability SCC labels as a
 # reusable oracle fragment (scc_trade_returns consumes it directly;
 # condensation_levels_trade builds the contracted DAG on top of it)
-_SCC_CTES = """
+# Edge thresholds: a forward (ship) edge needs >= 2 distinct orders
+# between the customer and supplier, a backward (return) edge >= 2
+# returned lineitems — unthresholded, the dense sf0.01 return web
+# collapses the whole nation into ONE giant SCC (measured: 155 nodes,
+# 1 component), which demonstrates nothing. At (2,2) the structure is
+# real: a 64-node mutual-trade core, 2-cycles, and singleton shells.
+_SCC_FWD_MIN = 2
+_SCC_BWD_MIN = 2
+
+_SCC_CTES = f"""
     cust AS MATERIALIZED (
         SELECT c_custkey FROM customer WHERE c_nationkey = 0
     ),
     e AS MATERIALIZED (
-        SELECT DISTINCT o_custkey AS s, -l_suppkey AS d
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN cust ON o_custkey = c_custkey
+        SELECT s, d FROM (
+            SELECT o_custkey AS s, -l_suppkey AS d,
+                   COUNT(DISTINCT o_orderkey) AS n
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN cust ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ) WHERE n >= {_SCC_FWD_MIN}
         UNION
-        SELECT DISTINCT -l_suppkey AS s, o_custkey AS d
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN cust ON o_custkey = c_custkey
-        WHERE l_returnflag = 'R'
+        SELECT s, d FROM (
+            SELECT -l_suppkey AS s, o_custkey AS d, COUNT(*) AS n
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN cust ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2
+        ) WHERE n >= {_SCC_BWD_MIN}
     ),
     nodes AS MATERIALIZED (
         SELECT s AS node FROM e UNION SELECT d FROM e
@@ -191,6 +207,42 @@ _SCC_CTES = """
         FROM nodes n LEFT JOIN mutual m ON m.u = n.node
         GROUP BY n.node
     )"""
+
+
+
+
+def _trade_returns_edges(spark, sf_dir):
+    """Thresholded directed trade-returns edges (see _SCC_CTES note):
+    ship edges need >= _SCC_FWD_MIN distinct orders, return edges
+    >= _SCC_BWD_MIN returned lineitems."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") == 0)
+        .select("c_custkey")
+    )
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    fwd = (
+        base.groupBy(
+            F.col("o_custkey").alias("src"), (-F.col("l_suppkey")).alias("dst")
+        )
+        .agg(F.countDistinct("o_orderkey").alias("n"))
+        .where(F.col("n") >= _SCC_FWD_MIN)
+        .select("src", "dst")
+    )
+    bwd = (
+        base.where(F.col("l_returnflag") == "R")
+        .groupBy(
+            (-F.col("l_suppkey")).alias("src"), F.col("o_custkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _SCC_BWD_MIN)
+        .select("src", "dst")
+    )
+    return fwd.unionByName(bwd)
 
 
 @query(
@@ -225,27 +277,8 @@ def scc_trade_returns(spark, sf_dir):
         strongly_connected_components,
     )
 
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    cust = (
-        read_table(spark, sf_dir, "customer")
-        .where(F.col("c_nationkey") == 0)
-        .select("c_custkey")
-    )
-    base = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
-    )
-    fwd = base.select(
-        F.col("o_custkey").alias("src"), (-F.col("l_suppkey")).alias("dst")
-    ).distinct()
-    bwd = (
-        base.where(F.col("l_returnflag") == "R")
-        .select(
-            (-F.col("l_suppkey")).alias("src"), F.col("o_custkey").alias("dst")
-        )
-        .distinct()
-    )
-    return strongly_connected_components(fwd.unionByName(bwd))
+    edges = _trade_returns_edges(spark, sf_dir)
+    return strongly_connected_components(edges)
 
 
 @query(
@@ -302,27 +335,7 @@ def condensation_levels_trade(spark, sf_dir):
         dag_longest_path_levels,
     )
 
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    cust = (
-        read_table(spark, sf_dir, "customer")
-        .where(F.col("c_nationkey") == 0)
-        .select("c_custkey")
-    )
-    base = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
-    )
-    fwd = base.select(
-        F.col("o_custkey").alias("src"), (-F.col("l_suppkey")).alias("dst")
-    ).distinct()
-    bwd = (
-        base.where(F.col("l_returnflag") == "R")
-        .select(
-            (-F.col("l_suppkey")).alias("src"), F.col("o_custkey").alias("dst")
-        )
-        .distinct()
-    )
-    edges = fwd.unionByName(bwd)
+    edges = _trade_returns_edges(spark, sf_dir)
     sc = spark.sparkContext
     labels = strongly_connected_components(edges)  # checkpointed result
     # contract: edge (u, v) -> (scc(u), scc(v)), self-edges dropped
