@@ -136,6 +136,11 @@ def test_nested_loop_joins_only_where_intended(spark):
         "acf_daily_revenue",
         # one-row grand-total attach (tfidf shape)
         "benford_price_audit",
+        # one-row corpus-total + one-row leftover-slots attaches; the
+        # allocation itself runs on the bounded source table
+        "quota_sample_allocation",
+        # one-row packed-centroid attach (the kmeans_lloyd_assign shape)
+        "silhouette_kmeans_cells",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name

@@ -141,3 +141,23 @@ def test_partitioning_invariance_and_no_leaked_blocks(spark):
     # only the two returned results' own checkpoint blocks may remain
     leaked = _persistent_ids(sc) - before
     assert len(leaked) <= 4, leaked
+
+
+def test_dag_levels_and_cycle_detection(spark):
+    from tvbigdataproject_spark.operators.traversal import (
+        dag_longest_path_levels,
+    )
+
+    # diamond + tail: 1->2->4, 1->3->4->5, plus long arm 1->6->7->4:
+    # longest path to 4 is through the arm (level 3), 5 is level 4
+    edges = [(1, 2), (2, 4), (1, 3), (3, 4), (4, 5), (1, 6), (6, 7), (7, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.level for r in dag_longest_path_levels(e).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 6: 1, 7: 2, 4: 3, 5: 4}
+
+    # a cycle has no fixpoint: the max_rounds guard must raise
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="cycle"):
+        dag_longest_path_levels(cyc, max_rounds=10)

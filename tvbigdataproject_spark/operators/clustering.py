@@ -98,6 +98,24 @@ def _assign(quant: DataFrame, packed: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def kmeans_lloyd_centroids(
+    corpus: DataFrame,
+    k: int,
+    iters: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The Lloyd loop alone: returns the ONE-row packed centroid table
+    (array<struct<cell, cv>>) after exactly ``iters`` rounds — the
+    checkpointed broadcastable form `_assign` consumes. Exposed so
+    quality metrics (silhouette) can score against the same centroids
+    kmeans_lloyd assigns with, without re-deriving the loop."""
+    sc = corpus.sparkSession.sparkContext
+    quant = quantize_vectors(corpus, vec_col).select(id_col, "qv")
+    return _lloyd_loop(quant, k, iters, dim, id_col, sc)
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     k: int,
@@ -116,6 +134,15 @@ def kmeans_lloyd(
     """
     sc = corpus.sparkSession.sparkContext
     quant = quantize_vectors(corpus, vec_col).select(id_col, "qv")
+    packed = _lloyd_loop(quant, k, iters, dim, id_col, sc)
+    # the returned (lazy) plan reads only the final checkpointed pack;
+    # it stays persisted — one k-row blob, the operator's live output
+    return _assign(quant, packed, id_col).select(id_col, "cell", "dist_q")
+
+
+def _lloyd_loop(
+    quant: DataFrame, k: int, iters: int, dim: int, id_col: str, sc
+) -> DataFrame:
 
     seed_order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
     # row_number's single-partition window runs over exactly k rows
@@ -165,9 +192,7 @@ def kmeans_lloyd(
         _unpersist_ids(sc, live_ids)
         raise
 
-    # the returned (lazy) plan reads only the final checkpointed pack;
-    # it stays persisted — one k-row blob, the operator's live output
-    return _assign(quant, packed, id_col).select(id_col, "cell", "dist_q")
+    return packed
 
 
 def dbscan_cosine(

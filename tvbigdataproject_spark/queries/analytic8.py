@@ -494,3 +494,94 @@ def benford_price_audit(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+# Two-predictor OLS: the 9 moment sums are exact BIGINTs; the centered
+# normal-equation determinants multiply sums of sums (~1e20..1e35), so
+# the Cramer arithmetic runs in 128-bit exact integers — HUGEINT in
+# DuckDB, DECIMAL(38,0) in Spark (DuckDB binds decimal*decimal at
+# p1+p2 > 38 to an error, so the spellings differ; the VALUES are the
+# same exact integers). Bound: |num1| <= ~1e35 < 10^38 at sf0.1;
+# larger corpora need the sums themselves demoted to per-partition
+# partials first (documented).
+def _ols_cramer(cast128: str) -> str:
+    c = lambda e: f"CAST({e} AS {cast128})"  # noqa: E731
+    a11 = f"({c('n')} * {c('s11')} - {c('s1')} * {c('s1')})"
+    a12 = f"({c('n')} * {c('s12')} - {c('s1')} * {c('s2')})"
+    a22 = f"({c('n')} * {c('s22')} - {c('s2')} * {c('s2')})"
+    b1 = f"({c('n')} * {c('s1y')} - {c('s1')} * {c('sy')})"
+    b2 = f"({c('n')} * {c('s2y')} - {c('s2')} * {c('sy')})"
+    det = f"({a11} * {a22} - {a12} * {a12})"
+    num1 = f"({b1} * {a22} - {b2} * {a12})"
+    num2 = f"({a11} * {b2} - {a12} * {b1})"
+    return (
+        f"CAST({num1} AS DOUBLE) / CAST({det} AS DOUBLE) AS beta_qty, "
+        f"CAST({num2} AS DOUBLE) / CAST({det} AS DOUBLE) AS beta_discount"
+    )
+
+
+@query(
+    "ols_qty_discount",
+    sql=f"""
+    WITH b AS (
+        SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+               CAST(SUM(x2 * y) AS BIGINT) AS s2y
+        FROM b
+    )
+    SELECT n, s1, s2, sy, s11, s22, s12, s1y, s2y,
+           {_ols_cramer('HUGEINT')}
+    FROM m
+    """,
+    tags=("analytics", "stats", "regression"),
+)
+def ols_qty_discount(spark, sf_dir):
+    """Two-predictor ordinary least squares, closed form: extended
+    price (cents) regressed on quantity and discount points over all
+    lineitems — beta_qty recovers the average unit price, and
+    beta_discount tests whether discounts co-move with price after
+    controlling for quantity (trend_slope_by_type is the one-predictor
+    sibling; this is the smallest multiple regression, solved by
+    Cramer's rule on the centered normal equations).
+
+    Exactness: the 9 moment sums are one map-side-combined aggregate of
+    exact BIGINTs; the Cramer determinants run in exact 128-bit
+    integers (HUGEINT / DECIMAL(38,0) — same values, per-engine
+    spelling); each beta is one division of two exactly-agreed
+    integers cast to double. The betas are definitionally exact — no
+    iterative solver, no float accumulation anywhere.
+
+    Scale shape: one scan, one 1-row aggregate. Nothing else.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_quantity")).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    m = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    return m.selectExpr(
+        "n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y",
+        *_ols_cramer("DECIMAL(38,0)").split(", "),
+    )

@@ -70,8 +70,10 @@ def _update_cte(assign: str, prev_cent: str, out: str) -> str:
     )"""
 
 
-_KMEANS_SQL = f"""
-    WITH q0 AS (
+# the 2-round Lloyd pipeline up to the FINAL centroids (c2): shared by
+# the assignment oracle (one more argmin pass) and the silhouette
+# oracle (top-2 distances against the same centroids)
+_KMEANS_CTES = f"""q0 AS (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(round(x::DOUBLE * {QUANT_SCALE}.0) AS BIGINT))
@@ -87,7 +89,10 @@ _KMEANS_SQL = f"""
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
         LIMIT {_K}
     ),{_assign_cte('q0', 'c0', 'a1')},{_update_cte('a1', 'c0', 'c1')},
-    {_assign_cte('q0', 'c1', 'a2')},{_update_cte('a2', 'c1', 'c2')},
+    {_assign_cte('q0', 'c1', 'a2')},{_update_cte('a2', 'c1', 'c2')}"""
+
+_KMEANS_SQL = f"""
+    WITH {_KMEANS_CTES},
     {_assign_cte('q0', 'c2', 'a3')}
     SELECT vec_id, cell, d AS dist_q FROM a3
 """
@@ -374,4 +379,133 @@ def embed_pq_codes(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     return pq_assign(
         emb, n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=_DIM
+    )
+
+
+_SIL_SCALE = 1 << 20  # dyadic: s * 2^20 floors identically both engines
+
+
+@query(
+    "silhouette_kmeans_cells",
+    sql=f"""
+    WITH {_KMEANS_CTES},
+    s_f AS (
+        SELECT q.vec_id, c.cell, {_sq_dist('q.qv', 'c.cv')} AS d
+        FROM q0 q CROSS JOIN c2 c
+    ),
+    r AS (
+        SELECT vec_id, cell, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cell) AS rn
+        FROM s_f
+    ),
+    ab AS (
+        SELECT r1.vec_id, r1.cell,
+               sqrt(CAST(r1.d AS DOUBLE)) AS a,
+               sqrt(CAST(r2.d AS DOUBLE)) AS b
+        FROM r r1 JOIN r r2
+          ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2
+    ),
+    s AS (
+        SELECT cell,
+               CAST(floor(CASE WHEN greatest(a, b) > 0
+                               THEN (b - a) / greatest(a, b)
+                               ELSE 0.0 END * {_SIL_SCALE}.0) AS BIGINT)
+                   AS s_scaled
+        FROM ab
+    )
+    SELECT CAST(cell AS INT) AS cell, COUNT(*) AS n,
+           CAST(SUM(s_scaled) AS BIGINT) AS sum_s_scaled,
+           CAST(SUM(s_scaled) AS DOUBLE) / (COUNT(*) * {_SIL_SCALE}.0)
+               AS mean_silhouette
+    FROM s GROUP BY cell ORDER BY cell
+    """,
+    tags=("embeddings", "clustering", "dq"),
+)
+def silhouette_kmeans_cells(spark, sf_dir):
+    """Per-cell SIMPLIFIED silhouette of the 2-round Lloyd clustering —
+    the quality number that says whether a cell is a coherent cluster
+    (near 1) or an arbitrary slice of space (near 0) before a pipeline
+    trusts it for SemDeDup pruning or mixture balancing. Simplified
+    silhouette (Hruschka et al.): a = distance to OWN centroid, b =
+    distance to the nearest OTHER centroid, s = (b-a)/max(a,b) — the
+    O(N*k) centroid form of the O(N^2) classic, the only form that
+    scales.
+
+    Exactness: squared distances are exact BIGINTs against the SAME
+    final centroids kmeans_lloyd assigns with
+    (kmeans_lloyd_centroids); a, b, and s are fixed row-local double
+    expressions; per-row s is floored to 2^20-scaled integers BEFORE
+    aggregation so the per-cell sums are order-free (the established
+    scaled-integer convention — summing raw doubles would be
+    partitioning-dependent).
+
+    Scale shape: one-row packed-centroid broadcast against a corpus
+    scan (the kmeans assignment shape) + one k-row aggregation. The
+    corpus never shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.operators.clustering import (
+        kmeans_lloyd_centroids,
+        quantize_vectors,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    quant = quantize_vectors(emb).select("vec_id", "qv")
+    packed = kmeans_lloyd_centroids(emb, k=_K, iters=_ITERS, dim=_DIM)
+    dist_of = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("qv"), c["cv"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    top2 = F.slice(
+        F.sort_array(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(dist_of(c).alias("d"), c["cell"].alias("cell")),
+            )
+        ),
+        1,
+        2,
+    )
+    ab = (
+        quant.crossJoin(F.broadcast(packed))
+        .withColumn("_t2", top2)
+        .select(
+            "vec_id",
+            F.col("_t2")[0]["cell"].alias("cell"),
+            F.sqrt(F.col("_t2")[0]["d"].cast("double")).alias("a"),
+            F.sqrt(F.col("_t2")[1]["d"].cast("double")).alias("b"),
+        )
+    )
+    s = ab.select(
+        "cell",
+        F.floor(
+            F.when(
+                F.greatest("a", "b") > 0,
+                (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+            )
+            .otherwise(0.0)
+            * F.lit(float(_SIL_SCALE))
+        )
+        .cast("long")
+        .alias("s_scaled"),
+    )
+    return (
+        s.groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s_scaled").cast("long").alias("sum_s_scaled"),
+        )
+        .select(
+            "cell",
+            "n",
+            "sum_s_scaled",
+            (
+                F.col("sum_s_scaled").cast("double")
+                / (F.col("n") * F.lit(float(_SIL_SCALE)))
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cell")
     )
