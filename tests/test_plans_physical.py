@@ -141,6 +141,11 @@ def test_nested_loop_joins_only_where_intended(spark):
         "quota_sample_allocation",
         # one-row packed-centroid attach (the kmeans_lloyd_assign shape)
         "silhouette_kmeans_cells",
+        # one-row chance-agreement attach (tfidf shape)
+        "cohen_kappa_langid",
+        # one-row packed source-counts attach for the closed-form
+        # interleave position
+        "interleave_sources_order",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name

@@ -585,3 +585,97 @@ def ols_qty_discount(spark, sf_dir):
         "n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y",
         *_ols_cramer("DECIMAL(38,0)").split(", "),
     )
+
+
+def _kappa_sql() -> str:
+    from tvbigdataproject_spark.queries.textstats import _langid_sql
+
+    return f"""
+    WITH pred AS ({_langid_sql()}),
+    j AS (
+        SELECT p.predicted_lang AS pl, d.lang AS gl
+        FROM pred p JOIN documents d USING (doc_id)
+    ),
+    conf AS (SELECT pl, gl, COUNT(*) AS c FROM j GROUP BY 1, 2),
+    pc AS (SELECT pl AS cls, CAST(SUM(c) AS BIGINT) AS np FROM conf GROUP BY 1),
+    gc AS (SELECT gl AS cls, CAST(SUM(c) AS BIGINT) AS ng FROM conf GROUP BY 1),
+    pe AS (
+        SELECT CAST(SUM(p.np * g.ng) AS BIGINT) AS spg
+        FROM pc p JOIN gc g ON p.cls = g.cls
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pl = gl THEN c ELSE 0 END) AS BIGINT)
+                   AS agree
+        FROM conf
+    )
+    SELECT n, agree, spg,
+           CAST(agree AS DOUBLE) / n AS po,
+           CAST(spg AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+           CAST(n * agree - spg AS DOUBLE) / CAST(n * n - spg AS DOUBLE)
+               AS kappa
+    FROM tot CROSS JOIN pe
+    """
+
+
+
+@query(
+    "cohen_kappa_langid",
+    sql=_kappa_sql(),
+    tags=("analytics", "stats", "evaluation"),
+)
+def cohen_kappa_langid(spark, sf_dir):
+    """Cohen's kappa between the heuristic language-ID prediction
+    (text_langid) and the recorded `lang` label — chance-corrected
+    agreement, the standard evaluation number for a cheap labeler
+    before a pipeline trusts it for routing (raw accuracy rewards the
+    majority-class guesser; kappa does not).
+
+    Exactness: kappa = (n*agree - sum_c pred_c*gold_c) /
+    (n^2 - sum_c pred_c*gold_c) — every term an exact BIGINT from the
+    confusion-table margins; the single double is the final division.
+
+    Scale shape: composes the text_langid scan (one pass), one
+    confusion-margin aggregation on the bounded class set, and a
+    one-row combine. The join back to documents for the gold label is
+    doc_id-keyed (both sides corpus-sized — shuffle join).
+    """
+    from tvbigdataproject_spark.queries.textstats import text_langid
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    j = pred.join(docs, "doc_id").select(
+        F.col("predicted_lang").alias("pl"), F.col("lang").alias("gl")
+    )
+    conf = j.groupBy("pl", "gl").agg(F.count(F.lit(1)).alias("c"))
+    pc = conf.groupBy(F.col("pl").alias("cls")).agg(F.sum("c").alias("np"))
+    gc = conf.groupBy(F.col("gl").alias("cls")).agg(F.sum("c").alias("ng"))
+    pe = (
+        pc.join(gc, "cls")
+        .agg(F.sum(F.col("np") * F.col("ng")).cast("long").alias("spg"))
+    )
+    tot = conf.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("pl") == F.col("gl"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            "n",
+            "agree",
+            "spg",
+            (F.col("agree").cast("double") / F.col("n")).alias("po"),
+            (
+                F.col("spg").cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            ).alias("pe"),
+            (
+                (F.col("n") * F.col("agree") - F.col("spg")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("spg")).cast("double")
+            ).alias("kappa"),
+        )
+    )
+
+

@@ -393,3 +393,76 @@ def quota_sample_allocation(spark, sf_dir):
     ).where(F.col("rk") <= F.col("quota")).select(
         "doc_id", "source", "rk", "quota"
     )
+
+
+@query(
+    "interleave_sources_order",
+    sql="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS r
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.source, d.r,
+           (SELECT CAST(SUM(LEAST(d.r - 1, c.n)
+                    + CASE WHEN c.n >= d.r AND c.source < d.source
+                           THEN 1 ELSE 0 END) AS BIGINT)
+            FROM counts c) + 1 AS global_pos
+    FROM ranked d
+    """,
+    tags=("llm", "sampling", "ordering"),
+)
+def interleave_sources_order(spark, sf_dir):
+    """Deterministic source-interleaved corpus order: shuffle each
+    source internally by portable hash (md5, doc_id), then interleave
+    the sources round-robin — all rank-1 docs across sources first,
+    then rank-2, and so on. This is the epoch ordering a training
+    pipeline wants: reproducible "random" order WITHIN each source and
+    no long single-source runs ACROSS them (a raw global hash order
+    gives source runs proportional to source share; curriculum and
+    mixture stability both prefer the interleave). global_pos is a
+    permutation of 1..N by construction.
+
+    Scale shape: NO global sort and no global window. The per-source
+    shuffle rank is one source-partitioned window; the global position
+    has a CLOSED FORM from the bounded per-source counts — pos(r, s) =
+    sum_s' min(r-1, n_s') + |{s' < s : n_s' >= r}| + 1 (rows of
+    earlier rounds, plus earlier sources still alive in this round) —
+    evaluated scan-locally against one packed broadcast row of counts.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w_src).cast("long").alias("r")
+    )
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    packed = counts.agg(
+        F.sort_array(F.collect_list(F.struct("source", "n"))).alias("_cs")
+    )
+    pos = (
+        F.aggregate(
+            F.col("_cs"),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc
+            + F.least(F.col("r") - 1, c["n"])
+            + F.when(
+                (c["n"] >= F.col("r")) & (c["source"] < F.col("source")),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(packed))
+        .select("doc_id", "source", "r", pos.alias("global_pos"))
+    )
