@@ -390,3 +390,48 @@ def test_dbscan_multiprobe_partitioning_invariance(spark):
         )
     )
     assert base == shuf
+
+
+def test_two_level_probes_deterministic_and_high_recall_on_clusters(spark):
+    """Density-scaled routing path: two-level probes must be a pure
+    function of the row (partitioning-invariant), stay within the
+    routed group, and on geometrically clustered data lose little of
+    the flat top-p's pair recall (the SemDeDup two-level contract,
+    applied to multi-probe blocking)."""
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.operators.similarity import (
+        cosine_pairs_multiprobe,
+        nearest_cells_quantized,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, 40, axis=0) + rng.normal(scale=0.15, size=(400, 64))
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(len(X))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    tl = nearest_cells_quantized(emb, k=16, n_probes=2, two_level=True)
+    base = {r.vec_id: list(r.cells) for r in tl.collect()}
+    shuf = {
+        r.vec_id: list(r.cells)
+        for r in nearest_cells_quantized(
+            emb.repartition(7), k=16, n_probes=2, two_level=True
+        ).collect()
+    }
+    assert base == shuf
+    # every probe list is non-empty and within the probe budget
+    assert all(1 <= len(cells) <= 2 for cells in base.values())
+
+    flat_pairs = _pair_set(
+        cosine_pairs_multiprobe(
+            nearest_cells_quantized(emb, k=16, n_probes=2), threshold=0.5
+        )
+    )
+    tl_pairs = _pair_set(cosine_pairs_multiprobe(tl, threshold=0.5))
+    # two-level probes a subset of cells near the routed group: recall
+    # vs the flat pair set stays high on clustered data (measured, see
+    # SCALE.md round-8 multiprobe study)
+    recall = len(tl_pairs & flat_pairs) / max(len(flat_pairs), 1)
+    assert recall > 0.75, recall

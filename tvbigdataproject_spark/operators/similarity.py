@@ -364,6 +364,7 @@ def nearest_cells_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "cells",
+    two_level: bool = False,
 ) -> DataFrame:
     """Multi-probe geometric cell assignment: for every vector, the
     ``n_probes`` nearest of ``k`` md5-seeded centroids by EXACT integer
@@ -383,7 +384,21 @@ def nearest_cells_quantized(
     scan (the kmeans_lloyd assignment shape); the per-row top-p is a
     k-element sort_array + slice, all JVM-side. The corpus never
     shuffles.
+
+    ``two_level=True`` is the DENSITY-SCALED path (the SemDeDup-study
+    discipline, SCALE.md): when k scales with the corpus, the flat
+    per-row k-element sweep is O(N*k) — super-linear by construction.
+    Two-level routing scores ~sqrt(k) group LEADERS first (the
+    lowest-cell centroid of each contiguous ceil(sqrt(k))-sized cell
+    group), then takes the top-p within the routed group only —
+    O(N*sqrt(k)) per decade instead of O(N*k). APPROXIMATE w.r.t. the
+    flat top-p (a vector near a group boundary probes only its routed
+    group) but deterministic and partitioning-independent: routing is
+    a pure function of the row (integer distances, ties -> lower
+    leader cell). n_probes is capped by the group size.
     """
+    import math
+
     from pyspark.sql import Window
 
     from tvbigdataproject_spark.operators.clustering import quantize_vectors
@@ -407,20 +422,96 @@ def nearest_cells_quantized(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    top = F.slice(
-        F.sort_array(
-            F.transform(
-                F.col("_cents"),
-                lambda c: F.struct(dist_of(c).alias("d"), c["cell"].alias("cell")),
-            )
-        ),
-        1,
-        n_probes,
+
+    def top_of(arr, p):
+        return F.slice(
+            F.sort_array(
+                F.transform(
+                    arr,
+                    lambda c: F.struct(
+                        dist_of(c).alias("d"), c["cell"].alias("cell")
+                    ),
+                )
+            ),
+            1,
+            p,
+        )
+
+    if not two_level:
+        top = top_of(F.col("_cents"), n_probes)
+        return (
+            quant.crossJoin(F.broadcast(packed))
+            .withColumn(out_col, F.transform(top, lambda s: s["cell"]))
+            .drop("qv", "_cents")
+        )
+
+    # ~sqrt(k) leaders (the gs-strided seed cells); every centroid
+    # belongs to its NEAREST leader's group — geometric coherence is
+    # what makes routing lose little recall (grouping by cell-id RANGES
+    # was measured at 0.655 pair recall vs flat on clustered data; the
+    # nearest-leader grouping restores it — tests/test_clustering.py).
+    # The membership is computed ONCE inside the packed one-row table
+    # (centroid-to-leader integer distances), not per corpus row.
+    gs = max(1, math.isqrt(k))
+    cdist = lambda cv, lv: F.aggregate(  # noqa: E731
+        F.zip_with(cv, lv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+    leaders_of = lambda cents: F.filter(  # noqa: E731
+        cents, lambda c: c["cell"] % gs == 0
+    )
+    grouped = packed.select(
+        F.col("_cents"),
+        leaders_of(F.col("_cents")).alias("_leaders"),
+    ).select(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                c["cell"].alias("cell"),
+                c["cv"].alias("cv"),
+                F.array_min(
+                    F.transform(
+                        F.col("_leaders"),
+                        lambda l: F.struct(
+                            cdist(c["cv"], l["cv"]).alias("d"),
+                            l["cell"].alias("cell"),
+                        ),
+                    )
+                )["cell"].alias("g"),
+            ),
+        ).alias("_cents"),
+        F.col("_leaders"),
+    )
+    # route to the TOP-2 leaders, not one: the flat top-p's nearest
+    # cells straddle a leader boundary often enough that single-group
+    # routing measured only 0.65 pair recall vs flat on clustered data;
+    # probing the union of the two nearest leaders' groups restores
+    # 0.9+ while staying O(sqrt(k)) per row (2 groups of ~sqrt(k)).
+    routed2 = F.transform(
+        F.slice(
+            F.sort_array(
+                F.transform(
+                    F.col("_leaders"),
+                    lambda c: F.struct(
+                        dist_of(c).alias("d"), c["cell"].alias("cell")
+                    ),
+                )
+            ),
+            1,
+            2,
+        ),
+        lambda s: s["cell"],
+    )
+    group = F.filter(
+        F.col("_cents"), lambda c: F.array_contains(F.col("_g2"), c["g"])
+    )
+    top = top_of(group, n_probes)
     return (
-        quant.crossJoin(F.broadcast(packed))
+        quant.crossJoin(F.broadcast(grouped))
+        .withColumn("_g2", routed2)
         .withColumn(out_col, F.transform(top, lambda s: s["cell"]))
-        .drop("qv", "_cents")
+        .drop("qv", "_cents", "_leaders", "_g2")
     )
 
 
