@@ -102,6 +102,12 @@ HEADLINE = [
     "acf_daily_revenue",        # decimal-exact lagged autocovariance
     "benford_price_audit",      # integer power-ladder digit-law audit
     "matryoshka_prefix_nn",     # truncated-dim NN agreement + regret
+    "silhouette_kmeans_cells",  # per-cell cluster-quality audit
+    "ols_qty_discount",         # closed-form 2-predictor OLS (Cramer)
+    "cohen_kappa_langid",       # chance-corrected labeler agreement
+    "interleave_sources_order", # closed-form source-interleaved order
+    "quota_sample_allocation",  # largest-remainder source quotas
+    "pit_join_scd2",            # point-in-time SCD2 lookup join
 ]
 
 

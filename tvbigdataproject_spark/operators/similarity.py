@@ -483,11 +483,38 @@ def nearest_cells_quantized(
         ).alias("_cents"),
         F.col("_leaders"),
     )
+    # Reshape to (leader -> member array) MAP form and MATERIALIZE the
+    # one-row pack (localCheckpoint, the kmeans pack convention) so the
+    # k x sqrt(k) x dim membership computation runs exactly once.
+    #
+    # Per-row plan-shape hazard, measured on the density ladder at
+    # c10/k=160: expressing the candidate set as
+    # filter(cents, c -> array_contains(routed2, c.g)) ran 18.9s vs
+    # flat's 2.0s — CollapseProject substitutes the routing expression
+    # into the filter LAMBDA, re-evaluating the sqrt(k)-leader scoring
+    # once per ARRAY ELEMENT (k x sqrt(k) per row). The map form
+    # references the routing result once: flatten(transform(routed2,
+    # cell -> gmap[cell])) — two map lookups per row, routing runs
+    # once even if Catalyst inlines it.
+    gmap = F.map_from_entries(
+        F.transform(
+            F.col("_leaders"),
+            lambda l: F.struct(
+                l["cell"].alias("key"),
+                F.filter(
+                    F.col("_cents"), lambda c: c["g"] == l["cell"]
+                ).alias("value"),
+            ),
+        )
+    )
+    packed_map = grouped.select(
+        gmap.alias("_gmap"), F.col("_leaders")
+    ).localCheckpoint(eager=True)
     # route to the TOP-2 leaders, not one: the flat top-p's nearest
     # cells straddle a leader boundary often enough that single-group
     # routing measured only 0.65 pair recall vs flat on clustered data;
     # probing the union of the two nearest leaders' groups restores
-    # 0.9+ while staying O(sqrt(k)) per row (2 groups of ~sqrt(k)).
+    # 0.94 while staying O(sqrt(k)) per row (2 groups of ~sqrt(k)).
     routed2 = F.transform(
         F.slice(
             F.sort_array(
@@ -503,15 +530,14 @@ def nearest_cells_quantized(
         ),
         lambda s: s["cell"],
     )
-    group = F.filter(
-        F.col("_cents"), lambda c: F.array_contains(F.col("_g2"), c["g"])
+    cands = F.flatten(
+        F.transform(routed2, lambda cell: F.element_at(F.col("_gmap"), cell))
     )
-    top = top_of(group, n_probes)
+    top = top_of(cands, n_probes)
     return (
-        quant.crossJoin(F.broadcast(grouped))
-        .withColumn("_g2", routed2)
+        quant.crossJoin(F.broadcast(packed_map))
         .withColumn(out_col, F.transform(top, lambda s: s["cell"]))
-        .drop("qv", "_cents", "_leaders", "_g2")
+        .drop("qv", "_gmap", "_leaders")
     )
 
 
