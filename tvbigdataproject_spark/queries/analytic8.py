@@ -679,3 +679,194 @@ def cohen_kappa_langid(spark, sf_dir):
     )
 
 
+
+
+_RC_DAYS = 27  # window = current day + 27 preceding = 28 days
+
+# Second-moment window sums overflow BIGINT (daily-rev^2 ~ 1e18 at
+# sf0.1, x28 days), so they run in exact 128-bit integers — HUGEINT in
+# DuckDB, DECIMAL(38,0) in Spark (the ols_qty_discount convention) —
+# and surface as doubles (one deterministic cast of an exact value).
+
+
+@query(
+    "rolling_corr_28d",
+    sql=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT x,
+               CAST(COUNT(*) OVER win AS BIGINT) AS n,
+               CAST(SUM(rev) OVER win AS BIGINT) AS sr,
+               CAST(SUM(cnt) OVER win AS BIGINT) AS sc,
+               SUM(CAST(rev AS HUGEINT) * rev) OVER win AS srr,
+               SUM(CAST(cnt AS HUGEINT) * cnt) OVER win AS scc,
+               SUM(CAST(rev AS HUGEINT) * cnt) OVER win AS src
+        FROM daily
+        WINDOW win AS (ORDER BY x RANGE BETWEEN {{_RC_DAYS}} PRECEDING
+                       AND CURRENT ROW)
+    )
+    SELECT x, n, sr, sc,
+           CAST(srr AS DOUBLE) AS srr_d,
+           CAST(scc AS DOUBLE) AS scc_d,
+           CAST(src AS DOUBLE) AS src_d,
+           CASE WHEN n >= 2
+                     AND n * srr - CAST(sr AS HUGEINT) * sr > 0
+                     AND n * scc - CAST(sc AS HUGEINT) * sc > 0
+                THEN (CAST(n AS DOUBLE) * CAST(src AS DOUBLE)
+                      - CAST(sr AS DOUBLE) * CAST(sc AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+                             - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+                               - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)))
+                ELSE NULL END AS corr_28d
+    FROM w
+    """.replace("{_RC_DAYS}", str(_RC_DAYS)),
+    tags=("analytics", "stats", "timeseries", "window"),
+)
+def rolling_corr_28d(spark, sf_dir):
+    """28-day rolling Pearson correlation between daily revenue and
+    daily order count — the co-movement monitor a revenue dashboard
+    tracks (a correlation break says the order mix shifted, not just
+    the volume). RANGE frame over the day index, so calendar gaps
+    shorten the window instead of silently stretching it.
+
+    Exactness: first moments are exact BIGINTs; second moments run in
+    exact 128-bit integers over the window (HUGEINT / DECIMAL(38,0) —
+    daily-rev^2 overflows BIGINT from ~sf0.1) and surface as one
+    deterministic double cast each. The correlation and its
+    degenerate-window NULL guard (n < 2 or zero variance) are spelled
+    identically in both engines; the guard COMPARES in 128-bit.
+
+    Scale shape: one pre-aggregation scan of orders; the window runs
+    on the calendar-bounded day grid (a single bounded partition — the
+    mann_whitney bounded-window convention).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.datediff("day", F.lit("1992-01-01").cast("date")).alias("x"),
+            "rev",
+            "cnt",
+        )
+    )
+    win = Window.orderBy("x").rangeBetween(-_RC_DAYS, 0)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    w = daily.select(
+        "x",
+        F.count(F.lit(1)).over(win).cast("long").alias("n"),
+        F.sum("rev").over(win).cast("long").alias("sr"),
+        F.sum("cnt").over(win).cast("long").alias("sc"),
+        F.sum(dec("rev") * F.col("rev")).over(win).alias("srr"),
+        F.sum(dec("cnt") * F.col("cnt")).over(win).alias("scc"),
+        F.sum(dec("rev") * F.col("cnt")).over(win).alias("src"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = (
+        (d("n") * d("src") - d("sr") * d("sc"))
+        / (
+            F.sqrt(d("n") * d("srr") - d("sr") * d("sr"))
+            * F.sqrt(d("n") * d("scc") - d("sc") * d("sc"))
+        )
+    )
+    guard = (
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("srr") - dec("sr") * F.col("sr") > 0)
+        & (F.col("n") * F.col("scc") - dec("sc") * F.col("sc") > 0)
+    )
+    return w.select(
+        "x", "n", "sr", "sc",
+        d("srr").alias("srr_d"),
+        d("scc").alias("scc_d"),
+        d("src").alias("src_d"),
+        F.when(guard, corr).alias("corr_28d"),
+    )
+
+
+@query(
+    "mase_seasonal_naive",
+    sql="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT a.x,
+               ABS(a.y - n1.y) AS ae_naive1,
+               ABS(a.y - n7.y) AS ae_naive7
+        FROM daily a
+        JOIN daily n1 ON n1.x = a.x - 1
+        JOIN daily n7 ON n7.x = a.x - 7
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(ae_naive1) AS BIGINT) AS sae1,
+               CAST(SUM(ae_naive7) AS BIGINT) AS sae7
+        FROM e
+    )
+    SELECT n, sae1, sae7,
+           CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE) AS mase_7_vs_1
+    FROM s
+    """,
+    tags=("analytics", "stats", "timeseries", "forecast"),
+)
+def mase_seasonal_naive(spark, sf_dir):
+    """MASE-style scaled error of the WEEKLY seasonal-naive forecast
+    (predict today = 7 days ago) against the plain naive (today =
+    yesterday) on daily revenue: the standard scale-free test for
+    whether a series has exploitable weekly seasonality (ratio < 1
+    means lag-7 beats lag-1 — use the seasonal model; > 1 means the
+    weekly cycle is noise). Evaluated only on days where BOTH lags
+    exist (inner joins on the day grid), so the two error sums cover
+    the identical day set.
+
+    Exactness: absolute errors are exact BIGINT cents; the single
+    double is the final ratio of two exactly-agreed sums.
+
+    Scale shape: one pre-aggregation scan; two equi self-joins on the
+    calendar-bounded day grid.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+        .select(
+            F.datediff("day", F.lit("1992-01-01").cast("date")).alias("x"),
+            "y",
+        )
+    )
+    n1 = daily.select((F.col("x") + 1).alias("x"), F.col("y").alias("y1"))
+    n7 = daily.select((F.col("x") + 7).alias("x"), F.col("y").alias("y7"))
+    e = (
+        daily.join(n1, "x")
+        .join(n7, "x")
+        .select(
+            F.abs(F.col("y") - F.col("y1")).alias("ae1"),
+            F.abs(F.col("y") - F.col("y7")).alias("ae7"),
+        )
+    )
+    s = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ae1").cast("long").alias("sae1"),
+        F.sum("ae7").cast("long").alias("sae7"),
+    )
+    return s.select(
+        "n",
+        "sae1",
+        "sae7",
+        (F.col("sae7").cast("double") / F.col("sae1").cast("double")).alias(
+            "mase_7_vs_1"
+        ),
+    )
