@@ -870,3 +870,82 @@ def mase_seasonal_naive(spark, sf_dir):
             "mase_7_vs_1"
         ),
     )
+
+
+@query(
+    "hhi_supplier_concentration",
+    sql="""
+    WITH sup_rev AS (
+        SELECT n.n_name,
+               l.l_suppkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT n_name,
+               COUNT(*) AS n_suppliers,
+               CAST(SUM(rev) AS BIGINT) AS total_rev,
+               SUM(CAST(rev AS HUGEINT) * rev) AS sum_rev_sq
+        FROM sup_rev GROUP BY 1
+    )
+    SELECT n_name, n_suppliers, total_rev,
+           CAST(sum_rev_sq AS DOUBLE) AS sum_rev_sq_d,
+           10000.0 * CAST(sum_rev_sq AS DOUBLE)
+               / (CAST(total_rev AS DOUBLE) * CAST(total_rev AS DOUBLE))
+               AS hhi
+    FROM agg
+    """,
+    tags=("analytics", "stats", "bi"),
+)
+def hhi_supplier_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index of supplier revenue
+    per nation (0..10000, the antitrust convention: sum of squared
+    percentage shares) — the market-structure number that says whether
+    a nation's supply base is competitive (<1500) or concentrated
+    (>2500). HHI = 10000 * sum(rev_s^2) / (sum(rev_s))^2, so the
+    shares never materialize as rationals.
+
+    Exactness: per-supplier revenue is exact BIGINT cents; the squared
+    sum runs in exact 128-bit integers (HUGEINT / DECIMAL(38,0) — a
+    supplier's revenue squares past BIGINT from ~sf1) and surfaces as
+    one double cast; hhi is one fixed expression over exactly-agreed
+    values.
+
+    Scale shape: one lineitem scan into a (nation, supplier) partial
+    aggregate (map-side combine), broadcast dimension joins, then a
+    25-row nation rollup.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    sup_rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev"
+            )
+        )
+    )
+    agg = sup_rev.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev").cast("long").alias("total_rev"),
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev")).alias(
+            "sum_rev_sq"
+        ),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "n_name",
+        "n_suppliers",
+        "total_rev",
+        d("sum_rev_sq").alias("sum_rev_sq_d"),
+        (
+            F.lit(10000.0) * d("sum_rev_sq") / (d("total_rev") * d("total_rev"))
+        ).alias("hhi"),
+    )
