@@ -211,13 +211,24 @@ def _vs_r1(
                 cur_probe["shuffle"], cur_probe["scan"] = map(float, probe)
             hr = host_ratio(anchor, cur_probe)
             if hr:
-                chain = hr * ANCHOR_WEATHER_VS_R1.get(anchor_n, 1.0)
                 out["anchor_round"] = anchor_n
                 out["host_ratio_vs_anchor"] = round(hr, 3)
-                out["host_ratio_vs_r1"] = round(chain, 3)
-                out["median_ratio_normalized"] = round(
-                    out["median_ratio_raw"] / chain, 3
-                )
+                if anchor_n not in ANCHOR_WEATHER_VS_R1:
+                    # an unmapped anchor (r07 pruned, or an older
+                    # artifact gained probes) would silently chain the
+                    # wrong weather factor — omit the normalized
+                    # fields rather than fabricate them (round-8 advice)
+                    print(
+                        f"WARN vs_r1: anchor r{anchor_n:02d} has no "
+                        "weather factor; normalized fields omitted",
+                        file=sys.stderr,
+                    )
+                else:
+                    chain = hr * ANCHOR_WEATHER_VS_R1[anchor_n]
+                    out["host_ratio_vs_r1"] = round(chain, 3)
+                    out["median_ratio_normalized"] = round(
+                        out["median_ratio_raw"] / chain, 3
+                    )
     except Exception as exc:  # tracking only — never fail the bench
         print(f"WARN vs_r1 tracking failed: {exc!r}", file=sys.stderr)
     return out
@@ -424,9 +435,12 @@ def main() -> None:
             iso = round(min(runs[1:]), 3)
             reflag[name] = {"in_suite": timings[name], "isolated": iso}
             if iso < timings[name]:
+                # the gate timing takes the quieter reading, but
+                # median/spread stay AS MEASURED in-suite — folding a
+                # min into them would make warm_median/spread lie to
+                # later drift analysis (round-8 advice); the
+                # flag_adjudication block carries both readings.
                 timings[name] = iso
-                median[name] = min(median[name], iso)
-                spread[name][0] = min(spread[name][0], iso)
         total = round(sum(timings.values()), 3)
         regress = _regression_verdict(timings, [calib_start, calib_end], probe)
     # Transport contract: the consumer keeps only the last ~2000 chars

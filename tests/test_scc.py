@@ -99,11 +99,19 @@ def test_two_cycles_and_a_bridge(spark):
 
 
 def test_pure_path_is_all_singletons(spark):
-    # the coloring-only worst case; trim must peel it without O(n) peels
-    edges = [(i, i + 1) for i in range(12)]
-    got, want = _run(spark, edges)
+    # the coloring-only worst case: trim iterates to a fixpoint INSIDE
+    # one peel (round-8 advice), so a 21-node chain must settle within
+    # max_peels=3 — the pre-fix one-trim-pass-per-peel shape needed
+    # ~depth/2 = 10 peels here and raised
+    edges = [(i, i + 1) for i in range(20)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.scc
+        for r in strongly_connected_components(e, max_peels=3).collect()
+    }
+    want = _tarjan(sorted(range(21)), edges)
     assert got == want
-    assert len(set(got.values())) == 13
+    assert len(set(got.values())) == 21
 
 
 def test_random_digraphs_match_tarjan(spark):

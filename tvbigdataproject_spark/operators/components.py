@@ -365,10 +365,15 @@ def strongly_connected_components(
     peeled iteratively:
 
     1. TRIM — a node with no incoming or no outgoing edge in the
-       remaining graph is its own SCC. One trim pass per peel removes
-       the DAG-like mass (a pure path graph trims away entirely, which
-       is exactly the pathological case that makes coloring alone
-       O(n) peels).
+       remaining graph is its own SCC. Trim iterates to a FIXPOINT
+       inside the peel (each pass exposes the next layer of sources/
+       sinks), so the DAG-like mass of the condensation peels in one
+       peel regardless of depth — a pure path graph trims away
+       entirely in a single peel's inner passes. The inner loop is
+       O(condensation depth) cheap anti-join passes, each removing at
+       least one node (guaranteed termination); this replaces the
+       round-8 shape where one trim pass per peel made a chain deeper
+       than ~2*max_peels raise spuriously.
     2. FORWARD COLOR — propagate min node id along edge direction to a
        fixpoint: color(v) = min over forward-ancestors-and-self. Labels
        are monotone non-increasing, so the fixpoint is exact and the
@@ -422,27 +427,33 @@ def strongly_connected_components(
         for _ in range(max_peels):
             if not rem_n.head(1):
                 break
-            # 1. TRIM: no in-edge or no out-edge -> singleton SCC
-            trivial = rem_n.join(
-                rem_e.select(F.col("d").alias("node")).distinct(),
-                "node",
-                "left_anti",
-            ).unionByName(
-                rem_n.join(
-                    rem_e.select(F.col("s").alias("node")).distinct(),
+            # 1. TRIM to fixpoint: no in-edge or no out-edge ->
+            # singleton SCC; each inner pass exposes the next layer,
+            # and every pass removes >= 1 node or exits, so the loop
+            # terminates in <= condensation-depth passes.
+            while True:
+                trivial = rem_n.join(
+                    rem_e.select(F.col("d").alias("node")).distinct(),
                     "node",
                     "left_anti",
+                ).unionByName(
+                    rem_n.join(
+                        rem_e.select(F.col("s").alias("node")).distinct(),
+                        "node",
+                        "left_anti",
+                    )
+                ).distinct()
+                t_ck, t_ids = _checkpoint_tracked(
+                    trivial.select("node", F.col("node").alias("scc")), sc
                 )
-            ).distinct()
-            t_ck, t_ids = _checkpoint_tracked(
-                trivial.select("node", F.col("node").alias("scc")), sc
-            )
-            if t_ck.head(1):
+                if not t_ck.head(1):
+                    _unpersist_ids(sc, t_ids)
+                    break
                 done.append(t_ck)
                 done_ids.append(t_ids)
                 _shrink(t_ck)
-                continue
-            _unpersist_ids(sc, t_ids)
+            if not rem_n.head(1):
+                break
 
             # 2. FORWARD COLOR to fixpoint (min over ancestors + self)
             colors, c_ids = _checkpoint_tracked(
@@ -480,6 +491,7 @@ def strongly_connected_components(
                 if not changed:
                     break
             else:
+                _unpersist_ids(sc, c_ids)
                 raise RuntimeError(
                     f"scc: forward coloring did not converge in {max_rounds} rounds"
                 )
@@ -516,6 +528,8 @@ def strongly_connected_components(
                 _unpersist_ids(sc, m_ids)
                 member, m_ids = new_m, new_m_ids
             else:
+                _unpersist_ids(sc, c_ids)
+                _unpersist_ids(sc, m_ids)
                 raise RuntimeError(
                     f"scc: backward sweep did not converge in {max_rounds} rounds"
                 )

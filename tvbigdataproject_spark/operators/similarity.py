@@ -216,6 +216,138 @@ def _nearest_cells(vec_col: str, centers: list[list[float]], n: int) -> Column:
     )
 
 
+# Crossover where leader-routed two-level assignment replaces the flat
+# per-row k-sweep in attach_nearest_cells (measured on the sf0.1
+# embeddings corpus — SCALE.md round 9: flat is fine to ~100 cells,
+# diverges linearly in k above; two-level stays ~flat in k).
+_TWO_LEVEL_K = 128
+
+
+def attach_nearest_cells(
+    df: DataFrame,
+    centers: list[list[float]],
+    n: int,
+    vec_col: str = "embedding",
+    out_col: str = "cells",
+    two_level: bool | None = None,
+) -> DataFrame:
+    """Attach ``out_col`` = the ``n`` nearest learned-centroid cell ids
+    (array<int>, nearest-first, ties -> lower cell) to every row —
+    the ONE cell-assignment kernel for the learned-IVF family
+    (round-8 verdict: ivf_topk inlined a flat O(N*k) sweep while the
+    measured O(N*sqrt(k)) routing lived only in the quantized path).
+
+    - k < ``_TWO_LEVEL_K`` (or two_level=False): the flat inlined-
+      literal expression (_nearest_cells) — EXACT n-nearest by unit-
+      sphere distance; one scan-local expression, no broadcast at all.
+    - k >= ``_TWO_LEVEL_K`` (or two_level=True): leader-routed
+      two-level scoring, O(sqrt(k)) per row: ~sqrt(k) strided leaders
+      are scored first, candidates are the two nearest leaders' member
+      groups (union ~2*sqrt(k) centroids), top-n within. Centroid ->
+      nearest-leader membership is computed ONCE driver-side (the
+      centers list is already driver-local) and shipped as a one-row
+      localCheckpoint'ed broadcast pack — the corpus never shuffles,
+      and per-row work references the routing result through map
+      lookups so Catalyst cannot re-evaluate it per element (the
+      CollapseProject hazard measured in nearest_cells_quantized).
+      APPROXIMATE w.r.t. the flat sweep (boundary vectors may probe a
+      neighbor group) but deterministic and partitioning-independent.
+
+    Ranking matches the flat path's metric — unit-sphere squared
+    distance — via the expanded form d2 = 1 + |c|^2 - 2*(v.c)/|v|
+    (KMeans centroids are MEANS of unit vectors, so |c| varies and a
+    plain dot-product rank would disagree): |c|^2 is precomputed
+    driver-side into the pack, and |v| is let-bound ONCE per row with
+    the transform-over-singleton trick so Catalyst cannot re-evaluate
+    the norm fold per candidate (the CollapseProject HOF hazard).
+    """
+    import math
+
+    k = len(centers)
+    if two_level is None:
+        two_level = k >= _TWO_LEVEL_K
+    if not two_level:
+        return df.withColumn(out_col, _nearest_cells(vec_col, centers, n))
+
+    gs = max(1, math.isqrt(k))
+    leader_cells = [i for i in range(k) if i % gs == 0]
+    # nearest-leader membership, driver-side (k x sqrt(k) float ops)
+    groups: dict[int, list[int]] = {lc: [] for lc in leader_cells}
+    for j, c in enumerate(centers):
+        best_lc, best_d = None, None
+        for lc in leader_cells:
+            d = sum((a - b) * (a - b) for a, b in zip(c, centers[lc]))
+            if best_d is None or d < best_d:
+                best_lc, best_d = lc, d
+        groups[best_lc].append(j)
+
+    def _ent(j: int):
+        cv = [float(x) for x in centers[j]]
+        return (j, cv, float(sum(x * x for x in cv)))
+
+    spark = df.sparkSession
+    pack = spark.createDataFrame(
+        [(
+            [_ent(lc) for lc in leader_cells],
+            [(lc, [_ent(j) for j in members]) for lc, members in groups.items()],
+        )],
+        "_leaders array<struct<cell:int, cv:array<double>, c2:double>>, "
+        "_entries array<struct<key:int, "
+        "value:array<struct<cell:int, cv:array<double>, c2:double>>>>",
+    ).select(
+        "_leaders", F.map_from_entries("_entries").alias("_gmap")
+    ).localCheckpoint(eager=True)
+
+    v = F.col(vec_col).cast("array<double>")
+    dot_of = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(v, c["cv"], lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+    def cells_of(nn):
+        # score = |c|^2 - 2*(v.c)/|v| — orders exactly as unit-sphere d2
+        def top_of(arr, p):
+            return F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.transform(
+                            arr,
+                            lambda c: F.struct(
+                                (c["c2"] - 2.0 * dot_of(c) / nn).alias("d"),
+                                c["cell"].alias("cell"),
+                            ),
+                        )
+                    ),
+                    1,
+                    p,
+                ),
+                lambda s: s["cell"],
+            )
+
+        routed2 = top_of(F.col("_leaders"), 2)
+        cands = F.flatten(
+            F.transform(
+                routed2, lambda cell: F.element_at(F.col("_gmap"), cell)
+            )
+        )
+        return top_of(cands, n)
+
+    out = F.element_at(F.transform(F.array(nrm), cells_of), 1)
+    return (
+        df.crossJoin(F.broadcast(pack))
+        .withColumn(out_col, out)
+        .drop("_leaders", "_gmap")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -245,9 +377,11 @@ def ivf_topk(
 
     Plan shape at scale: one sampled KMeans fit, memoized per corpus
     when ``cache_key`` is set (see fit_ivf_centers); both cell
-    assignments are scan-local array expressions (no shuffle, no
-    window); the candidate join is a hash equi-join on cell with the
-    query side broadcast; the corpus side stays partitioned and is
+    assignments go through attach_nearest_cells — scan-local flat
+    sweep below the measured crossover (_TWO_LEVEL_K), leader-routed
+    O(N*sqrt(k)) two-level scoring above it (no shuffle, no window
+    either way); the candidate join is a hash equi-join on cell with
+    the query side broadcast; the corpus side stays partitioned and is
     touched once.
     """
     centers = fit_ivf_centers(
@@ -257,10 +391,16 @@ def ivf_topk(
     idx_key = (id(spark), cache_key, n_cells, ka, vec_col, seed)
     assigned = _INDEX_CACHE.get(idx_key) if cache_key is not None else None
     if assigned is None:
-        assigned = corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("emb"),
-            F.explode(_nearest_cells(vec_col, centers, ka)).alias("cell"),
+        assigned = attach_nearest_cells(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")
+            ),
+            centers,
+            ka,
+            vec_col="emb",
+            out_col="_cells",
+        ).select(
+            "vec_id", "emb", F.explode("_cells").alias("cell")
         )
         if cache_key is not None:
             # materialized inverted lists: steady-state queries skip the
@@ -268,11 +408,15 @@ def ivf_topk(
             assigned = assigned.persist()
             assigned.count()
             _INDEX_CACHE[idx_key] = assigned
-    probes = queries.select(
-        F.col(id_col).alias("q_vec_id"),
-        F.col(vec_col).alias("q_emb"),
-        F.explode(_nearest_cells(vec_col, centers, nprobe)).alias("cell"),
-    )
+    probes = attach_nearest_cells(
+        queries.select(
+            F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_emb")
+        ),
+        centers,
+        nprobe,
+        vec_col="q_emb",
+        out_col="_cells",
+    ).select("q_vec_id", "q_emb", F.explode("_cells").alias("cell"))
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("q_vec_id"))

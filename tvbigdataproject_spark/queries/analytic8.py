@@ -414,7 +414,8 @@ def _pow_ladder(idiv: str) -> str:
         SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
     ),
     d AS (
-        SELECT CASE {_pow_ladder('//')} ELSE cents END AS digit FROM c
+        SELECT CASE {_pow_ladder('//')} ELSE cents END AS digit
+        FROM c WHERE cents >= 1
     ),
     obs AS (SELECT CAST(digit AS INT) AS digit, COUNT(*) AS observed FROM d GROUP BY 1),
     exp AS (
@@ -461,7 +462,12 @@ def benford_price_audit(spark, sf_dir):
     )
     ladder = "CASE " + _pow_ladder("div") + " ELSE cents END"
     obs = (
-        c.select(F.expr(ladder).cast("int").alias("digit"))
+        # cents < 1 has no leading digit in 1..9: excluding it here keeps
+        # observed and total over the SAME population (round-8 advice —
+        # a zero/negative total would otherwise count in `total` but
+        # never join the 1..9 expectation, skewing every chi2 term)
+        c.filter(F.col("cents") >= 1)
+        .select(F.expr(ladder).cast("int").alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("observed"))
     )

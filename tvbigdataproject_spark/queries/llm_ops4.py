@@ -181,29 +181,84 @@ def zipf_band_mass(spark, sf_dir):
     band index floor(log2(rank)) is computed as bit_length(rank)-1 via
     ``bin()`` string length: pure integer arithmetic in both engines.
 
-    Scale: token counting is the map-heavy part (scan + one keyed agg);
-    the ROW_NUMBER ranking runs over the distinct VOCABULARY, orders of
-    magnitude smaller than the corpus. The single-partition window is
-    deliberate at this vocab size; at web-corpus vocabularies the same
-    rank comes from a range-partitioned sort (rank = partition offset +
-    local row number) with identical output.
+    Scale: token counting is the map-heavy part (scan + one keyed agg).
+    The oracle's ROW_NUMBER over the whole vocabulary is the semantic
+    spec, but executing it is a vocab-sized SINGLE-TASK sort (billions
+    of types at web scale), so the Spark plan never ranks rows at all:
+    a tie run of m types sharing count c occupies the contiguous rank
+    interval [r0, r0+m) REGARDLESS of the within-tie order, and band
+    aggregates depend only on (rank, c) — so each run is split across
+    the <=64 geometric bands it intersects in closed form. r0 itself
+    (types with strictly higher count) comes from the bucket-offset
+    decomposition with _b = floor(log2(c)): the only unpartitioned
+    window runs over the <=64-row log2-bucket table, and the
+    within-bucket cumulative partitions on _b.
     """
     tok = read_table(spark, sf_dir, "documents").select(
         F.explode(simple_tokens(F.lower(F.col("text")))).alias("t")
     )
     counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    ranked = counts.select(
-        "cnt",
-        F.row_number()
-        .over(Window.orderBy(F.col("cnt").desc(), F.col("t")))
-        .alias("rnk"),
+    # tie runs: m types share count cnt; log2 bucket (<=64 values)
+    runs = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("m"))
+    runs = runs.withColumn("_b", (F.length(F.bin("cnt")) - 1).cast("long"))
+    btot = runs.groupBy("_b").agg(F.sum("m").alias("_t"))
+    # bounded: one row per occupied log2 band of the count domain
+    w_off = Window.orderBy(F.desc("_b")).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    band = (F.length(F.bin(F.col("rnk"))) - 1).cast("long")
+    offsets = btot.select(
+        "_b",
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0).cast("long")).alias(
+            "_off"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(F.desc("cnt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        runs.join(F.broadcast(offsets), "_b")
+        .select(
+            "cnt",
+            "m",
+            (
+                1
+                + F.col("_off")
+                + F.coalesce(F.sum("m").over(w_in), F.lit(0).cast("long"))
+            ).alias("r0"),
+        )
+    )
+    # split each run across the geometric rank bands it intersects:
+    # band b covers ranks [2^b, 2^(b+1)); the run covers [r0, r0+m-1]
+    spread = placed.select(
+        "cnt",
+        "m",
+        "r0",
+        F.explode(
+            F.sequence(
+                (F.length(F.bin("r0")) - 1).cast("long"),
+                (F.length(F.bin(F.col("r0") + F.col("m") - 1)) - 1).cast(
+                    "long"
+                ),
+            )
+        ).alias("band"),
+    )
+    lo = F.greatest(
+        F.col("r0"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(band AS INT))"),
+    )
+    hi = F.least(
+        F.col("r0") + F.col("m") - 1,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(band AS INT) + 1) - 1"),
+    )
+    sz = (hi - lo + 1).alias("sz")
     return (
-        ranked.groupBy(band.alias("band"))
+        spread.select("cnt", "band", sz)
+        .groupBy("band")
         .agg(
-            F.count(F.lit(1)).alias("n_types"),
-            F.sum("cnt").alias("mass"),
+            F.sum("sz").alias("n_types"),
+            F.sum(F.col("sz") * F.col("cnt")).alias("mass"),
             F.max("cnt").alias("top_count"),
         )
     )
