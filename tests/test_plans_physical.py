@@ -146,6 +146,16 @@ def test_nested_loop_joins_only_where_intended(spark):
         # one-row packed source-counts attach for the closed-form
         # interleave position
         "interleave_sources_order",
+        # one-row rank-sum / total attaches (tfidf shape)
+        "gini_customer_spend",
+        # one-row totals + ties + sorted-fold attaches
+        "kruskal_wallis_value",
+        # one-row (na, nb) totals attach over the bounded length grid
+        "ks_doclen_lang",
+        # one-row count / median / fold attaches over the day grid
+        "runs_test_daily_revenue",
+        # bounded 5x20 margin cross join + one-row n/chi2 attaches
+        "cramers_v_lang_source",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
@@ -174,6 +184,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "target_encode_smoothed": "largest-remainder ranking over the category table (bounded by #categories)",
     "wma_weekly_revenue": "weighted frame over the weekly grid (bounded by calendar span)",
     "zipf_band_mass": "bucket-offset running sum over the <=64-row log2(count) bucket table (r9 rank-free rewrite)",
+    "gini_customer_spend": "bucket-offset running sum over the spend-bucket table (~dozens of rows at any SF)",
+    "kruskal_wallis_value": "bucket-offset running sum over the cents-bucket table",
+    "ks_doclen_lang": "ECDF cumulative over the n_chars value grid (bounded by the length domain)",
+    "runs_test_daily_revenue": "median rank + lag over the bounded day grid",
     "zonemap_prune_stats": "per-layout file-share window over the <=3-row verdict table",
 }
 

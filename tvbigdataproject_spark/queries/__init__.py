@@ -73,3 +73,5 @@ from tvbigdataproject_spark.queries import analytic7  # noqa: F401,E402
 from tvbigdataproject_spark.queries import embeddings2  # noqa: F401,E402
 from tvbigdataproject_spark.queries import relational5  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic8  # noqa: F401,E402
+from tvbigdataproject_spark.queries import analytic9  # noqa: F401,E402
+from tvbigdataproject_spark.queries import llm_ops12  # noqa: F401,E402

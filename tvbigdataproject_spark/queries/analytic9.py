@@ -1,0 +1,683 @@
+"""Round-9 analytics tier: inequality, rank-based and distribution
+tests — Gini concentration, Kruskal-Wallis, two-sample KS, the
+Wald-Wolfowitz runs test, Cramér's V, and per-segment interarrival
+quartiles.
+
+Shared discipline (the engine's exactness conventions):
+- every statistic is assembled from EXACT integers (cents, counts,
+  doubled ranks) with at most one final double expression, so the
+  DuckDB oracle matches bitwise;
+- no corpus-sized global windows: global ranks decompose into
+  range-bucket offsets (the histogram_equidepth_value /
+  mann_whitney_u shape), and the only unpartitioned windows run over
+  bounded grids (value buckets, day grid, n_chars domain) — each
+  declared in tests/test_plans_physical.py's allowlist;
+- order-sensitive float folds over bounded sets (chi-square cell
+  contributions) run as sorted-array sequential folds in BOTH engines
+  (collect -> sort -> fold), never as engine SUMs whose addition order
+  is unspecified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+# customer lifetime spend tops out near 6e7 cents independent of SF
+# growth direction that matters here (spend domain grows with orders
+# per customer, not customer count) — the spearman_rank_corr width
+_G_W = 1 << 22
+
+# events.value cents domain (~49_002 at the current generator) — the
+# mann_whitney bucket width keeps the offsets table bounded
+_KW_W = 1 << 12
+
+
+@query(
+    "gini_customer_spend",
+    sql="""
+    WITH base AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m, o_custkey) AS rnk
+        FROM base
+    ),
+    t AS (SELECT COUNT(*) AS n, CAST(SUM(m) AS BIGINT) AS sm FROM base),
+    s AS (
+        SELECT CAST(SUM(CAST(rnk AS HUGEINT) * CAST(m AS HUGEINT)) AS HUGEINT) AS srm
+        FROM r
+    )
+    SELECT t.n, t.sm,
+           CAST(2 * s.srm - (CAST(t.n AS HUGEINT) + 1) * CAST(t.sm AS HUGEINT)
+                AS DOUBLE)
+           / CAST(CAST(t.n AS HUGEINT) * CAST(t.sm AS HUGEINT) AS DOUBLE)
+               AS gini
+    FROM t, s
+    """,
+    tags=("analytics", "inequality", "stats"),
+)
+def gini_customer_spend(spark, sf_dir):
+    """Gini coefficient of customer lifetime spend — the
+    revenue-concentration number behind every "top x% of customers"
+    claim: G = (2*sum(r_i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    spend sorted ascending (ties broken by custkey, so the rank
+    assignment is total on both engines).
+
+    Exactness: spend is exact cents; rank*spend products accumulate
+    in DECIMAL(38,0) (HUGEINT in the oracle — sum r*m reaches ~1e20 at
+    sf1, past int64); the single double is the final division.
+
+    Scale shape: the oracle's global ROW_NUMBER is the spec, not the
+    plan — ranks decompose into spend-range buckets: one bounded
+    offsets window (~dozens of rows at any SF, width 2^22 over the
+    spend DOMAIN) + a within-bucket window partitioned by bucket. One
+    corpus shuffle (the per-customer aggregate), two one-row attaches.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("m")
+    )
+    b = base.withColumn("_b", F.expr(f"m div {_G_W}"))
+    counts = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    # bounded: one row per occupied spend bucket
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0).cast("long")).alias(
+            "_off"
+        ),
+    )
+    w_in = Window.partitionBy("_b").orderBy("m", "o_custkey")
+    ranked = b.join(F.broadcast(offsets), "_b").select(
+        "m",
+        (F.col("_off") + F.row_number().over(w_in).cast("long")).alias("rnk"),
+    )
+    srm = ranked.agg(
+        F.sum(F.col("rnk").cast("decimal(38,0)") * F.col("m").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("srm")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("m").cast("long").alias("sm")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return tot.crossJoin(F.broadcast(srm)).select(
+        "n",
+        "sm",
+        (
+            (2 * F.col("srm") - (d38("n") + 1) * d38("sm")).cast("double")
+            / (d38("n") * d38("sm")).cast("double")
+        ).alias("gini"),
+    )
+
+
+# fixed literal fold order for the <=5 event types: both engines add
+# the per-group chi-square/rank contributions in THIS order, making the
+# float sum bit-identical (an engine SUM's addition order is not
+# specified on either side)
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "kruskal_wallis_value",
+    sql=f"""
+    WITH obs AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    vals AS (SELECT c, COUNT(*) AS n_v FROM obs GROUP BY 1),
+    r2 AS (
+        SELECT c,
+               2 * CAST(COALESCE(SUM(n_v) OVER (
+                   ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) + n_v + 1 AS r2
+        FROM vals
+    ),
+    grp AS (
+        SELECT o.event_type,
+               COUNT(*) AS n_j,
+               CAST(SUM(r.r2) AS BIGINT) AS s2_j
+        FROM obs o JOIN r2 r ON o.c = r.c
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+               COUNT(*) AS k
+        FROM grp
+    ),
+    ties AS (
+        SELECT CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS t3t FROM vals
+    ),
+    folded AS (
+        SELECT list_aggregate(
+                   list(CAST(s2_j AS DOUBLE) * CAST(s2_j AS DOUBLE)
+                        / (4.0 * CAST(n_j AS DOUBLE)) ORDER BY event_type),
+                   'sum') AS srr
+        FROM grp
+    )
+    SELECT t.n, t.k, ties.t3t,
+           12.0 * f.srr / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
+               - 3.0 * CAST(t.n + 1 AS DOUBLE) AS h,
+           (12.0 * f.srr / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
+               - 3.0 * CAST(t.n + 1 AS DOUBLE))
+           / (1.0 - CAST(ties.t3t AS DOUBLE)
+                    / CAST(CAST(t.n AS HUGEINT) * CAST(t.n AS HUGEINT)
+                           * CAST(t.n AS HUGEINT) - CAST(t.n AS HUGEINT)
+                           AS DOUBLE)) AS h_corrected
+    FROM tot t, ties, folded f
+    """,
+    tags=("analytics", "stats", "rank-test"),
+)
+def kruskal_wallis_value(spark, sf_dir):
+    """Kruskal-Wallis H across the event types on events.value — the
+    k-group generalization of mann_whitney_u (rank-based ANOVA: does
+    ANY event type's value distribution sit apart?), with the standard
+    tie correction.
+
+    Exactness: doubled tie-averaged ranks r2 = 2*(rows before) + n_v + 1
+    stay integer; per-group rank sums s2_j are exact BIGINTs; the float
+    pieces (s2_j^2 / 4n_j) fold over a SORTED per-group list in both
+    engines, so even the 5-term float sum is bit-identical. n^3 - n
+    lifts to 128-bit (HUGEINT / DECIMAL(38,0)) before the final double.
+
+    Scale shape: one corpus shuffle (the (value, count) aggregate);
+    ranks come from the bucket-offset decomposition (bounded offsets
+    window over the cents-bucket table, within-bucket window
+    partitioned by bucket); groups are the bounded event-type set.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    vals = ev.groupBy("c").agg(F.count(F.lit(1)).alias("n_v"))
+    v = vals.withColumn("_b", F.expr(f"c div {_KW_W}"))
+    bt = v.groupBy("_b").agg(F.sum("n_v").alias("_t"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bt.select(
+        "_b",
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0).cast("long")).alias(
+            "_off"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r2 = (
+        v.join(F.broadcast(offsets), "_b")
+        .select(
+            "c",
+            "n_v",
+            (
+                2 * (F.col("_off") + F.coalesce(F.sum("n_v").over(w_in), F.lit(0)))
+                + F.col("n_v")
+                + 1
+            ).cast("long").alias("r2"),
+        )
+    )
+    grp = (
+        ev.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("c_gv"))
+        .join(r2.select("c", "r2"), "c")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c_gv").cast("long").alias("n_j"),
+            F.sum(F.col("c_gv") * F.col("r2")).cast("long").alias("s2_j"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("n_j").cast("long").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    ties = vals.agg(
+        F.sum(
+            F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        ).cast("long").alias("t3t")
+    )
+    # sorted-list sequential fold: identical addition order to the
+    # oracle's list(... ORDER BY event_type)
+    folded = grp.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("event_type").alias("e"),
+                        (
+                            F.col("s2_j").cast("double")
+                            * F.col("s2_j").cast("double")
+                            / (4.0 * F.col("n_j").cast("double"))
+                        ).alias("x"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"],
+        ).alias("srr")
+    )
+    nD = F.col("n").cast("double")
+    n128 = F.col("n").cast("decimal(38,0)")
+    h = 12.0 * F.col("srr") / (nD * (F.col("n") + 1).cast("double")) - 3.0 * (
+        F.col("n") + 1
+    ).cast("double")
+    corr = 1.0 - F.col("t3t").cast("double") / (
+        n128 * n128 * n128 - n128
+    ).cast("double")
+    return (
+        tot.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(folded))
+        .select("n", "k", "t3t", h.alias("h"), (h / corr).alias("h_corrected"))
+    )
+
+
+@query(
+    "ks_doclen_lang",
+    sql="""
+    WITH a AS (
+        SELECT n_chars AS v, COUNT(*) AS ca FROM documents
+        WHERE lang = 'en' GROUP BY 1
+    ),
+    b AS (
+        SELECT n_chars AS v, COUNT(*) AS cb FROM documents
+        WHERE lang = 'zh' GROUP BY 1
+    ),
+    grid AS (
+        SELECT v, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM a FULL OUTER JOIN b USING (v)
+    ),
+    cum AS (
+        SELECT v,
+               CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+        FROM grid
+    ),
+    t AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+        FROM grid
+    )
+    SELECT t.na, t.nb,
+           CAST(MAX(ABS(cum.cuma * t.nb - cum.cumb * t.na)) AS BIGINT)
+               AS d_num,
+           CAST(MAX(ABS(cum.cuma * t.nb - cum.cumb * t.na)) AS DOUBLE)
+               / CAST(t.na * t.nb AS DOUBLE) AS d
+    FROM cum, t
+    GROUP BY t.na, t.nb
+    """,
+    tags=("analytics", "stats", "distribution-test"),
+)
+def ks_doclen_lang(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between the document
+    LENGTH distributions of two languages (en vs zh) — the standard
+    "did this corpus slice drift?" test, exact: D = max over the value
+    grid of |ECDF_en - ECDF_zh| kept as the cross-multiplied integer
+    |cuma*nb - cumb*na| (no per-step float division), one final double.
+
+    Scale shape: two filtered aggregates onto the n_chars VALUE grid
+    (bounded by the length domain, not the corpus — 313 distinct
+    values at any SF here); the only window is the cumulative over
+    that grid.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    a = (
+        docs.where(F.col("lang") == "en")
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        docs.where(F.col("lang") == "zh")
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    grid = (
+        a.join(b, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        F.sum("ca").over(w).cast("long").alias("cuma"),
+        F.sum("cb").over(w).cast("long").alias("cumb"),
+    )
+    t = grid.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+            ).cast("long").alias("d_num")
+        )
+        .select(
+            "na",
+            "nb",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("d"),
+        )
+    )
+
+
+@query(
+    "runs_test_daily_revenue",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS rc
+        FROM lineitem GROUP BY 1
+    ),
+    med AS (
+        SELECT rc AS med_rc FROM (
+            SELECT rc, ROW_NUMBER() OVER (ORDER BY rc, day) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM daily
+        ) WHERE rn = (n + 1) // 2
+    ),
+    signs AS (
+        SELECT day, CASE WHEN rc > med_rc THEN 1 ELSE 0 END AS s
+        FROM daily, med WHERE rc <> med_rc
+    ),
+    runs AS (
+        SELECT s, CASE WHEN LAG(s) OVER (ORDER BY day) IS DISTINCT FROM s
+                       THEN 1 ELSE 0 END AS brk
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS n1,
+               CAST(SUM(1 - s) AS BIGINT) AS n2,
+               CAST(SUM(brk) AS BIGINT) AS n_runs
+        FROM runs
+    )
+    SELECT n1, n2, n_runs,
+           1.0 + 2.0 * CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+               AS e_runs,
+           (CAST(n_runs AS DOUBLE)
+            - (1.0 + 2.0 * CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))
+           / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+                  / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
+                     * CAST(n1 + n2 - 1 AS DOUBLE))) AS z
+    FROM agg
+    """,
+    tags=("analytics", "stats", "randomness"),
+)
+def runs_test_daily_revenue(spark, sf_dir):
+    """Wald-Wolfowitz runs test on daily revenue vs its median: too few
+    runs of above/below-median days means the series is trending or
+    regime-switching, too many means oscillation — the standard
+    pre-check before fitting any i.i.d.-assuming model to a daily KPI.
+
+    Exactness: revenue is exact cents; the median is the TYPE-1 lower
+    median of the (rc, day)-ordered daily table (a deterministic row
+    pick, not an interpolation); median-equal days are excluded per
+    the classical definition; n1/n2/runs are exact integers and the
+    z-score is one fixed double expression (sqrt is IEEE
+    correctly-rounded, so it ports bitwise).
+
+    Scale shape: one corpus shuffle to the daily grid; every window
+    (rank for the median pick, lag for run breaks) runs over the
+    bounded day grid. The first run has no predecessor: LAG IS
+    DISTINCT FROM counts it as a break, so n_runs needs no +1.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.to_date("l_shipdate").alias("day")
+    ).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).cast("long").alias("rc")
+    )
+    w_rank = Window.orderBy("rc", "day")
+    ranked = daily.select(
+        "rc", F.row_number().over(w_rank).alias("rn")
+    ).crossJoin(
+        F.broadcast(daily.agg(F.count(F.lit(1)).alias("n")))
+    )
+    med = ranked.where(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(F.col("rc").alias("med_rc"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("rc") != F.col("med_rc"))
+        .select(
+            "day", F.when(F.col("rc") > F.col("med_rc"), 1).otherwise(0).alias("s")
+        )
+    )
+    w_day = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            ~F.lag("s").over(w_day).eqNullSafe(F.col("s")), 1
+        ).otherwise(0).alias("brk"),
+    )
+    agg = runs.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        F.sum("brk").cast("long").alias("n_runs"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    prod = (n1 * n2).cast("double")
+    tot = (n1 + n2).cast("double")
+    e_runs = 1.0 + 2.0 * prod / tot
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)).cast("double") / (
+        ((n1 + n2) * (n1 + n2)).cast("double") * (n1 + n2 - 1).cast("double")
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "n_runs",
+        e_runs.alias("e_runs"),
+        ((F.col("n_runs").cast("double") - e_runs) / F.sqrt(var)).alias("z"),
+    )
+
+
+@query(
+    "cramers_v_lang_source",
+    sql="""
+    WITH cell AS (
+        SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cell GROUP BY 1),
+    ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cell GROUP BY 1),
+    t AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n,
+               COUNT(DISTINCT lang) AS nr,
+               COUNT(DISTINCT source) AS nc
+        FROM cell
+    ),
+    full_grid AS (
+        SELECT rt.lang, ct.source, rt.r, ct.c, COALESCE(cell.o, 0) AS o
+        FROM rt CROSS JOIN ct
+        LEFT JOIN cell ON cell.lang = rt.lang AND cell.source = ct.source
+    ),
+    folded AS (
+        SELECT list_aggregate(
+                   list(CAST(o * t.n - r * c AS DOUBLE)
+                        * CAST(o * t.n - r * c AS DOUBLE)
+                        / (CAST(t.n AS DOUBLE) * CAST(r AS DOUBLE)
+                           * CAST(c AS DOUBLE))
+                        ORDER BY lang, source),
+                   'sum') AS chi2
+        FROM full_grid, t GROUP BY t.n
+    )
+    SELECT t.n, t.nr, t.nc, f.chi2,
+           sqrt(f.chi2 / (CAST(t.n AS DOUBLE)
+                          * CAST(LEAST(t.nr - 1, t.nc - 1) AS DOUBLE))) AS v
+    FROM t, folded f
+    """,
+    tags=("analytics", "stats", "association"),
+)
+def cramers_v_lang_source(spark, sf_dir):
+    """Cramér's V between document language and source — the
+    normalized-to-[0,1] strength of the association whose significance
+    chi2_lang_source tests: V = sqrt(chi2 / (n * min(r-1, c-1))).
+
+    Exactness: each cell contribution (o*n - r*c)^2 / (n*r*c) is one
+    fixed double expression over exact integers (zero cells included
+    via the full row x column grid), and the <=100-term sum folds over
+    the (lang, source)-sorted list in BOTH engines — bit-identical
+    addition order. sqrt is IEEE correctly-rounded.
+
+    Scale shape: one corpus shuffle to the contingency cells; the grid,
+    margins, and fold are all bounded by the label-domain product.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = cell.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    ct = cell.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    t = cell.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("lang").alias("nr"),
+        F.countDistinct("source").alias("nc"),
+    )
+    grid = (
+        rt.crossJoin(ct)
+        .join(cell, ["lang", "source"], "left")
+        .select(
+            "lang", "source", "r", "c", F.coalesce("o", F.lit(0)).alias("o")
+        )
+    )
+    folded = (
+        grid.crossJoin(F.broadcast(t.select("n")))
+        .select(
+            "lang",
+            "source",
+            (
+                (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+                * (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("r").cast("double")
+                    * F.col("c").cast("double")
+                )
+            ).alias("x"),
+        )
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("lang", "source", "x"))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["x"],
+            ).alias("chi2")
+        )
+    )
+    return t.crossJoin(F.broadcast(folded)).select(
+        "n",
+        "nr",
+        "nc",
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+            )
+        ).alias("v"),
+    )
+
+
+@query(
+    "interarrival_quartiles_by_segment",
+    sql="""
+    WITH gaps AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(o.o_orderdate AS DATE)
+                   - LAG(CAST(o.o_orderdate AS DATE)) OVER (
+                         PARTITION BY o.o_custkey
+                         ORDER BY CAST(o.o_orderdate AS DATE), o.o_orderkey
+                     ) AS gap
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (SELECT segment, CAST(gap AS BIGINT) AS gap FROM gaps
+          WHERE gap IS NOT NULL),
+    counts AS (
+        SELECT segment, gap, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT segment, gap, cnt,
+               CAST(SUM(cnt) OVER (
+                   PARTITION BY segment ORDER BY gap
+               ) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY segment) AS BIGINT) AS n
+        FROM counts
+    )
+    SELECT segment, MAX(n) AS n_gaps,
+           MIN(CASE WHEN cum >= (n + 3) // 4 THEN gap END) AS q1,
+           MIN(CASE WHEN cum >= (n + 1) // 2 THEN gap END) AS median,
+           MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN gap END) AS q3
+    FROM cum GROUP BY segment
+    """,
+    tags=("analytics", "temporal", "quantiles"),
+)
+def interarrival_quartiles_by_segment(spark, sf_dir):
+    """Exact type-1 quartiles of customer order interarrival times
+    (days between consecutive orders), per market segment — the
+    repurchase-cadence profile behind churn models and send-time
+    optimization.
+
+    Exactness: gaps are integer epoch-day differences; quartiles are
+    TYPE-1 (smallest value whose cumulative count reaches ceil(q*n) —
+    a row pick, no interpolation), computed identically in both
+    engines from the (segment, gap) count table.
+
+    Scale shape: the per-customer lag window partitions on custkey
+    (bounded by orders-per-customer); the quantile machinery runs on
+    the (segment, gap) COUNT table whose size is bounded by the
+    segment x gap-domain product (~5 x 2500), with windows partitioned
+    by segment — never a corpus-sized sort.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = (
+        orders.join(cust, "o_custkey")
+        .select(
+            "segment", F.datediff(F.col("od"), F.lag("od").over(w)).alias("gap")
+        )
+        .where(F.col("gap").isNotNull())
+        .select("segment", F.col("gap").cast("long").alias("gap"))
+    )
+    counts = gaps.groupBy("segment", "gap").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("segment")
+    cum = counts.select(
+        "segment",
+        "gap",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_n).cast("long").alias("n"),
+    )
+    pick = lambda target: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.expr(target), F.col("gap"))
+    )
+    return cum.groupBy("segment").agg(
+        F.max("n").alias("n_gaps"),
+        pick("(n + 3) div 4").alias("q1"),
+        pick("(n + 1) div 2").alias("median"),
+        pick("(3 * n + 3) div 4").alias("q3"),
+    )
