@@ -118,6 +118,10 @@ def test_nested_loop_joins_only_where_intended(spark):
         "kmeans_lloyd_assign",
         # same one-row packed-codebook attach for PQ code assignment
         "embed_pq_codes",
+        # codebook attach + broadcast bounded probe-LUT x corpus codes —
+        # the ADC search shape (embed_cosine_topk's rationale, 16x
+        # narrower scan)
+        "embed_pq_adc_topk",
         # hard_negative_mining blocks on PQ code0 — same codebook attach
         "hard_negative_mining",
         # double-sweep final assembly: three one-row broadcast attaches
@@ -174,6 +178,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "compaction_bins": "bucket-offset running sum over the derived-width bin table (~4k rows at any SF)",
     "domain_mixture_weights": "corpus-share window over the domain table (bounded by #domains)",
     "embed_pq_codes": "k-row kmeans seed ranking (operators/clustering.py seed window)",
+    "embed_pq_adc_topk": "k-row codebook seed rankings (encode + LUT sides)",
     "global_row_numbers": "bucket-offset running sum; derived width keeps ~4k rows at any SF (operators/sequence.py)",
     "hard_negative_mining": "k-row seed rankings for the two PQ codebook trainings",
     "histogram_equidepth_value": "bucket-offset running sum over the ~4k-row cents-bucket table (r8 NTILE fix)",

@@ -509,3 +509,96 @@ def silhouette_kmeans_cells(spark, sf_dir):
         )
         .orderBy("cell")
     )
+
+
+_ADC_PROBES = 5
+_ADC_K = 5
+
+
+def _adc_dist(s: int) -> str:
+    lo = s * _PQ_SUBDIM + 1
+    return " + ".join(
+        f"(p.qv[{i}] - s{s}.cv[{i}]) * (p.qv[{i}] - s{s}.cv[{i}])"
+        for i in range(lo, lo + _PQ_SUBDIM)
+    )
+
+
+_ADC_SQL = f"""
+    WITH qp AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(x::DOUBLE * {QUANT_SCALE}.0) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    seeds AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS INT) AS cw,
+               qv AS cv
+        FROM qp
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_PQ_CODES}
+    ),{','.join(_pq_code_cte(s) for s in range(_PQ_SUB))},
+    codes AS MATERIALIZED (
+        SELECT k0.vec_id, code0, code1, code2, code3
+        FROM k0 JOIN k1 USING (vec_id) JOIN k2 USING (vec_id)
+        JOIN k3 USING (vec_id)
+    ),
+    probes AS (
+        SELECT vec_id AS q_vec_id, qv FROM qp WHERE vec_id < {_ADC_PROBES}
+    ),
+    scored AS (
+        SELECT p.q_vec_id, c.vec_id,
+               CAST({' + '.join(f'({_adc_dist(s)})' for s in range(_PQ_SUB))}
+                    AS BIGINT) AS adc
+        FROM codes c
+        CROSS JOIN probes p
+        JOIN seeds s0 ON s0.cw = c.code0
+        JOIN seeds s1 ON s1.cw = c.code1
+        JOIN seeds s2 ON s2.cw = c.code2
+        JOIN seeds s3 ON s3.cw = c.code3
+        WHERE c.vec_id <> p.q_vec_id
+    )
+    SELECT q_vec_id, vec_id, adc, rn FROM (
+        SELECT q_vec_id, vec_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                  ORDER BY adc, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_ADC_K}
+"""
+
+
+@query(
+    "embed_pq_adc_topk",
+    sql=_ADC_SQL,
+    tags=("embeddings", "ann", "quantization"),
+)
+def embed_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-5 for 5 probe vectors — the SEARCH
+    half of the PQ index whose BUILD half is embed_pq_codes: each probe
+    precomputes a 4x16 integer LUT of subspace distances to the shared
+    md5-seeded codebook, and every corpus candidate is scored by four
+    LUT lookups over its codes (never a 64-dim arithmetic pass).
+
+    This is the production ANN read path at 100 TB: the scan touches
+    4 ints per vector instead of 64 floats, the LUT build is bounded by
+    the probe set, and the only shuffle is the per-probe top-k. The
+    md5-seeded codebook keeps the whole search — quantization, encode,
+    LUT, ADC sum, tie order — integer-exact and replayed verbatim by
+    the DuckDB oracle (a trained codebook would be Spark-internal;
+    recall-vs-exact for that tier lives in quantize_recall_topk).
+    """
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.operators.clustering import pq_adc_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb,
+        emb.where(F.col("vec_id") < _ADC_PROBES),
+        k=_ADC_K,
+        n_sub=_PQ_SUB,
+        n_codes=_PQ_CODES,
+        dim=_DIM,
+    )
