@@ -122,6 +122,8 @@ def test_nested_loop_joins_only_where_intended(spark):
         # the ADC search shape (embed_cosine_topk's rationale, 16x
         # narrower scan)
         "embed_pq_adc_topk",
+        # ADC shape + the exact brute quantized sweep it audits against
+        "adc_recall_eval",
         # hard_negative_mining blocks on PQ code0 — same codebook attach
         "hard_negative_mining",
         # double-sweep final assembly: three one-row broadcast attaches
@@ -179,6 +181,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "domain_mixture_weights": "corpus-share window over the domain table (bounded by #domains)",
     "embed_pq_codes": "k-row kmeans seed ranking (operators/clustering.py seed window)",
     "embed_pq_adc_topk": "k-row codebook seed rankings (encode + LUT sides)",
+    "adc_recall_eval": "k-row codebook seed rankings (ADC + exact audit sides)",
     "global_row_numbers": "bucket-offset running sum; derived width keeps ~4k rows at any SF (operators/sequence.py)",
     "hard_negative_mining": "k-row seed rankings for the two PQ codebook trainings",
     "histogram_equidepth_value": "bucket-offset running sum over the ~4k-row cents-bucket table (r8 NTILE fix)",

@@ -681,3 +681,173 @@ def interarrival_quartiles_by_segment(spark, sf_dir):
         pick("(n + 1) div 2").alias("median"),
         pick("(3 * n + 3) div 4").alias("q3"),
     )
+
+
+@query(
+    "repurchase_survival",
+    sql="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS od,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+               ) AS rn
+        FROM orders
+    ),
+    gap AS (
+        SELECT f1.o_custkey,
+               f2.od - f1.od AS days_to_second
+        FROM firsts f1
+        LEFT JOIN firsts f2
+          ON f1.o_custkey = f2.o_custkey AND f2.rn = 2
+        WHERE f1.rn = 1
+    ),
+    seg AS (
+        SELECT c.c_mktsegment AS segment, g.days_to_second
+        FROM gap g JOIN customer c ON g.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN days_to_second IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_repurchased,
+           CAST(SUM(CASE WHEN days_to_second <= 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_90d,
+           CAST(SUM(CASE WHEN days_to_second <= 365
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_365d,
+           1000000 * SUM(CASE WHEN days_to_second <= 90 THEN 1 ELSE 0 END)
+               // COUNT(*) AS rate_90d_ppm,
+           1000000 * SUM(CASE WHEN days_to_second <= 365 THEN 1 ELSE 0 END)
+               // COUNT(*) AS rate_365d_ppm
+    FROM seg GROUP BY segment
+    """,
+    tags=("analytics", "retention", "survival"),
+)
+def repurchase_survival(spark, sf_dir):
+    """Repurchase survival per market segment: of each segment's
+    first-time buyers, how many ever ordered again, and how many did so
+    within 90 / 365 days of their FIRST order — the Kaplan-Meier-style
+    curve readout (at fixed horizons, censoring = never repurchased)
+    behind retention targets and win-back campaign timing.
+
+    Exactness: horizons compare integer epoch-day gaps; rates are
+    integer parts-per-million. The first/second order pick is a
+    deterministic (date, orderkey) rank.
+
+    Scale shape: one window partitioned by customer (bounded by
+    orders-per-customer), a self-join on (custkey, rn=2) that stays
+    customer-keyed, a broadcast-joinable segment attach, and a 5-row
+    output aggregate.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    firsts = orders.select(
+        "o_custkey", "od", F.row_number().over(w).alias("rn")
+    )
+    f1 = firsts.where(F.col("rn") == 1).select("o_custkey", F.col("od").alias("od1"))
+    f2 = firsts.where(F.col("rn") == 2).select("o_custkey", F.col("od").alias("od2"))
+    gap = f1.join(f2, "o_custkey", "left").select(
+        "o_custkey", F.datediff("od2", "od1").alias("days_to_second")
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = gap.join(cust, "o_custkey")
+    d = F.col("days_to_second")
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(d.isNotNull(), 1).otherwise(0)).cast("long").alias("n_repurchased"),
+        F.sum(F.when(d <= 90, 1).otherwise(0)).cast("long").alias("n_within_90d"),
+        F.sum(F.when(d <= 365, 1).otherwise(0)).cast("long").alias("n_within_365d"),
+    ).select(
+        "segment",
+        "n_customers",
+        "n_repurchased",
+        "n_within_90d",
+        "n_within_365d",
+        F.expr("1000000 * n_within_90d div n_customers").alias("rate_90d_ppm"),
+        F.expr("1000000 * n_within_365d div n_customers").alias("rate_365d_ppm"),
+    )
+
+
+@query(
+    "dau_overlap_daily",
+    sql="""
+    WITH dau AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    sizes AS (SELECT day, COUNT(*) AS n FROM dau GROUP BY 1),
+    inter AS (
+        SELECT a.day AS day,
+               COUNT(*) AS n_common
+        FROM dau a JOIN dau b
+          ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+        GROUP BY 1
+    )
+    SELECT s1.day,
+           s1.n AS dau,
+           s2.n AS dau_next,
+           CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+           CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+               / CAST(s1.n + s2.n - COALESCE(i.n_common, 0) AS DOUBLE)
+               AS jaccard,
+           1000000 * COALESCE(i.n_common, 0) // s1.n AS retained_ppm
+    FROM sizes s1
+    JOIN sizes s2 ON s2.day = s1.day + INTERVAL 1 DAY
+    LEFT JOIN inter i ON i.day = s1.day
+    """,
+    tags=("analytics", "retention", "sets"),
+)
+def dau_overlap_daily(spark, sf_dir):
+    """Day-over-day active-user overlap: for every consecutive day
+    pair, the DAU of each day, the returning-user intersection, its
+    Jaccard similarity, and next-day retention in ppm — the curve a
+    growth dashboard draws before any cohort model.
+
+    Exactness: set sizes and intersections are exact counts (the
+    distinct (day, user) dedup is the only heavy step); Jaccard is one
+    double division of exact integers (|A u B| = |A| + |B| - |A n B|),
+    retention is integer ppm.
+
+    Scale shape: one distinct shuffle on (day, user), then a user-keyed
+    self-join restricted to adjacent days (fan-out bounded by the days
+    a user is active), and day-grid-sized joins for the readout.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    dau = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    sizes = dau.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    a = dau
+    b = dau.select(F.date_sub("day", 1).alias("day"), "user_id")
+    inter = (
+        a.join(b, ["day", "user_id"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s2 = sizes.select(
+        F.date_sub("day", 1).alias("day"), F.col("n").alias("dau_next")
+    )
+    return (
+        sizes.join(s2, "day")
+        .join(inter, "day", "left")
+        .select(
+            "day",
+            F.col("n").alias("dau"),
+            "dau_next",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (
+                    F.col("n") + F.col("dau_next")
+                    - F.coalesce("n_common", F.lit(0))
+                ).cast("double")
+            ).alias("jaccard"),
+            F.expr("1000000 * coalesce(n_common, 0) div n").alias(
+                "retained_ppm"
+            ),
+        )
+    )

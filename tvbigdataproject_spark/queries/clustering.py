@@ -523,8 +523,8 @@ def _adc_dist(s: int) -> str:
     )
 
 
-_ADC_SQL = f"""
-    WITH qp AS (
+# shared WITH-body for the ADC search and its recall audit
+_ADC_CTES = f"""qp AS (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(round(x::DOUBLE * {QUANT_SCALE}.0) AS BIGINT))
@@ -559,7 +559,10 @@ _ADC_SQL = f"""
         JOIN seeds s2 ON s2.cw = c.code2
         JOIN seeds s3 ON s3.cw = c.code3
         WHERE c.vec_id <> p.q_vec_id
-    )
+    )"""
+
+_ADC_SQL = f"""
+    WITH {_ADC_CTES}
     SELECT q_vec_id, vec_id, adc, rn FROM (
         SELECT q_vec_id, vec_id, adc,
                ROW_NUMBER() OVER (PARTITION BY q_vec_id
@@ -601,4 +604,106 @@ def embed_pq_adc_topk(spark, sf_dir):
         n_sub=_PQ_SUB,
         n_codes=_PQ_CODES,
         dim=_DIM,
+    )
+
+
+def _exact_qdist() -> str:
+    return " + ".join(
+        f"(p.qv[{i}] - v.qv[{i}]) * (p.qv[{i}] - v.qv[{i}])"
+        for i in range(1, _DIM + 1)
+    )
+
+
+_ADC_RECALL_SQL = f"""
+    WITH {_ADC_CTES},
+    ranked AS (
+        SELECT q_vec_id, vec_id FROM (
+            SELECT q_vec_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                      ORDER BY adc, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_ADC_K}
+    ),
+    exact AS (
+        SELECT q_vec_id, vec_id FROM (
+            SELECT p.q_vec_id, v.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.q_vec_id
+                       ORDER BY {_exact_qdist()}, v.vec_id) AS rn
+            FROM qp v CROSS JOIN probes p
+            WHERE v.vec_id <> p.q_vec_id
+        ) WHERE rn <= {_ADC_K}
+    )
+    SELECT r.q_vec_id,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits,
+           1000000 * COUNT(e.vec_id) // {_ADC_K} AS recall_ppm
+    FROM ranked r
+    LEFT JOIN exact e
+      ON e.q_vec_id = r.q_vec_id AND e.vec_id = r.vec_id
+    GROUP BY r.q_vec_id
+"""
+
+
+@query(
+    "adc_recall_eval",
+    sql=_ADC_RECALL_SQL,
+    tags=("embeddings", "ann", "evaluation"),
+)
+def adc_recall_eval(spark, sf_dir):
+    """Recall@5 of the PQ ADC search against the EXACT quantized-space
+    top-5 per probe — the honesty audit every compressed index owes its
+    users (quantize_recall_topk is the int8 scalar tier's; this is the
+    product tier's). Both rankings are integer-exact with deterministic
+    ties, so hits and the ppm recall replay bitwise in the oracle.
+
+    Scale shape: the ADC side is the 4-ints-per-vector scan; the exact
+    side is the brute quantized sweep over the bounded probe set (the
+    embed_cosine_topk rationale — it exists to measure the ADC side,
+    not to run at 100 TB).
+    """
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.operators.clustering import (
+        pq_adc_topk,
+        quantize_vectors,
+    )
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes_df = emb.where(F.col("vec_id") < _ADC_PROBES)
+    adc = pq_adc_topk(
+        emb, probes_df, k=_ADC_K, n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=_DIM
+    ).select("q_vec_id", "vec_id")
+
+    qv = quantize_vectors(emb, "embedding").select("vec_id", "qv")
+    pv = quantize_vectors(probes_df, "embedding").select(
+        F.col("vec_id").alias("q_vec_id"), F.col("qv").alias("pqv")
+    )
+    d = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("pqv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_vec_id").orderBy("d", "vec_id")
+    exact = (
+        qv.crossJoin(F.broadcast(pv))
+        .where(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id", d.alias("d"))
+        .select(
+            "q_vec_id", "vec_id", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= _ADC_K)
+        .select("q_vec_id", "vec_id")
+    )
+    hits = adc.join(
+        exact.withColumn("_hit", F.lit(1)), ["q_vec_id", "vec_id"], "left"
+    )
+    return hits.groupBy("q_vec_id").agg(
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits")
+    ).select(
+        "q_vec_id",
+        "n_hits",
+        F.expr(f"1000000 * n_hits div {_ADC_K}").alias("recall_ppm"),
     )
