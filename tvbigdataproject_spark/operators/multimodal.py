@@ -63,13 +63,33 @@ def attach_fake_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):
-    """Real decoder slot — intentionally unimplemented in this
-    environment (no PIL/cv2 baked in)."""
-    raise NotImplementedError(
-        "media decoding requires an image library not present in this "
-        "container; extract_features uses _decode_stub instead"
-    )
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Real decoder tier: (width, height) via Pillow when it is
+    importable — the optional-dependency pattern of the spaCy text
+    cleaner (operators/textstats.py::clean_text_spacy). This container
+    ships no image library, so the import guard raises with the honest
+    message; on a Pillow-equipped cluster the same code path runs
+    unmodified (tests/test_multimodal.py guard-skips its test the same
+    way the spaCy tier does).
+
+    The REGISTERED multimodal queries keep ``decoder="stub"`` so their
+    output is environment-independent and oracle-replayable; the real
+    tier is an explicit opt-in (extract_features(decoder="pil")), never
+    a silent environment-dependent fallback — a query whose results
+    change with the worker image is a correctness bug, not a feature.
+    """
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "media decoding requires Pillow, not present in this "
+            "container; extract_features defaults to the deterministic "
+            "_decode_stub (FIXTURES.md section D)"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return int(im.width), int(im.height)
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int]:
@@ -166,15 +186,24 @@ def sample_frames(media: DataFrame, frame_bytes: int = 16, every: int = 4) -> Da
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Byte + (stub-)decode features via mapInPandas over Arrow batches."""
+def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
+    """Byte + decode features via mapInPandas over Arrow batches.
+
+    ``decoder="stub"`` (default) derives deterministic fake dimensions
+    from the payload digest — environment-independent, oracle-
+    replayable, what every registered query uses. ``decoder="pil"``
+    opts into the real Pillow tier (decode_image) on clusters that
+    ship it; same schema, same batching, real pixels."""
+    if decoder not in ("stub", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    decode = _decode_stub if decoder == "stub" else decode_image
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
             payloads = pdf["payload"]
-            dims = [_decode_stub(bytes(p)) for p in payloads]
+            dims = [decode(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
