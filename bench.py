@@ -110,6 +110,15 @@ HEADLINE = [
     "pit_join_scd2",            # point-in-time SCD2 lookup join
     "rolling_corr_28d",         # windowed 128-bit-exact correlation
     "mase_seasonal_naive",      # weekly seasonality MASE test
+    # round 9
+    "histogram_equidepth_value",  # bucket-offset NTILE (r9 rewrite)
+    "gini_customer_spend",      # bucket-decomposed rank*value Gini
+    "kruskal_wallis_value",     # k-group doubled-rank H, sorted fold
+    "zipf_band_mass",           # rank-free tie-run band split (r9)
+    "embed_pq_adc_topk",        # PQ ADC search: LUT broadcast + 4-int scan
+    "hellinger_source_profiles",  # vocab-join sqrt-floor divergence
+    "dau_overlap_daily",        # (day,user) distinct + adjacent-day join
+    "phrase_query_docs",        # scan-local positional phrase match
 ]
 
 

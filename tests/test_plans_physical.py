@@ -162,6 +162,13 @@ def test_nested_loop_joins_only_where_intended(spark):
         "runs_test_daily_revenue",
         # bounded 5x20 margin cross join + one-row n/chi2 attaches
         "cramers_v_lang_source",
+        # one-row session-count / max attaches over the sweep
+        "max_concurrent_sessions",
+        # one-row total-weight attach (tfidf shape)
+        "attribution_time_decay",
+        # bounded 5-row k-ladder broadcast joined on a non-equi degree
+        # threshold (twice) — the intended rich-club sweep
+        "rich_club_coefficient",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
@@ -196,6 +203,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "kruskal_wallis_value": "bucket-offset running sum over the cents-bucket table",
     "ks_doclen_lang": "ECDF cumulative over the n_chars value grid (bounded by the length domain)",
     "runs_test_daily_revenue": "median rank + lag over the bounded day grid",
+    "max_concurrent_sessions": "bucket-offset running sum over the epoch-hour grid (bounded by calendar span)",
     "zonemap_prune_stats": "per-layout file-share window over the <=3-row verdict table",
 }
 

@@ -851,3 +851,327 @@ def dau_overlap_daily(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "max_concurrent_sessions",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_no,
+               epoch_us(MIN(ts)) AS start_us,
+               epoch_us(MAX(ts)) AS end_us
+        FROM numbered GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT start_us AS us, 1 AS d FROM sessions
+        UNION ALL
+        SELECT end_us, -1 FROM sessions
+    ),
+    cum AS (
+        SELECT CAST(SUM(d) OVER (ORDER BY us, d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        FROM deltas
+    )
+    SELECT (SELECT COUNT(*) FROM sessions) AS n_sessions,
+           CAST(MAX(c) AS BIGINT) AS max_concurrent
+    FROM cum
+    """,
+    tags=("analytics", "temporal", "concurrency"),
+)
+def max_concurrent_sessions(spark, sf_dir):
+    """Peak concurrency of user sessions (30-minute-gap sessionization,
+    session = [first event, last event]): the capacity-planning number
+    — how many sessions were ever open at once. Classic sweep: +1 at
+    each session start, -1 at each end, max of the running sum; ends
+    sort BEFORE starts at the same microsecond (d = -1 < +1), so
+    back-to-back sessions never double-count.
+
+    Exactness: timestamps compare as exact integer microseconds
+    (epoch_us / unix_micros); the max of a running sum over a run of
+    equal (us, d) rows is order-independent within the run, so the
+    (us, d) sort is a total spec.
+
+    Scale shape: sessionization windows partition by user; the
+    corpus-wide running sum decomposes into epoch-HOUR bucket offsets
+    (one bounded unpartitioned window over the hour grid) + a
+    within-hour cumulative partitioned by bucket — the
+    histogram_equidepth_value discipline, never a single-task sort of
+    all delta events.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(w_cum).alias("session_no")
+    )
+    sessions = numbered.groupBy("user_id", "session_no").agg(
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+    deltas = sessions.select(
+        F.col("start_us").alias("us"), F.lit(1).alias("d")
+    ).unionByName(
+        sessions.select(F.col("end_us").alias("us"), F.lit(-1).alias("d"))
+    )
+    b = deltas.withColumn("_b", F.expr("us div 3600000000"))
+    btot = b.groupBy("_b").agg(F.sum("d").alias("_t"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "_b",
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0).cast("long")).alias(
+            "_off"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("us", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = b.join(F.broadcast(offsets), "_b").select(
+        (F.col("_off") + F.sum("d").over(w_in)).cast("long").alias("c")
+    )
+    n_sessions = sessions.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        cum.agg(F.max("c").cast("long").alias("max_concurrent"))
+        .crossJoin(F.broadcast(n_sessions))
+        .select("n_sessions", "max_concurrent")
+    )
+
+
+# dyadic time-decay attribution: weight 2^-(age_days) scaled by 2^20 so
+# every touch weight is an exact integer at ages 0..20 (older touches
+# round to 0 exactly the same way in both engines via integer shifts)
+_TD_SCALE = 20
+_TD_WINDOW_DAYS = 14
+
+
+@query(
+    "attribution_time_decay",
+    sql=f"""
+    WITH purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, event_id AS touch_id, event_type, ts AS t_ts
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    scored AS (
+        SELECT p.purchase_id, t.event_type,
+               CAST(date_diff('day', CAST(t.t_ts AS DATE),
+                              CAST(p.p_ts AS DATE)) AS BIGINT) AS age_d
+        FROM purchases p JOIN touches t
+          ON p.user_id = t.user_id
+         AND t.t_ts <= p.p_ts
+         AND t.t_ts > p.p_ts - INTERVAL {_TD_WINDOW_DAYS} DAY
+    ),
+    weighted AS (
+        SELECT purchase_id, event_type,
+               CASE WHEN age_d <= {_TD_SCALE}
+                    THEN (CAST(1 AS BIGINT) << ({_TD_SCALE} - age_d))
+                    ELSE 0 END AS w
+        FROM scored
+    ),
+    per_channel AS (
+        SELECT event_type,
+               CAST(SUM(w) AS BIGINT) AS w_channel,
+               COUNT(*) AS n_touches
+        FROM weighted GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM weighted)
+    SELECT p.event_type, p.n_touches, p.w_channel, t.w_total,
+           1000000 * p.w_channel // t.w_total AS share_ppm
+    FROM per_channel p, tot t
+    """,
+    tags=("analytics", "attribution", "marketing"),
+)
+def attribution_time_decay(spark, sf_dir):
+    """Time-decay attribution: every view/click in the 14-day
+    lookback before a purchase earns weight 2^-(age in days), and each
+    channel's credit share is its weight mass over the total — the
+    standard middle ground between last-touch (all credit to
+    recency) and U-shaped (position-based) models, both already in the
+    registry.
+
+    Exactness: dyadic decay as integer shifts (2^(20-age), zero past 20
+    days) — the decayed_event_score convention, so weights sum exactly
+    and shares are integer ppm; no float pow anywhere.
+
+    Scale shape: a user-keyed interval join (purchases x touches within
+    the bounded lookback — fan-out bounded by touches-per-user-window),
+    one channel aggregate, a one-row total attach.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    scored = purchases.join(touches, "user_id").where(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            > F.col("p_ts") - F.expr(f"INTERVAL {_TD_WINDOW_DAYS} DAY")
+        )
+    ).select(
+        "purchase_id",
+        F.col("channel").alias("event_type"),
+        F.datediff(F.to_date("p_ts"), F.to_date("t_ts")).cast("long").alias(
+            "age_d"
+        ),
+    )
+    weighted = scored.select(
+        "event_type",
+        F.when(
+            F.col("age_d") <= _TD_SCALE,
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_TD_SCALE} - CAST(age_d AS INT))"),
+        ).otherwise(F.lit(0).cast("long")).alias("w"),
+    )
+    per_channel = weighted.groupBy("event_type").agg(
+        F.sum("w").cast("long").alias("w_channel"),
+        F.count(F.lit(1)).alias("n_touches"),
+    )
+    tot = weighted.agg(F.sum("w").cast("long").alias("w_total"))
+    return per_channel.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_touches",
+        "w_channel",
+        "w_total",
+        F.expr("1000000 * w_channel div w_total").alias("share_ppm"),
+    )
+
+
+@query(
+    "rich_club_coefficient",
+    sql="""
+    WITH e0 AS (
+        SELECT DISTINCT o.o_custkey AS src, -l.l_suppkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT src AS node FROM e0
+            UNION ALL
+            SELECT dst FROM e0
+        ) GROUP BY node
+    ),
+    ks AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS k),
+    nk AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k
+        FROM ks JOIN deg ON deg.d > ks.k GROUP BY k
+    ),
+    ek AS (
+        SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+        FROM e0
+        JOIN deg da ON da.node = e0.src
+        JOIN deg db ON db.node = e0.dst
+        JOIN ks ON da.d > ks.k AND db.d > ks.k
+        GROUP BY ks.k
+    )
+    SELECT nk.k, nk.n_k, CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS e_k,
+           CASE WHEN nk.n_k >= 2
+                THEN 1000000 * 2 * COALESCE(ek.e_k, 0)
+                     // (nk.n_k * (nk.n_k - 1)) END AS phi_ppm
+    FROM nk LEFT JOIN ek ON nk.k = ek.k
+    """,
+    tags=("graph", "topology", "stats"),
+)
+def rich_club_coefficient(spark, sf_dir):
+    """Rich-club coefficient of the customer-supplier trade graph:
+    phi(k) = 2*E_k / (N_k*(N_k-1)) over the subgraph induced by nodes
+    of degree > k, for a geometric ladder of k — "do the busiest
+    traders preferentially trade with each other?" (Colizza et al.
+    2006). A rising phi ladder is the hub-backbone signal that decides
+    whether hub-aware partitioning (degree salting) is worth it.
+
+    Exactness: degrees, N_k, E_k are exact counts on the same distinct
+    bipartite edge set kcore_trade_graph uses (suppliers negated to
+    share the id space); phi is integer ppm, NULL below 2 nodes.
+
+    Scale shape: one distinct edge shuffle, a degree aggregate, two
+    degree attaches on the edge list, and a 5-row k-ladder broadcast —
+    the per-k subgraphs are never materialized separately.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ks = e0.sparkSession.createDataFrame([(1,), (2,), (4,), (8,), (16,)], "k int")
+    nk = (
+        ks.join(deg, deg.d > ks.k)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("db"))
+    ek = (
+        e0.join(da, "src")
+        .join(db, "dst")
+        .join(
+            F.broadcast(ks),
+            (F.col("da") > F.col("k")) & (F.col("db") > F.col("k")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    return nk.join(ek, "k", "left").select(
+        "k",
+        "n_k",
+        F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+        F.when(
+            F.col("n_k") >= 2,
+            F.expr("1000000 * 2 * coalesce(e_k, 0) div (n_k * (n_k - 1))"),
+        ).alias("phi_ppm"),
+    )
