@@ -204,6 +204,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "ks_doclen_lang": "ECDF cumulative over the n_chars value grid (bounded by the length domain)",
     "runs_test_daily_revenue": "median rank + lag over the bounded day grid",
     "max_concurrent_sessions": "bucket-offset running sum over the epoch-hour grid (bounded by calendar span)",
+    "effective_diameter_landmarks": "cumulative + total over the <=5-row hop histogram",
     "zonemap_prune_stats": "per-layout file-share window over the <=3-row verdict table",
 }
 

@@ -516,3 +516,160 @@ def leakage_safe_split(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+def _minhash_err_sql(num_hashes: int = 8, bands: int = 4, rows: int = 2) -> str:
+    sig_cols = ",\n               ".join(
+        f"MIN(substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, '{b}|' || h{lo} || '|' || h{hi} AS bk FROM sig".format(
+            b=b, lo=b * rows, hi=b * rows + 1
+        )
+        for b in range(bands)
+    )
+    m_expr = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH {_SH_SQL},
+    sig AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({m_expr} AS BIGINT) AS n_match,
+           CAST(COALESCE(i.i, 0) AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - COALESCE(i.i, 0) AS BIGINT) AS n_union,
+           1000000 * ABS(({m_expr}) * (sa.n + sb.n - COALESCE(i.i, 0))
+                         - {num_hashes} * COALESCE(i.i, 0))
+               // ({num_hashes} * (sa.n + sb.n - COALESCE(i.i, 0)))
+               AS err_ppm
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    """
+
+
+@query(
+    "minhash_estimate_error",
+    sql=_minhash_err_sql(),
+    tags=("dedup", "lsh", "evaluation"),
+)
+def minhash_estimate_error(spark, sf_dir):
+    """Per-candidate-pair MinHash estimation error: the sketch's Jaccard
+    estimate (matching components / 8) against the exact shingle
+    Jaccard, as integer ppm |m*u - 8*i| / (8*u) — the audit that tells
+    you whether 8 hashes are enough BEFORE you trust the LSH tier's
+    threshold at 100 TB (the estimator's std is sqrt(J(1-J)/8) ~ 0.17
+    at J=0.5; this query is that theory checked against this corpus).
+
+    Exactness: signatures are the md5-slice min family shared with
+    dedup_minhash_lsh (engine-identical hex-string mins); match counts,
+    intersections, unions, and the cross-multiplied error are all
+    integers.
+
+    Scale shape: identical candidate generation to dedup_minhash_lsh
+    (banded bucket join, never all-pairs); the audit adds one
+    signature attach and a candidate-local exact-Jaccard — each
+    candidate pair costs O(signature + shingle intersect), so the audit
+    is no heavier than the verify step the LSH pipeline already runs.
+    """
+    from tvbigdataproject_spark.functions.hashing import (
+        lsh_bands,
+        minhash_signature,
+    )
+
+    from tvbigdataproject_spark.operators.dedup import _shingled
+
+    docs = read_table(spark, sf_dir, "documents")
+    with_sh = _shingled(docs, "text", "doc_id", 3)
+    sig = with_sh.select(
+        "doc_id", minhash_signature(F.col("shs"), num_hashes=8).alias("sig")
+    )
+    band_df = sig.select(
+        "doc_id",
+        F.explode(lsh_bands(F.col("sig"), bands=4, rows_per_band=2)).alias(
+            "bk"
+        ),
+    )
+    cand = (
+        band_df.alias("a")
+        .hint("SHUFFLE_HASH")
+        .join(
+            band_df.alias("b").hint("SHUFFLE_HASH"),
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    shs_a = with_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
+    )
+    shs_b = with_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+    )
+    scored = (
+        cand.hint("SHUFFLE_HASH")
+        .join(sig_a.hint("SHUFFLE_HASH"), "doc_a")
+        .hint("SHUFFLE_HASH")
+        .join(sig_b.hint("SHUFFLE_HASH"), "doc_b")
+        .hint("SHUFFLE_HASH")
+        .join(shs_a.hint("SHUFFLE_HASH"), "doc_a")
+        .hint("SHUFFLE_HASH")
+        .join(shs_b.hint("SHUFFLE_HASH"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        "sig_a", "sig_b", lambda x, y: x.eqNullSafe(y)
+                    ),
+                    lambda t: t,
+                )
+            ).cast("long").alias("n_match"),
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias(
+                "n_inter"
+            ),
+            (
+                F.size("shs_a") + F.size("shs_b")
+                - F.size(F.array_intersect("shs_a", "shs_b"))
+            ).cast("long").alias("n_union"),
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "n_match",
+        "n_inter",
+        "n_union",
+        F.expr(
+            "1000000 * abs(n_match * n_union - 8 * n_inter)"
+            " div (8 * n_union)"
+        ).alias("err_ppm"),
+    )

@@ -587,3 +587,107 @@ def community_modularity(spark, sf_dir):
     out, out_ids = _checkpoint_tracked(result, sc)
     _unpersist_ids(sc, (_bi_ids | lpa_ids) - out_ids)
     return out
+
+
+_ED_HOPS = 4  # deep enough that >=90% of reachable pairs resolve
+
+
+@query(
+    "effective_diameter_landmarks",
+    sql=f"""
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    bi AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    ),
+    lm AS (
+        SELECT src AS node FROM (SELECT DISTINCT src FROM bi WHERE src > 0)
+        ORDER BY node LIMIT {{k}}
+    ),
+    bfs(landmark, node, hop) AS (
+        SELECT node, node, 0 FROM lm
+        UNION
+        SELECT b.landmark, e.dst, b.hop + 1
+        FROM bfs b JOIN bi e ON e.src = b.node
+        WHERE b.hop < {_ED_HOPS}
+    ),
+    dist AS (
+        SELECT landmark, node, MIN(hop) AS hop
+        FROM bfs GROUP BY landmark, node
+    ),
+    hops AS (SELECT hop, COUNT(*) AS c FROM dist GROUP BY hop),
+    cum AS (
+        SELECT hop,
+               CAST(SUM(c) OVER (ORDER BY hop) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER () AS BIGINT) AS total
+        FROM hops
+    )
+    SELECT MAX(total) AS n_pairs,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * total THEN hop END) AS BIGINT)
+               AS eff_diameter_90,
+           CAST(MAX(hop) AS BIGINT) AS max_hop
+    FROM cum
+    """.replace("{k}", "3"),
+    tags=("graph", "iterative", "landmarks", "stats"),
+)
+def effective_diameter_landmarks(spark, sf_dir):
+    """Effective diameter (90th percentile of landmark-pair distances):
+    the smallest hop count covering >= 90% of the (landmark, node)
+    pairs reached within 4 hops — the standard small-world readout
+    (Leskovec et al.'s shrinking-diameters metric) computed the only
+    way it is ever computed at scale: from k landmark BFS sweeps, never
+    all-pairs.
+
+    Exactness: hop counts are exact integers; the 90% pick is a
+    cross-multiplied integer comparison (10*cum >= 9*total), no float
+    percentile.
+
+    Scale shape: one multi-source frontier loop keyed by (landmark,
+    node) — the landmark_distances machinery at depth 4 — then a
+    <=5-row hop histogram; the cumulative window runs over that
+    bounded grid.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    landmarks = (
+        bi.where(F.col("src") > 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(_LANDMARK_K)
+    )
+    dist = bfs_levels_multi(bi, landmarks, max_hops=_ED_HOPS)
+    hops = dist.groupBy("hop").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("hop").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hops.select(
+        "hop",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("total"),
+    )
+    return cum.agg(
+        F.max("total").alias("n_pairs"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("total"), F.col("hop"))
+        ).cast("long").alias("eff_diameter_90"),
+        F.max("hop").cast("long").alias("max_hop"),
+    )
