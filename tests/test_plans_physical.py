@@ -205,6 +205,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "runs_test_daily_revenue": "median rank + lag over the bounded day grid",
     "max_concurrent_sessions": "bucket-offset running sum over the epoch-hour grid (bounded by calendar span)",
     "effective_diameter_landmarks": "cumulative + total over the <=5-row hop histogram",
+    "watermark_lateness_profile": "prefix max over the <=4096-row md5-prefix bucket table",
     "zonemap_prune_stats": "per-layout file-share window over the <=3-row verdict table",
 }
 

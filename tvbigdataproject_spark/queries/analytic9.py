@@ -1175,3 +1175,97 @@ def rich_club_coefficient(spark, sf_dir):
             F.expr("1000000 * 2 * coalesce(e_k, 0) div (n_k * (n_k - 1))"),
         ).alias("phi_ppm"),
     )
+
+
+@query(
+    "watermark_lateness_profile",
+    sql="""
+    WITH arr AS (
+        SELECT event_id,
+               epoch_us(ts) AS us,
+               MAX(epoch_us(ts)) OVER (
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                   ROWS UNBOUNDED PRECEDING) AS hi
+        FROM events
+    ),
+    lat AS (
+        SELECT CASE WHEN hi > us
+                    THEN CAST(length(bin((hi - us) // 1000000 + 1)) - 1
+                         AS BIGINT)
+                    END AS band
+        FROM arr
+    )
+    SELECT band,
+           COUNT(*) AS n_events,
+           CAST((1 << band) - 1 AS BIGINT) AS band_lo_sec,
+           CAST((1 << (band + 1)) - 2 AS BIGINT) AS band_hi_sec
+    FROM lat WHERE band IS NOT NULL
+    GROUP BY band
+    """,
+    tags=("streaming", "dq", "watermark"),
+)
+def watermark_lateness_profile(spark, sf_dir):
+    """Out-of-orderness profile of an event feed: for every event
+    arriving BEHIND the running max event-time, its lateness in
+    geometric seconds bands (floor(log2(sec+1))) — the empirical
+    distribution that sizes ``withWatermark``: the delay must cover the
+    lateness mass you refuse to drop, and every extra band grows state
+    retention. The registered streaming queries use '2 hours'; this
+    query is where such a number comes FROM.
+
+    Arrival order: the synthetic feed is PERFECTLY ordered by
+    event_id (zero late events — verified at every SF), so the profile
+    runs under a deterministic md5 arrival shuffle — the worst-case
+    ingest order, replayed identically by the oracle. On a real feed
+    the arrival column is the ingest sequence and the rest of the
+    query is unchanged.
+
+    Exactness: lateness is exact integer microseconds (epoch_us) from
+    a running max; bands are bit_length integer arithmetic — no float
+    log.
+
+    Scale shape: the corpus-wide running max over arrival order
+    decomposes exactly like the running-sum rank queries — per
+    arrival-prefix-bucket maxima (first 3 md5 hex chars = 4096 ordered
+    buckets), a bounded prefix-max window over the bucket table,
+    greatest(bucket-prefix, within-bucket running max) — no
+    single-task sort (prefix max is associative, same as prefix sum).
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("_k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    b = ev.withColumn("_b", F.substring("_k", 1, 3))
+    bmax = b.groupBy("_b").agg(F.max("us").alias("_m"))
+    # bounded: one row per 3-hex-char prefix bucket (<= 4096); prefix
+    # max over PRIOR buckets
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offmax = bmax.select(
+        "_b", F.max("_m").over(w_off).alias("_pm")
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("_k", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    arr = b.join(F.broadcast(offmax), "_b").select(
+        "us",
+        F.greatest(
+            F.coalesce("_pm", F.lit(0).cast("long")),
+            F.max("us").over(w_in),
+        ).alias("hi"),
+    )
+    lat = arr.where(F.col("hi") > F.col("us")).select(
+        (
+            F.length(F.bin(F.expr("(hi - us) div 1000000 + 1"))) - 1
+        ).cast("long").alias("band")
+    )
+    return lat.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "band",
+        "n_events",
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(band AS INT)) - 1 AS BIGINT)").alias("band_lo_sec"),
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(band AS INT) + 1) - 2 AS BIGINT)").alias("band_hi_sec"),
+    )
