@@ -103,6 +103,26 @@ def embed_label_dispersion(spark, sf_dir):
     )
 
 
+_HNM_SUB = 16  # one PQ subspace = 16 of 64 dims
+
+
+def _hnm_code_cte(sub: int) -> str:
+    lo = sub * _HNM_SUB + 1
+    dist = " + ".join(
+        f"(v.qv[{i}] - s.cv[{i}]) * (v.qv[{i}] - s.cv[{i}])"
+        for i in range(lo, lo + _HNM_SUB)
+    )
+    return f"""
+    k{sub} AS (
+        SELECT vec_id, cw AS c{sub} FROM (
+            SELECT v.vec_id, s.cw,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {dist}, s.cw) AS rn
+            FROM qp v CROSS JOIN seeds s
+        ) WHERE rn = 1
+    )"""
+
+
 @query(
     "hard_negative_mining",
     sql=f"""
@@ -122,17 +142,13 @@ def embed_label_dispersion(spark, sf_dir):
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
         LIMIT 16
     ),
-    k0 AS (
-        SELECT vec_id, cw AS blk FROM (
-            SELECT v.vec_id, s.cw,
-                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                      ORDER BY (v.qv[1] - s.cv[1]) * (v.qv[1] - s.cv[1]) + (v.qv[2] - s.cv[2]) * (v.qv[2] - s.cv[2]) + (v.qv[3] - s.cv[3]) * (v.qv[3] - s.cv[3]) + (v.qv[4] - s.cv[4]) * (v.qv[4] - s.cv[4]) + (v.qv[5] - s.cv[5]) * (v.qv[5] - s.cv[5]) + (v.qv[6] - s.cv[6]) * (v.qv[6] - s.cv[6]) + (v.qv[7] - s.cv[7]) * (v.qv[7] - s.cv[7]) + (v.qv[8] - s.cv[8]) * (v.qv[8] - s.cv[8]) + (v.qv[9] - s.cv[9]) * (v.qv[9] - s.cv[9]) + (v.qv[10] - s.cv[10]) * (v.qv[10] - s.cv[10]) + (v.qv[11] - s.cv[11]) * (v.qv[11] - s.cv[11]) + (v.qv[12] - s.cv[12]) * (v.qv[12] - s.cv[12]) + (v.qv[13] - s.cv[13]) * (v.qv[13] - s.cv[13]) + (v.qv[14] - s.cv[14]) * (v.qv[14] - s.cv[14]) + (v.qv[15] - s.cv[15]) * (v.qv[15] - s.cv[15]) + (v.qv[16] - s.cv[16]) * (v.qv[16] - s.cv[16]), s.cw) AS rn
-            FROM qp v CROSS JOIN seeds s
-        ) WHERE rn = 1
-    ),
+    {_hnm_code_cte(0)},{_hnm_code_cte(1)},
     b AS (
-        SELECT e.vec_id, e.label, e.embedding, k0.blk
-        FROM embeddings e JOIN k0 ON e.vec_id = k0.vec_id
+        SELECT e.vec_id, e.label, e.embedding,
+               k0.c0 * 16 + k1.c1 AS blk
+        FROM embeddings e
+        JOIN k0 ON e.vec_id = k0.vec_id
+        JOIN k1 ON e.vec_id = k1.vec_id
     ),
     cand AS (
         SELECT a.vec_id, b.vec_id AS neg_id,
@@ -151,28 +167,39 @@ def embed_label_dispersion(spark, sf_dir):
 )
 def hard_negative_mining(spark, sf_dir):
     """Hard-negative mining for contrastive training: per vector, the
-    most-similar vector of a DIFFERENT label inside its PQ-code-0 block
-    (the 16-bucket md5-seeded codebook of embed_pq_codes) — exactly the
-    near-miss pairs a contrastive or reranker fine-tune wants, found
-    without an all-pairs sweep because the PQ block bounds the
-    candidate space the way an IVF cell bounds ANN.
+    most-similar vector of a DIFFERENT label inside its PQ (code0,
+    code1) block — 256 md5-seeded buckets sharing embed_pq_codes'
+    codebook — exactly the near-miss pairs a contrastive or reranker
+    fine-tune wants, found without an all-pairs sweep because the PQ
+    block bounds the candidate space the way an IVF cell bounds ANN.
 
     Determinism: block assignment is the exact-integer PQ argmin;
     similarity is the sequential-fold cosine (identical doubles in both
-    engines); the per-vector winner breaks ties on neighbor id. At
-    density-scaled corpora the block key extends to (code0, code1) —
-    256 buckets — the standard PQ-blocking ladder step.
+    engines); the per-vector winner breaks ties on neighbor id.
 
     Scale shape: one broadcast codebook scan (no corpus shuffle) for
-    blocks, then ONE shuffle-hash self-join keyed on the block and one
-    per-vector window — the dedup-family pair-join geometry with the
-    cross-label filter inside the join.
+    blocks, then ONE shuffle-hash self-join keyed on (block, salt) and
+    one per-vector window. The round-9 sf1 gate caught the original
+    16-block unsalted form funneling a dup-heavy 2M-vector corpus into
+    <=16 single tasks of ~1e9 pair scores each (35+ min, unfinished):
+    per-block pair volume is quadratic, so the block key is now the
+    (code0, code1) product — 16x smaller blocks — and the a-side is
+    salted with the b-side replicated (the cosine_neardup_pairs
+    guards: per-pair cost dominates input bytes, and AQE coalescing is
+    blind to join fan-out, so explicit repartition-by-number keeps the
+    pair space spread). At still-denser corpora the key extends to
+    (code0..code2) — 4096 blocks — the same ladder step.
     """
     from tvbigdataproject_spark.functions import cosine_similarity
     from tvbigdataproject_spark.operators.clustering import pq_assign
+    from tvbigdataproject_spark.operators.skew import shuffle_partition_count
 
+    _SALT = 8
     emb = read_table(spark, sf_dir, "embeddings")
-    blocks = pq_assign(emb).select("vec_id", F.col("code0").alias("blk"))
+    nparts = shuffle_partition_count(emb)
+    blocks = pq_assign(emb).select(
+        "vec_id", (F.col("code0") * 16 + F.col("code1")).alias("blk")
+    )
     b = emb.join(blocks, "vec_id").select(
         "vec_id", "label", "embedding", "blk"
     )
@@ -181,17 +208,24 @@ def hard_negative_mining(spark, sf_dir):
         F.col("label").alias("own_label"),
         F.col("embedding").alias("_ea"),
         "blk",
+        F.pmod(F.hash(F.col("vec_id")), F.lit(_SALT)).alias("_salt"),
     )
     rhs = b.select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("neg_label"),
         F.col("embedding").alias("_eb"),
         F.col("blk").alias("_blk2"),
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))).alias("_salt2"),
     )
-    cand = lhs.join(
-        rhs.hint("shuffle_hash"),
-        (F.col("blk") == F.col("_blk2"))
-        & (F.col("own_label") != F.col("neg_label")),
+    cand = (
+        lhs.repartition(nparts, "blk", "_salt")
+        .hint("SHUFFLE_HASH")
+        .join(
+            rhs.repartition(nparts, "_blk2", "_salt2").hint("SHUFFLE_HASH"),
+            (F.col("blk") == F.col("_blk2"))
+            & (F.col("_salt") == F.col("_salt2"))
+            & (F.col("own_label") != F.col("neg_label")),
+        )
     ).select(
         "vec_id",
         "neg_id",

@@ -238,10 +238,13 @@ _TE_M = 100  # m-estimate smoothing pseudo-count
         FROM seg
     )
     SELECT segment, n_orders, sum_cents,
-           sum_cents * n_all + {_TE_M} * s_all AS enc_num,
-           n_all * (n_orders + {_TE_M}) AS enc_den,
-           CAST(sum_cents * n_all + {_TE_M} * s_all AS DOUBLE)
-               / CAST(n_all * (n_orders + {_TE_M}) AS DOUBLE) AS enc_cents
+           CAST(CAST(sum_cents AS HUGEINT) * n_all + {_TE_M} * CAST(s_all AS HUGEINT)
+                AS DOUBLE) AS enc_num,
+           CAST(CAST(n_all AS HUGEINT) * (n_orders + {_TE_M}) AS DOUBLE) AS enc_den,
+           CAST(CAST(sum_cents AS HUGEINT) * n_all + {_TE_M} * CAST(s_all AS HUGEINT)
+                AS DOUBLE)
+               / CAST(CAST(n_all AS HUGEINT) * (n_orders + {_TE_M}) AS DOUBLE)
+               AS enc_cents
     FROM g
     """,
     tags=("llm", "features", "encoding"),
@@ -257,9 +260,11 @@ def target_encode_smoothed(spark, sf_dir):
 
     Scale shape: one join + grouped aggregate to a row per segment; the
     global totals come from a window over that bounded segment table
-    (never a one-row cross join). At extreme scales num approaches
-    long overflow (sum_cents*N ~ 1e17 at SF100) — the expression lifts
-    to DECIMAL(38,0) there; longs hold through bench SFs.
+    (never a one-row cross join). num overflows int64 from sf1 up
+    (sum_cents*N ~ 1e19 — caught by the round-9 sf1 gate, the
+    degree_assortativity lesson repeated), so the num/den combination
+    runs in 128-bit integers (DECIMAL(38,0) / HUGEINT) and the exact
+    values surface as deterministic double casts.
     """
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
@@ -281,14 +286,15 @@ def target_encode_smoothed(spark, sf_dir):
         F.sum("n_orders").over(w).cast("long").alias("n_all"),
         F.sum("sum_cents").over(w).cast("long").alias("s_all"),
     )
-    num = F.col("sum_cents") * F.col("n_all") + _TE_M * F.col("s_all")
-    den = F.col("n_all") * (F.col("n_orders") + _TE_M)
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = d38("sum_cents") * F.col("n_all") + _TE_M * d38("s_all")
+    den = d38("n_all") * (F.col("n_orders") + _TE_M)
     return g.select(
         "segment",
         "n_orders",
         "sum_cents",
-        num.alias("enc_num"),
-        den.alias("enc_den"),
+        num.cast("double").alias("enc_num"),
+        den.cast("double").alias("enc_den"),
         (num.cast("double") / den.cast("double")).alias("enc_cents"),
     )
 
