@@ -169,6 +169,9 @@ def test_nested_loop_joins_only_where_intended(spark):
         # bounded 5-row k-ladder broadcast joined on a non-equi degree
         # threshold (twice) — the intended rich-club sweep
         "rich_club_coefficient",
+        # one-row (vmin, vmax, d0, n_days) bounds attach before binning
+        # (tfidf shape)
+        "tvd_value_drift",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
@@ -207,6 +210,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "effective_diameter_landmarks": "cumulative + total over the <=5-row hop histogram",
     "watermark_lateness_profile": "prefix max over the <=4096-row md5-prefix bucket table",
     "zonemap_prune_stats": "per-layout file-share window over the <=3-row verdict table",
+    "tvd_value_drift": "share + TVD windows over the 10-row bin grid",
+    "rrf_fused_retrieval": "rank windows over the two TakeOrdered top-100 candidate lists",
+    "ewma_daily_anomaly": "trailing-14 lag windows over the bounded day grid",
 }
 
 

@@ -30,8 +30,8 @@ fuzzy_name_pairs er_entity_clusters semdedup_prune leakage_safe_split \
 decontaminate_overlap ann_lsh_bucketed dbscan_embeddings dbscan_kmeans_cells \
 hard_negative_mining minhash_estimate_error"
 export SPARK_GRAFT_DRIVER_MEM=48g
-echo "=== PHASE A2 ($(echo $A2 | wc -w) queries, copies 10, skip-gen) ==="
-python tools/scale_parity.py --copies 10 --skip-gen $A2
+echo "=== PHASE A2 ($(echo $A2 | wc -w) queries, copies 10) ==="
+python tools/scale_parity.py --copies 10 $A2
 echo "=== PHASE B2 ($(echo $B2 | wc -w) queries, copies 3) ==="
 python tools/scale_parity.py --copies 3 $B2
 echo "=== SF1 SESSION 2 COMPLETE ==="

@@ -75,3 +75,5 @@ from tvbigdataproject_spark.queries import relational5  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic8  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic9  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops12  # noqa: F401,E402
+from tvbigdataproject_spark.queries import analytic10  # noqa: F401,E402
+from tvbigdataproject_spark.queries import llm_ops13  # noqa: F401,E402
