@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from tvbigdataproject_spark.queries._stable import sql_huge_to_double
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
 
@@ -183,9 +184,9 @@ def _ewma_sql() -> str:
         FROM daily WINDOW w AS (ORDER BY day)
     )
     SELECT day, cents,
-           CAST(num AS DOUBLE) / {_EWMA_DEN} AS ewma_cents,
-           (CAST(cents AS DOUBLE) - CAST(num AS DOUBLE) / {_EWMA_DEN})
-               / (CAST(num AS DOUBLE) / {_EWMA_DEN}) AS dev_ratio
+           {sql_huge_to_double('num')} / {_EWMA_DEN} AS ewma_cents,
+           (CAST(cents AS DOUBLE) - {sql_huge_to_double('num')} / {_EWMA_DEN})
+               / ({sql_huge_to_double('num')} / {_EWMA_DEN}) AS dev_ratio
     FROM e WHERE full_horizon IS NOT NULL
     """
 

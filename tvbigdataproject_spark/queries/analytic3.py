@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 
 from tvbigdataproject_spark.operators.skyline import skyline_2d
 from tvbigdataproject_spark.queries.registry import query
-from tvbigdataproject_spark.queries._stable import sql_stable_sum, stable_sum
+from tvbigdataproject_spark.queries._stable import (
+    sql_huge_to_double,
+    sql_stable_sum,
+    stable_sum,
+)
 from tvbigdataproject_spark.sources import read_table
 
 REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -300,7 +304,7 @@ def bigram_lift(spark, sf_dir):
     ),
     stats AS (
         SELECT {sql_stable_sum('revenue', 2)} / COUNT(*) AS mean_r,
-               sqrt(CAST(SUM(CAST(ROUND(revenue * revenue) AS BIGINT)) AS DOUBLE)
+               sqrt({sql_huge_to_double("SUM(CAST(ROUND(revenue * revenue) AS BIGINT))")}
                         / COUNT(*)
                     - ({sql_stable_sum('revenue', 2)} / COUNT(*))
                       * ({sql_stable_sum('revenue', 2)} / COUNT(*))) AS std_r

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from tvbigdataproject_spark.queries._stable import sql_huge_to_double
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
 
@@ -124,11 +125,17 @@ def attribution_last_touch(spark, sf_dir):
         FROM xy
     )
     SELECT n AS n_edges,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                      * CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
+           {AS_NUM}
+               / sqrt({AS_DXX}
+                      * {AS_DYY}) AS assortativity
     FROM sums
-    """,
+    """.replace(
+        "{AS_NUM}", sql_huge_to_double("n * sxy - sx * sy")
+    ).replace(
+        "{AS_DXX}", sql_huge_to_double("n * sxx - sx * sx")
+    ).replace(
+        "{AS_DYY}", sql_huge_to_double("n * syy - sy * sy")
+    ),
     tags=("graph", "analytics", "assortativity"),
 )
 def degree_assortativity_trade(spark, sf_dir):

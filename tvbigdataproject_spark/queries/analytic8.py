@@ -35,6 +35,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from tvbigdataproject_spark.queries._stable import (
+    dec_to_double_wide,
+    sql_huge_to_double,
+    sql_huge_to_double_wide,
+)
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
 
@@ -312,9 +317,10 @@ _ACF_MAX_LAG = 7
         GROUP BY l.k
     )
     SELECT CAST(k AS INT) AS k, n_pairs,
-           CAST(num AS DOUBLE) AS num_d,
-           CAST(den AS DOUBLE) AS den_d,
-           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+           {sql_huge_to_double_wide('num')} AS num_d,
+           {sql_huge_to_double_wide('den')} AS den_d,
+           {sql_huge_to_double_wide('num')}
+               / {sql_huge_to_double_wide('den')} AS acf
     FROM num CROSS JOIN den
     ORDER BY k
     """,
@@ -381,11 +387,14 @@ def acf_daily_revenue(spark, sf_dir):
         .select(
             F.col("k").cast("int").alias("k"),
             "n_pairs",
-            F.col("num").cast("double").alias("num_d"),
-            F.col("den").cast("double").alias("den_d"),
-            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
-                "acf"
-            ),
+            # den ~ 1e32 at sf1 exceeds the narrow split-cast bound, so
+            # both engines spell the identical wide 3-limb conversion
+            dec_to_double_wide(F.col("num")).alias("num_d"),
+            dec_to_double_wide(F.col("den")).alias("den_d"),
+            (
+                dec_to_double_wide(F.col("num"))
+                / dec_to_double_wide(F.col("den"))
+            ).alias("acf"),
         )
         .orderBy("k")
     )
@@ -510,7 +519,11 @@ def benford_price_audit(spark, sf_dir):
 # same exact integers). Bound: |num1| <= ~1e35 < 10^38 at sf0.1;
 # larger corpora need the sums themselves demoted to per-partition
 # partials first (documented).
-def _ols_cramer(cast128: str) -> str:
+def _ols_cramer(cast128: str) -> dict[str, str]:
+    """The three Cramer combinations as named 128-bit expressions;
+    callers bind them to columns FIRST and then apply the wide
+    (|v| ~ 1e35) deterministic double conversion to the plain column
+    refs — sql_huge_to_double_wide / dec_to_double_wide twins."""
     c = lambda e: f"CAST({e} AS {cast128})"  # noqa: E731
     a11 = f"({c('n')} * {c('s11')} - {c('s1')} * {c('s1')})"
     a12 = f"({c('n')} * {c('s12')} - {c('s1')} * {c('s2')})"
@@ -520,10 +533,10 @@ def _ols_cramer(cast128: str) -> str:
     det = f"({a11} * {a22} - {a12} * {a12})"
     num1 = f"({b1} * {a22} - {b2} * {a12})"
     num2 = f"({a11} * {b2} - {a12} * {b1})"
-    return (
-        f"CAST({num1} AS DOUBLE) / CAST({det} AS DOUBLE) AS beta_qty, "
-        f"CAST({num2} AS DOUBLE) / CAST({det} AS DOUBLE) AS beta_discount"
-    )
+    return {"num1": num1, "num2": num2, "det": det}
+
+
+_OLS_H = _ols_cramer("HUGEINT")
 
 
 @query(
@@ -545,10 +558,19 @@ def _ols_cramer(cast128: str) -> str:
                CAST(SUM(x1 * y) AS BIGINT) AS s1y,
                CAST(SUM(x2 * y) AS BIGINT) AS s2y
         FROM b
+    ),
+    cr AS (
+        SELECT n, s1, s2, sy, s11, s22, s12, s1y, s2y,
+               {_OLS_H['num1']} AS num1, {_OLS_H['num2']} AS num2,
+               {_OLS_H['det']} AS det
+        FROM m
     )
     SELECT n, s1, s2, sy, s11, s22, s12, s1y, s2y,
-           {_ols_cramer('HUGEINT')}
-    FROM m
+           {sql_huge_to_double_wide('num1')}
+               / {sql_huge_to_double_wide('det')} AS beta_qty,
+           {sql_huge_to_double_wide('num2')}
+               / {sql_huge_to_double_wide('det')} AS beta_discount
+    FROM cr
     """,
     tags=("analytics", "stats", "regression"),
 )
@@ -587,9 +609,20 @@ def ols_qty_discount(spark, sf_dir):
         F.sum(F.col("x1") * F.col("y")).alias("s1y"),
         F.sum(F.col("x2") * F.col("y")).alias("s2y"),
     )
-    return m.selectExpr(
+    parts = _ols_cramer("DECIMAL(38,0)")
+    cr = m.selectExpr(
         "n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y",
-        *_ols_cramer("DECIMAL(38,0)").split(", "),
+        f"{parts['num1']} AS num1",
+        f"{parts['num2']} AS num2",
+        f"{parts['det']} AS det",
+    )
+    # determinants reach ~1e35: both engines spell the identical wide
+    # 3-limb 128-bit -> double conversion (see _stable.py)
+    det_d = dec_to_double_wide(F.col("det"))
+    return cr.select(
+        "n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y",
+        (dec_to_double_wide(F.col("num1")) / det_d).alias("beta_qty"),
+        (dec_to_double_wide(F.col("num2")) / det_d).alias("beta_discount"),
     )
 
 
@@ -717,21 +750,24 @@ _RC_DAYS = 27  # window = current day + 27 preceding = 28 days
                        AND CURRENT ROW)
     )
     SELECT x, n, sr, sc,
-           CAST(srr AS DOUBLE) AS srr_d,
-           CAST(scc AS DOUBLE) AS scc_d,
-           CAST(src AS DOUBLE) AS src_d,
+           {{SRR_D}} AS srr_d,
+           {{SCC_D}} AS scc_d,
+           {{SRC_D}} AS src_d,
            CASE WHEN n >= 2
                      AND n * srr - CAST(sr AS HUGEINT) * sr > 0
                      AND n * scc - CAST(sc AS HUGEINT) * sc > 0
-                THEN (CAST(n AS DOUBLE) * CAST(src AS DOUBLE)
+                THEN (CAST(n AS DOUBLE) * {{SRC_D}}
                       - CAST(sr AS DOUBLE) * CAST(sc AS DOUBLE))
-                     / (sqrt(CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+                     / (sqrt(CAST(n AS DOUBLE) * {{SRR_D}}
                              - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
-                        * sqrt(CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+                        * sqrt(CAST(n AS DOUBLE) * {{SCC_D}}
                                - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)))
                 ELSE NULL END AS corr_28d
     FROM w
-    """.replace("{_RC_DAYS}", str(_RC_DAYS)),
+    """.replace("{_RC_DAYS}", str(_RC_DAYS))
+    .replace("{SRR_D}", sql_huge_to_double("srr"))
+    .replace("{SCC_D}", sql_huge_to_double("scc"))
+    .replace("{SRC_D}", sql_huge_to_double("src")),
     tags=("analytics", "stats", "timeseries", "window"),
 )
 def rolling_corr_28d(spark, sf_dir):
@@ -899,12 +935,12 @@ def mase_seasonal_naive(spark, sf_dir):
         FROM sup_rev GROUP BY 1
     )
     SELECT n_name, n_suppliers, total_rev,
-           CAST(sum_rev_sq AS DOUBLE) AS sum_rev_sq_d,
-           10000.0 * CAST(sum_rev_sq AS DOUBLE)
+           {SQ} AS sum_rev_sq_d,
+           10000.0 * {SQ}
                / (CAST(total_rev AS DOUBLE) * CAST(total_rev AS DOUBLE))
                AS hhi
     FROM agg
-    """,
+    """.replace("{SQ}", sql_huge_to_double("sum_rev_sq")),
     tags=("analytics", "stats", "bi"),
 )
 def hhi_supplier_concentration(spark, sf_dir):

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from tvbigdataproject_spark.queries._stable import sql_huge_to_double
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
 
@@ -54,12 +55,19 @@ _KW_W = 1 << 12
         FROM r
     )
     SELECT t.n, t.sm,
-           CAST(2 * s.srm - (CAST(t.n AS HUGEINT) + 1) * CAST(t.sm AS HUGEINT)
-                AS DOUBLE)
-           / CAST(CAST(t.n AS HUGEINT) * CAST(t.sm AS HUGEINT) AS DOUBLE)
+           {GNUM}
+           / {GDEN}
                AS gini
     FROM t, s
-    """,
+    """.replace(
+        "{GNUM}",
+        sql_huge_to_double(
+            "2 * s.srm - (CAST(t.n AS HUGEINT) + 1) * CAST(t.sm AS HUGEINT)"
+        ),
+    ).replace(
+        "{GDEN}",
+        sql_huge_to_double("CAST(t.n AS HUGEINT) * CAST(t.sm AS HUGEINT)"),
+    ),
     tags=("analytics", "inequality", "stats"),
 )
 def gini_customer_spend(spark, sf_dir):
@@ -170,11 +178,15 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
            (12.0 * f.srr / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
                - 3.0 * CAST(t.n + 1 AS DOUBLE))
            / (1.0 - CAST(ties.t3t AS DOUBLE)
-                    / CAST(CAST(t.n AS HUGEINT) * CAST(t.n AS HUGEINT)
-                           * CAST(t.n AS HUGEINT) - CAST(t.n AS HUGEINT)
-                           AS DOUBLE)) AS h_corrected
+                    / {{N3N}}) AS h_corrected
     FROM tot t, ties, folded f
-    """,
+    """.replace(
+        "{N3N}",
+        sql_huge_to_double(
+            "CAST(t.n AS HUGEINT) * CAST(t.n AS HUGEINT)"
+            " * CAST(t.n AS HUGEINT) - CAST(t.n AS HUGEINT)"
+        ),
+    ),
     tags=("analytics", "stats", "rank-test"),
 )
 def kruskal_wallis_value(spark, sf_dir):

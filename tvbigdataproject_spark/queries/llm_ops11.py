@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from tvbigdataproject_spark.functions.hashing import hex16_hash
 from tvbigdataproject_spark.functions.text import simple_tokens
+from tvbigdataproject_spark.queries._stable import sql_huge_to_double
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
 
@@ -216,6 +217,10 @@ def feature_hash_buckets(spark, sf_dir):
 
 
 _TE_M = 100  # m-estimate smoothing pseudo-count
+_TE_NUM = sql_huge_to_double(
+    f"CAST(sum_cents AS HUGEINT) * n_all + {_TE_M} * CAST(s_all AS HUGEINT)"
+)
+_TE_DEN = sql_huge_to_double(f"CAST(n_all AS HUGEINT) * (n_orders + {_TE_M})")
 
 
 @query(
@@ -238,12 +243,10 @@ _TE_M = 100  # m-estimate smoothing pseudo-count
         FROM seg
     )
     SELECT segment, n_orders, sum_cents,
-           CAST(CAST(sum_cents AS HUGEINT) * n_all + {_TE_M} * CAST(s_all AS HUGEINT)
-                AS DOUBLE) AS enc_num,
-           CAST(CAST(n_all AS HUGEINT) * (n_orders + {_TE_M}) AS DOUBLE) AS enc_den,
-           CAST(CAST(sum_cents AS HUGEINT) * n_all + {_TE_M} * CAST(s_all AS HUGEINT)
-                AS DOUBLE)
-               / CAST(CAST(n_all AS HUGEINT) * (n_orders + {_TE_M}) AS DOUBLE)
+           {_TE_NUM} AS enc_num,
+           {_TE_DEN} AS enc_den,
+           {_TE_NUM}
+               / {_TE_DEN}
                AS enc_cents
     FROM g
     """,

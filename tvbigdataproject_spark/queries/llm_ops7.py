@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tvbigdataproject_spark.queries._stable import sql_huge_to_double
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
 
@@ -90,11 +91,15 @@ def inverted_index_terms(spark, sf_dir):
         FROM daily GROUP BY event_type
     )
     SELECT event_type, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+           {TS_NUM}
+               / {TS_DEN} / 100.0
                AS slope_per_day
     FROM moments
-    """,
+    """.replace(
+        "{TS_NUM}", sql_huge_to_double("n * sxy - sx * sy")
+    ).replace(
+        "{TS_DEN}", sql_huge_to_double("n * sxx - sx * sx")
+    ),
     tags=("analytics", "regression", "trend"),
 )
 def trend_slope_by_type(spark, sf_dir):
