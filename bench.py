@@ -114,11 +114,15 @@ HEADLINE = [
     "histogram_equidepth_value",  # bucket-offset NTILE (r9 rewrite)
     "gini_customer_spend",      # bucket-decomposed rank*value Gini
     "kruskal_wallis_value",     # k-group doubled-rank H, sorted fold
-    "zipf_band_mass",           # rank-free tie-run band split (r9)
     "embed_pq_adc_topk",        # PQ ADC search: LUT broadcast + 4-int scan
     "hellinger_source_profiles",  # vocab-join sqrt-floor divergence
     "dau_overlap_daily",        # (day,user) distinct + adjacent-day join
     "phrase_query_docs",        # scan-local positional phrase match
+    "tvd_value_drift",          # one-pass binned drift + bounded windows
+    "ewma_daily_anomaly",       # exact 128-bit finite-horizon EWMA
+    "rrf_fused_retrieval",      # two TakeOrdered lists + rank fusion
+    "winnowing_passage_pairs",  # window-min fingerprints + capped fp join
+    "embed_dim_profile",        # posexplode + 64-key fixed-point moments
 ]
 
 
