@@ -123,6 +123,9 @@ HEADLINE = [
     "rrf_fused_retrieval",      # two TakeOrdered lists + rank fusion
     "winnowing_passage_pairs",  # window-min fingerprints + capped fp join
     "embed_dim_profile",        # posexplode + 64-key fixed-point moments
+    "dist_moments_by_segment",  # 128-bit central skew/kurtosis
+    "avg_neighbor_degree",      # knn(k) degree-mixing curve
+    "embed_covariance_pairs",   # int64 Gram-matmul mapInPandas partials
 ]
 
 

@@ -172,6 +172,8 @@ def test_nested_loop_joins_only_where_intended(spark):
         # one-row (vmin, vmax, d0, n_days) bounds attach before binning
         # (tfidf shape)
         "tvd_value_drift",
+        # one-row count attach over the bounded 2080-row pair table
+        "embed_covariance_pairs",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name

@@ -1,0 +1,257 @@
+"""Round-9 batch 11: distribution-shape and graph-mixing analytics.
+
+- dist_moments_by_segment  exact central skewness / excess kurtosis of
+                           order value per customer segment — the
+                           distribution-shape card a feed monitor pins
+                           next to mean/stddev
+- avg_neighbor_degree      knn(k): average neighbor degree as a
+                           function of node degree on the trade graph —
+                           the degree-mixing CURVE behind the single
+                           assortativity number
+
+Cross-engine exactness: moments center on the INTEGER floor-mean mu0 =
+S div n, so every power sum is an exact integer (Sum d^2 in int64,
+Sum d^3 / Sum d^4 in 128-bit with the wide split-cast); the fractional
+mean remainder delta = r/n re-enters through the standard shift
+formulas as a handful of IEEE ops on agreed doubles, spelled
+identically in both engines. knn(k) is pure integer sums + one
+division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.queries._stable import (
+    dec_to_double_wide,
+    sql_huge_to_double_wide,
+)
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+# Moment corrections about the true mean mu = mu0 + delta, from power
+# sums of d = x - mu0 (delta = r/n in [0,1)):
+#   M2 = Sd2/n - delta^2
+#   M3 = Sd3/n - 3*delta*(Sd2/n) + 2*delta^3
+#   M4 = Sd4/n - 4*delta*(Sd3/n) + 6*delta^2*(Sd2/n) - 3*delta^4
+# spelled ONCE here and reused verbatim in both engines below.
+_MOM_TAIL = """
+           d2 / nd - delta * delta AS m2,
+           (d3 / nd - 3.0 * delta * (d2 / nd)) + 2.0 * delta * delta * delta
+               AS m3,
+           ((d4 / nd - 4.0 * delta * (d3 / nd))
+            + 6.0 * (delta * delta) * (d2 / nd))
+               - 3.0 * (delta * delta) * (delta * delta) AS m4
+"""
+
+
+@query(
+    "dist_moments_by_segment",
+    sql=f"""
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(ROUND(o.o_totalprice) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    seg AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s
+        FROM o GROUP BY 1
+    ),
+    mu AS (SELECT segment, n, s, s // n AS mu0, s % n AS r FROM seg),
+    d AS (
+        SELECT o.segment, mu.n, mu.r, o.x - mu.mu0 AS d
+        FROM o JOIN mu ON o.segment = mu.segment
+    ),
+    pw AS (
+        SELECT segment, MAX(n) AS n, MAX(r) AS r,
+               CAST(SUM(d * d) AS BIGINT) AS sd2,
+               SUM(CAST(d * d AS HUGEINT) * d) AS sd3,
+               SUM(CAST(d * d AS HUGEINT) * (d * d)) AS sd4
+        FROM d GROUP BY segment
+    ),
+    dbl AS (
+        SELECT segment, n, r, sd2,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS delta,
+               CAST(sd2 AS DOUBLE) AS d2,
+               {sql_huge_to_double_wide('sd3')} AS d3,
+               {sql_huge_to_double_wide('sd4')} AS d4
+        FROM pw
+    ),
+    mom AS (
+        SELECT segment, n, r, sd2, d3 AS sd3_d, d4 AS sd4_d,
+               {_MOM_TAIL}
+        FROM dbl
+    )
+    SELECT segment, n, r, sd2, sd3_d, sd4_d, m2,
+           m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skewness,
+           m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+    FROM mom
+    """,
+    tags=("analytics", "stats", "distribution"),
+)
+def dist_moments_by_segment(spark, sf_dir):
+    """Skewness and excess kurtosis of order value per customer
+    segment — the two shape numbers that catch what mean/variance
+    monitoring can't (a heavy right tail forming, or a distribution
+    going bimodal-flat), per mixture slice.
+
+    Exactness: rows center on the INTEGER floor-mean mu0 = S div n
+    (never a rational mean), so d = x - mu0 is an exact integer and
+    the power sums are exact (d^2 in int64; d^3/d^4 in 128-bit,
+    surfaced through the wide split-cast twins). The fractional
+    remainder delta = r/n re-enters via the standard moment-shift
+    identities — the same double expression text in both engines.
+    Dollars (not cents) keep Sum d^4 < ~6e30 at sf100, inside the wide
+    cast's 2^117 bound.
+
+    Scale shape: one join + per-segment aggregate for (S, n), a
+    broadcast-sized rejoin of the 5-row mu table onto the fact rows,
+    then one map-side-combined power-sum aggregate. Two corpus passes
+    total — the price of an exact integer centering.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    o = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice")).cast("long").alias("x"),
+    )
+    seg = o.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    mu = seg.select(
+        "segment",
+        "n",
+        F.expr("s div n").alias("mu0"),
+        F.expr("s % n").alias("r"),
+    )
+    d = o.join(F.broadcast(mu), "segment").select(
+        "segment", "n", "r", (F.col("x") - F.col("mu0")).alias("d")
+    )
+    d2 = F.col("d") * F.col("d")
+    pw = d.groupBy("segment").agg(
+        F.max("n").alias("n"),
+        F.max("r").alias("r"),
+        F.sum(d2).cast("long").alias("sd2"),
+        F.sum(d2.cast("decimal(38,0)") * F.col("d")).alias("sd3"),
+        F.sum(d2.cast("decimal(38,0)") * d2).alias("sd4"),
+    )
+    dbl = pw.select(
+        "segment",
+        "n",
+        "r",
+        "sd2",
+        F.col("n").cast("double").alias("nd"),
+        (F.col("r").cast("double") / F.col("n").cast("double")).alias(
+            "delta"
+        ),
+        F.col("sd2").cast("double").alias("d2"),
+        dec_to_double_wide(F.col("sd3")).alias("d3"),
+        dec_to_double_wide(F.col("sd4")).alias("d4"),
+    )
+    mom = dbl.selectExpr(
+        "segment",
+        "n",
+        "r",
+        "sd2",
+        "d3 AS sd3_d",
+        "d4 AS sd4_d",
+        *[
+            e.strip() + " AS " + a
+            for e, a in zip(
+                [
+                    "d2 / nd - delta * delta",
+                    "(d3 / nd - 3.0 * delta * (d2 / nd))"
+                    " + 2.0 * delta * delta * delta",
+                    "((d4 / nd - 4.0 * delta * (d3 / nd))"
+                    " + 6.0 * (delta * delta) * (d2 / nd))"
+                    " - 3.0 * (delta * delta) * (delta * delta)",
+                ],
+                ["m2", "m3", "m4"],
+            )
+        ],
+    )
+    return mom.selectExpr(
+        "segment",
+        "n",
+        "r",
+        "sd2",
+        "sd3_d",
+        "sd4_d",
+        "m2",
+        "m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skewness",
+        "m4 / (m2 * m2) - 3.0 AS kurtosis_excess",
+    )
+
+
+@query(
+    "avg_neighbor_degree",
+    sql="""
+    WITH e0 AS (
+        SELECT o_custkey AS src, -l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    bi AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst, src FROM e0
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM bi GROUP BY 1),
+    j AS (
+        SELECT du.k AS k, dv.k AS knbr
+        FROM bi
+        JOIN deg du ON bi.src = du.node
+        JOIN deg dv ON bi.dst = dv.node
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_endpoints,
+           CAST(SUM(knbr) AS BIGINT) AS sum_nbr_deg,
+           CAST(SUM(knbr) AS DOUBLE) / COUNT(*) AS avg_nbr_deg
+    FROM j GROUP BY k
+    """,
+    tags=("graph", "analytics", "assortativity"),
+)
+def avg_neighbor_degree(spark, sf_dir):
+    """knn(k): average degree of the neighbors of degree-k nodes on
+    the bidirectional customer↔supplier trade graph — the degree-mixing
+    CURVE (Pastor-Satorras et al.): degree_assortativity_trade
+    compresses mixing to one signed number; a falling knn(k) curve
+    shows WHERE the disassortativity lives (hubs attaching to leaves).
+
+    Exactness: degrees and endpoint counts are exact integers; the
+    average is one double division per degree class.
+
+    Scale shape: distinct-edge aggregate, one degree aggregate, then
+    two shuffle equi-joins of the edge list against the degree table
+    (linear, no broadcast of a per-node table) and a final aggregate
+    keyed by the bounded degree domain.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.lit(1).alias("_one"))
+        .select("src", "dst")
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = bi.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    du = deg.select(F.col("node").alias("src"), F.col("k").alias("k"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("k").alias("knbr"))
+    j = bi.join(du, "src").join(dv, "dst")
+    return j.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_endpoints"),
+        F.sum("knbr").cast("long").alias("sum_nbr_deg"),
+        (F.sum("knbr").cast("double") / F.count(F.lit(1))).alias(
+            "avg_nbr_deg"
+        ),
+    )
