@@ -221,3 +221,43 @@ def test_luby_mis_checkpoint_interval_is_wired_and_equivalent(spark):
         for r in luby_mis(edges, rounds=3, checkpoint_interval=3).collect()
     }
     assert every == spanned
+
+
+def test_reachable_set_basic_and_cache_release(spark):
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.operators.traversal import reachable_set
+
+    # 1->2->3->4, 5->1, 6 isolated-ish (6->5 reversed-only edge 5 is
+    # not a source), plus a cycle 3->2 to exercise the visited guard
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 1), (3, 2), (6, 5)],
+        "src long, dst long",
+    )
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {r.node for r in reachable_set(edges, srcs).collect()}
+    assert got == {1, 2, 3, 4}
+    # reversed edges: who reaches 1
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    up = {r.node for r in reachable_set(rev, srcs).collect()}
+    assert up == {1, 5, 6}
+    after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    # only the two returned visited sets may remain cached
+    assert after - before <= 2
+
+
+def test_reachable_set_max_rounds_raises(spark):
+    import pytest
+
+    from tvbigdataproject_spark.operators.traversal import reachable_set
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(RuntimeError, match="reachable_set"):
+        reachable_set(chain, srcs, max_rounds=3)

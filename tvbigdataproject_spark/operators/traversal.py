@@ -573,3 +573,69 @@ def dag_longest_path_levels(
         raise
     finally:
         _unpersist_ids(sc, e_ids)
+
+
+def reachable_set(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """All nodes reachable from ANY node of ``sources`` (a one-column
+    DataFrame, column ``node``), sources included — the plain
+    multi-source reachability primitive (bfs_levels_multi without the
+    per-landmark key: when only MEMBERSHIP matters, carrying the
+    landmark multiplies frontier memory by |sources| for nothing).
+    Used by the bow-tie decomposition (IN = reaches core under the
+    reversed edges, OUT = reached from core).
+
+    Each round is one frontier equi-join + anti-join against the
+    visited set, eagerly checkpointed with tracked release; the loop
+    stops at the empty-frontier fixpoint (round count = eccentricity
+    of the source set, not max_rounds). ``max_rounds`` raises rather
+    than return a silently truncated set.
+    """
+    sc = edges.sparkSession.sparkContext
+    e, e_ids = _checkpoint_tracked(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct(),
+        sc,
+    )
+    try:
+        visited, visited_ids = _checkpoint_tracked(
+            sources.select("node").distinct(), sc
+        )
+    except Exception:
+        _unpersist_ids(sc, e_ids)
+        raise
+    frontier, frontier_ids = visited, set()
+    try:
+        for _ in range(max_rounds):
+            nxt = (
+                frontier.join(e, frontier.node == e.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+            )
+            nxt, nxt_ids = _checkpoint_tracked(nxt, sc)
+            if nxt.limit(1).count() == 0:
+                _unpersist_ids(sc, nxt_ids)
+                _unpersist_ids(sc, frontier_ids)
+                return visited
+            new_vis, new_vis_ids = _checkpoint_tracked(
+                visited.unionByName(nxt), sc
+            )
+            _unpersist_ids(sc, visited_ids)
+            _unpersist_ids(sc, frontier_ids)
+            visited, visited_ids = new_vis, new_vis_ids
+            frontier, frontier_ids = nxt, nxt_ids
+        _unpersist_ids(sc, frontier_ids)
+        raise RuntimeError(
+            f"reachable_set: frontier not empty after {max_rounds} rounds"
+        )
+    except Exception:
+        _unpersist_ids(sc, visited_ids)
+        raise
+    finally:
+        _unpersist_ids(sc, e_ids)

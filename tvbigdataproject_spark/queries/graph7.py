@@ -371,3 +371,102 @@ def condensation_levels_trade(spark, sf_dir):
         F.coalesce("level", F.lit(0)).cast("int").alias("level"),
         "n_members",
     )
+
+
+@query(
+    "bowtie_trade_returns",
+    sql=f"""
+    WITH RECURSIVE {_SCC_CTES},
+    members AS MATERIALIZED (
+        SELECT scc, COUNT(*) AS n FROM scc_of GROUP BY scc
+    ),
+    core AS MATERIALIZED (
+        SELECT scc FROM members ORDER BY n DESC, scc LIMIT 1
+    ),
+    core_nodes AS MATERIALIZED (
+        SELECT node FROM scc_of JOIN core USING (scc)
+    ),
+    reaches_core AS MATERIALIZED (
+        SELECT DISTINCT r.a AS node
+        FROM reach r JOIN core_nodes c ON r.b = c.node
+    ),
+    reached_from_core AS MATERIALIZED (
+        SELECT DISTINCT r.b AS node
+        FROM reach r JOIN core_nodes c ON r.a = c.node
+    )
+    SELECT n.node,
+           CASE WHEN cn.node IS NOT NULL THEN 'core'
+                WHEN rc.node IS NOT NULL THEN 'in'
+                WHEN rf.node IS NOT NULL THEN 'out'
+                ELSE 'other' END AS bowtie_class
+    FROM (SELECT DISTINCT node FROM nodes) n
+    LEFT JOIN core_nodes cn ON n.node = cn.node
+    LEFT JOIN reaches_core rc ON n.node = rc.node
+    LEFT JOIN reached_from_core rf ON n.node = rf.node
+    """,
+    tags=("graph", "iterative", "components"),
+)
+def bowtie_trade_returns(spark, sf_dir):
+    """Bow-tie decomposition of the directed trade-returns graph
+    (Broder et al. 2000, the web-graph macro-structure): CORE = the
+    largest strongly connected component, IN = nodes that reach the
+    core without belonging to it, OUT = nodes the core reaches, OTHER
+    = tendrils / tubes / disconnected mass. The four-way split is the
+    first question asked of any large digraph ("how much of this graph
+    can actually circulate?") and composes three operators end to end:
+    strongly_connected_components -> core selection -> two
+    multi-source reachability sweeps (reachable_set, forward and on
+    the REVERSED edges).
+
+    A non-core node can never be both IN and OUT (mutual reachability
+    with the core would put it in the core SCC), so the CASE ladder is
+    a partition, not a priority hack. Core tie-break: largest member
+    count, then smallest SCC label — total in both engines.
+
+    Scale shape: SCC is the FW-BW-Trim operator (checkpointed rounds);
+    each reachability sweep is a frontier equi-join loop whose round
+    count is the graph eccentricity, with tracked cache release; the
+    final classification is three left anti/semi joins. The oracle
+    replays the definition with its transitive-closure CTE (bounded on
+    this nation-restricted graph; the operator side is general).
+    """
+    from tvbigdataproject_spark.operators.components import (
+        strongly_connected_components,
+    )
+    from tvbigdataproject_spark.operators.traversal import reachable_set
+
+    edges = _trade_returns_edges(spark, sf_dir)
+    labels = strongly_connected_components(edges)
+    core_label = (
+        labels.groupBy("scc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "scc")
+        .limit(1)
+        .select("scc")
+    )
+    core_nodes = labels.join(F.broadcast(core_label), "scc").select("node")
+    fwd = reachable_set(edges, core_nodes)
+    rev = reachable_set(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ),
+        core_nodes,
+    )
+    nodes = labels.select("node")
+    in_set = rev.join(core_nodes, "node", "left_anti")
+    out_set = fwd.join(core_nodes, "node", "left_anti")
+    return (
+        nodes.join(
+            core_nodes.withColumn("_c", F.lit(1)), "node", "left"
+        )
+        .join(in_set.withColumn("_i", F.lit(1)), "node", "left")
+        .join(out_set.withColumn("_o", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("_c") == 1, F.lit("core"))
+            .when(F.col("_i") == 1, F.lit("in"))
+            .when(F.col("_o") == 1, F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("bowtie_class"),
+        )
+    )
