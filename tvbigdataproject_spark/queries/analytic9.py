@@ -1108,16 +1108,21 @@ def attribution_time_decay(spark, sf_dir):
         ) GROUP BY node
     ),
     ks AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS k),
+    dh AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cn FROM deg GROUP BY d),
     nk AS (
-        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k
-        FROM ks JOIN deg ON deg.d > ks.k GROUP BY k
+        SELECT k, CAST(SUM(cn) AS BIGINT) AS n_k
+        FROM ks JOIN dh ON dh.d > ks.k GROUP BY k
     ),
-    ek AS (
-        SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+    mh AS (
+        SELECT LEAST(da.d, db.d) AS md, CAST(COUNT(*) AS BIGINT) AS ce
         FROM e0
         JOIN deg da ON da.node = e0.src
         JOIN deg db ON db.node = e0.dst
-        JOIN ks ON da.d > ks.k AND db.d > ks.k
+        GROUP BY 1
+    ),
+    ek AS (
+        SELECT ks.k, CAST(SUM(ce) AS BIGINT) AS e_k
+        FROM ks JOIN mh ON mh.md > ks.k
         GROUP BY ks.k
     )
     SELECT nk.k, nk.n_k, CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS e_k,
@@ -1161,22 +1166,33 @@ def rich_club_coefficient(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
     ks = e0.sparkSession.createDataFrame([(1,), (2,), (4,), (8,), (16,)], "k int")
+    # histogram form: the corpus-sized tables join only EQUI (degree
+    # attaches); the non-equi k-ladder touches bounded histograms.
+    # The pre-histogram form ran the ladder against the full degree
+    # table / edge list — fine as a Spark 5-row BNLJ, but the round-9
+    # copies-10 gate caught DuckDB's oracle planning it into a ~100 GB
+    # join; collapsing to histograms fixes both engines structurally.
+    dh = deg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("cn"))
     nk = (
-        ks.join(deg, deg.d > ks.k)
+        F.broadcast(ks)
+        .join(dh, dh.d > ks.k)
         .groupBy("k")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+        .agg(F.sum("cn").cast("long").alias("n_k"))
     )
     da = deg.select(F.col("node").alias("src"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("dst"), F.col("d").alias("db"))
-    ek = (
+    mh = (
         e0.join(da, "src")
         .join(db, "dst")
-        .join(
-            F.broadcast(ks),
-            (F.col("da") > F.col("k")) & (F.col("db") > F.col("k")),
-        )
+        .select(F.least("da", "db").alias("md"))
+        .groupBy("md")
+        .agg(F.count(F.lit(1)).cast("long").alias("ce"))
+    )
+    ek = (
+        F.broadcast(ks)
+        .join(mh, mh.md > ks.k)
         .groupBy("k")
-        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+        .agg(F.sum("ce").cast("long").alias("e_k"))
     )
     return nk.join(ek, "k", "left").select(
         "k",
