@@ -214,6 +214,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "zonemap_prune_stats": "per-layout file-share window over the <=3-row verdict table",
     "tvd_value_drift": "share + TVD windows over the 10-row bin grid",
     "rrf_fused_retrieval": "rank windows over the two TakeOrdered top-100 candidate lists",
+    "l_moments_order_value": "cumulative over the distinct-dollar grid (bounded by the price domain)",
     "ewma_daily_anomaly": "trailing-14 lag windows over the bounded day grid",
 }
 

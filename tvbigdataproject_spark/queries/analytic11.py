@@ -255,3 +255,161 @@ def avg_neighbor_degree(spark, sf_dir):
             "avg_nbr_deg"
         ),
     )
+
+
+# L-moment numerators are hockey-stick binomial sums over the sorted
+# sample: b_r = (1/n) * Sum_{i} [C(i-1,r)/C(n-1,r)] x_(i). A tie run of
+# value v occupying 0-based positions [s, s+c) contributes v * S_r with
+# the closed forms S_1 = c*s + c(c-1)/2, S_2 = C3(s+c) - C3(s),
+# S_3 = C4(s+c) - C4(s) (hockey-stick identity), so the whole
+# computation runs on the DISTINCT-value table — no per-row ranks.
+W = sql_huge_to_double_wide  # noqa: N816 — SQL-side wide split-cast
+
+_LM_L1 = "b0"
+_LM_L2 = "2.0 * b1 - b0"
+_LM_L3 = "6.0 * b2 - 6.0 * b1 + b0"
+_LM_L4 = "20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0"
+
+
+@query(
+    "l_moments_order_value",
+    sql=f"""
+    WITH v AS (
+        SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS x FROM orders
+    ),
+    mv AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY x),
+    r AS (
+        SELECT x, c,
+               CAST(COALESCE(SUM(c) OVER (
+                   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS s
+        FROM mv
+    ),
+    acc AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               SUM(CAST(x AS HUGEINT) * c) AS bb0,
+               SUM(CAST(x AS HUGEINT)
+                   * (c * s + c * (c - 1) // 2)) AS bb1,
+               SUM(CAST(x AS HUGEINT)
+                   * (CAST(s + c AS HUGEINT) * (s + c - 1) * (s + c - 2) // 6
+                      - CAST(s AS HUGEINT) * (s - 1) * (s - 2) // 6)) AS bb2,
+               SUM(CAST(x AS HUGEINT)
+                   * (CAST(s + c AS HUGEINT) * (s + c - 1) * (s + c - 2)
+                          * (s + c - 3) // 24
+                      - CAST(s AS HUGEINT) * (s - 1) * (s - 2) * (s - 3)
+                          // 24)) AS bb3
+        FROM r
+    ),
+    b AS (
+        SELECT n,
+               {W('bb0')} / CAST(n AS DOUBLE) AS b0,
+               {W('bb1')}
+                   / {W('CAST(n AS HUGEINT) * (n - 1)')} AS b1,
+               {W('bb2')}
+                   / {W('CAST(n AS HUGEINT) * ((n - 1) * CAST(n - 2 AS HUGEINT) // 2)')}
+                   AS b2,
+               {W('bb3')}
+                   / {W('CAST(n AS HUGEINT) * ((n - 1) * CAST(n - 2 AS HUGEINT) * (n - 3) // 6)')}
+                   AS b3
+        FROM acc
+    )
+    SELECT n, b0, b1, b2, b3,
+           {_LM_L1} AS l1,
+           {_LM_L2} AS l2,
+           ({_LM_L3}) / ({_LM_L2}) AS t3,
+           ({_LM_L4}) / ({_LM_L2}) AS t4,
+           ({_LM_L2}) / ({_LM_L1}) AS l_cv
+    FROM b
+    """,
+    tags=("analytics", "stats", "robust"),
+)
+def l_moments_order_value(spark, sf_dir):
+    """First four L-moments of order value (whole dollars): L-scale,
+    L-skewness t3, L-kurtosis t4, L-CV — the order-statistics shape
+    summary hydrologists standardized (Hosking 1990) because unlike
+    dist_moments_by_segment's cubed/fourthed deviations it is defined
+    for heavy tails and barely moved by single outliers; the natural
+    robust twin to the conventional-moment card.
+
+    Exactness: b_r numerators collapse tie runs with exact hockey-stick
+    integer closed forms on the DISTINCT-value table (S_2 = C(s+c,3) -
+    C(s,3) etc. — products of consecutive integers, so the integer
+    divisions are exact); sums run in 128-bit and surface through the
+    wide split-cast twins. Bound: the b3 numerator is <= C(n-1,3) *
+    Sum(x) ~ 1.3e32 at sf1 — inside the wide cast's 2^117; past ~sf3
+    demote x to tens of dollars (documented, the spearman-bound
+    pattern).
+
+    Scale shape: one scan to the distinct-dollar table (bounded by the
+    PRICE DOMAIN, not the row count), a cumulative window over that
+    bounded grid (allowlisted — the ks_doclen_lang convention), one
+    one-row accumulator.
+    """
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    v = orders.select(F.round("o_totalprice").cast("long").alias("x"))
+    mv = v.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, -1)
+    r = mv.select(
+        "x",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("s"),
+    )
+    d38 = lambda e: F.expr(e).cast("decimal(38,0)")  # noqa: E731
+    comb3 = (
+        lambda lead: (d38(lead) * F.expr(f"{lead} - 1") * F.expr(f"{lead} - 2"))
+        / 6
+    )  # noqa: E731
+    comb4 = (
+        lambda lead: (
+            d38(lead)
+            * F.expr(f"{lead} - 1")
+            * F.expr(f"{lead} - 2")
+            * F.expr(f"{lead} - 3")
+        )
+        / 24
+    )  # noqa: E731
+    to_i = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    acc = r.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(d38("x") * F.col("c")).alias("bb0"),
+        F.sum(
+            d38("x")
+            * (
+                F.col("c") * F.col("s")
+                + F.expr("c * (c - 1) div 2")
+            )
+        ).alias("bb1"),
+        F.sum(
+            d38("x") * (to_i(comb3("(s + c)")) - to_i(comb3("s")))
+        ).alias("bb2"),
+        F.sum(
+            d38("x") * (to_i(comb4("(s + c)")) - to_i(comb4("s")))
+        ).alias("bb3"),
+    )
+    den1 = d38("n") * F.expr("n - 1")
+    den2 = d38("n") * to_i((d38("(n - 1)") * F.expr("n - 2")) / 2)
+    den3 = d38("n") * to_i(
+        (d38("(n - 1)") * F.expr("n - 2") * F.expr("n - 3")) / 6
+    )
+    wde = dec_to_double_wide
+    b = acc.select(
+        "n",
+        (wde(F.col("bb0")) / F.col("n").cast("double")).alias("b0"),
+        (wde(F.col("bb1")) / wde(den1)).alias("b1"),
+        (wde(F.col("bb2")) / wde(den2)).alias("b2"),
+        (wde(F.col("bb3")) / wde(den3)).alias("b3"),
+    )
+    return b.selectExpr(
+        "n",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        f"{_LM_L1} AS l1",
+        f"{_LM_L2} AS l2",
+        f"({_LM_L3}) / ({_LM_L2}) AS t3",
+        f"({_LM_L4}) / ({_LM_L2}) AS t4",
+        f"({_LM_L2}) / ({_LM_L1}) AS l_cv",
+    )
