@@ -126,6 +126,9 @@ HEADLINE = [
     "dist_moments_by_segment",  # 128-bit central skew/kurtosis
     "avg_neighbor_degree",      # knn(k) degree-mixing curve
     "embed_covariance_pairs",   # int64 Gram-matmul mapInPandas partials
+    "l_moments_order_value",    # hockey-stick exact order-stat moments
+    "xcorr_lead_lag_types",     # two-series lead-lag Pearson ladder
+    "bowtie_trade_returns",     # SCC + two reachability sweeps
 ]
 
 

@@ -174,6 +174,9 @@ def test_nested_loop_joins_only_where_intended(spark):
         "tvd_value_drift",
         # one-row count attach over the bounded 2080-row pair table
         "embed_covariance_pairs",
+        # 7-row lag-spine cross over the calendar-bounded day grid
+        # (the acf_daily_revenue shape)
+        "xcorr_lead_lag_types",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from tvbigdataproject_spark.queries._stable import (
     dec_to_double_wide,
+    sql_huge_to_double,
     sql_huge_to_double_wide,
 )
 from tvbigdataproject_spark.queries.registry import query
@@ -412,4 +413,130 @@ def l_moments_order_value(spark, sf_dir):
         f"({_LM_L3}) / ({_LM_L2}) AS t3",
         f"({_LM_L4}) / ({_LM_L2}) AS t4",
         f"({_LM_L2}) / ({_LM_L1}) AS l_cv",
+    )
+
+
+_XC_A = "view"
+_XC_B = "purchase"
+_XC_MAX_LAG = 3
+
+_XC_CORR = (
+    "CASE WHEN np >= 2 AND np * sxx - sx * sx > 0"
+    "          AND np * syy - sy * sy > 0 "
+    "THEN (CAST(np AS DOUBLE) * {SXY} - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+    "/ (sqrt(CAST(np AS DOUBLE) * {SXX} - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+    "* sqrt(CAST(np AS DOUBLE) * {SYY} - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) "
+    "ELSE NULL END"
+)
+
+
+def _xcorr_sql() -> str:
+    corr = _XC_CORR.format(
+        SXY=sql_huge_to_double("sxy"),
+        SXX=sql_huge_to_double("sxx"),
+        SYY=sql_huge_to_double("syy"),
+    )
+    return f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('{_XC_A}', '{_XC_B}')
+        GROUP BY 1, 2
+    ),
+    a AS (SELECT x, cents FROM daily WHERE event_type = '{_XC_A}'),
+    b AS (SELECT x, cents FROM daily WHERE event_type = '{_XC_B}'),
+    lags AS (
+        SELECT UNNEST(range(-{_XC_MAX_LAG}, {_XC_MAX_LAG + 1})) AS lag
+    ),
+    j AS (
+        SELECT l.lag, a.cents AS xa, b.cents AS xb
+        FROM lags l
+        JOIN a ON TRUE
+        JOIN b ON b.x = a.x + l.lag
+    ),
+    m AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(xa) AS BIGINT) AS sx,
+               CAST(SUM(xb) AS BIGINT) AS sy,
+               SUM(CAST(xa AS HUGEINT) * xb) AS sxy,
+               SUM(CAST(xa AS HUGEINT) * xa) AS sxx,
+               SUM(CAST(xb AS HUGEINT) * xb) AS syy
+        FROM j GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, np, sx, sy,
+           {corr} AS xcorr
+    FROM m
+    """
+
+
+@query(
+    "xcorr_lead_lag_types",
+    sql=_xcorr_sql(),
+    tags=("analytics", "stats", "timeseries"),
+)
+def xcorr_lead_lag_types(spark, sf_dir):
+    """Lead-lag cross-correlation between daily '{_XC_A}' and
+    '{_XC_B}' revenue at lags -{_XC_MAX_LAG}..{_XC_MAX_LAG}: corr(
+    {_XC_A}_t, {_XC_B}_(t+lag)) — acf_daily_revenue's two-series
+    sibling, the standard question "does one stream LEAD the other,
+    and by how many days?" (the argmax lag is the conversion delay a
+    funnel report guesses at).
+
+    Exactness: daily cents are exact; all six moments per lag are
+    exact integers (second moments in 128-bit, surfaced via the narrow
+    split-cast); the Pearson expression and its degenerate guard are
+    identical text in both engines.
+
+    Scale shape: one filtered scan to two per-day series (bounded by
+    calendar span), a 7-row lag spine crossed with the day grid, and
+    an equi-join on the shifted day index. Everything after the first
+    aggregate is calendar-bounded.
+    """
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(_XC_A, _XC_B)
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).alias("x"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = daily.where(F.col("event_type") == _XC_A).select("x", "cents")
+    b = daily.where(F.col("event_type") == _XC_B).select(
+        F.col("x").alias("xb"), F.col("cents").alias("bcents")
+    )
+    lags = ev.sparkSession.range(
+        -_XC_MAX_LAG, _XC_MAX_LAG + 1
+    ).select(F.col("id").cast("long").alias("lag"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("xb") == F.col("x") + F.col("lag"))
+        .select("lag", F.col("cents").alias("xa"), F.col("bcents").alias("xb2"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb2").cast("long").alias("sy"),
+        F.sum(dec("xa") * F.col("xb2")).alias("sxy"),
+        F.sum(dec("xa") * F.col("xa")).alias("sxx"),
+        F.sum(dec("xb2") * F.col("xb2")).alias("syy"),
+    )
+    corr_expr = _XC_CORR.format(
+        SXY="CAST(sxy AS DOUBLE)",
+        SXX="CAST(sxx AS DOUBLE)",
+        SYY="CAST(syy AS DOUBLE)",
+    )
+    return m.selectExpr(
+        "CAST(lag AS INT) AS lag",
+        "np",
+        "sx",
+        "sy",
+        f"{corr_expr} AS xcorr",
     )
