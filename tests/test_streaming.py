@@ -132,3 +132,33 @@ def test_streaming_ohlc_matches_batch_query(spark, stream):
     batch = REGISTRY["ohlc_bars_hourly"].fn(spark, SF_DIR).select(*cols)
     want = {tuple(r) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_value_bins_match_batch(spark, stream):
+    from tvbigdataproject_spark.streaming import streaming_value_bins
+
+    # reference edges from the batch baseline (quartiles) — the
+    # production shape: bins are fixed by the reference distribution,
+    # the stream only counts into them
+    batch_ev = read_table(spark, SF_DIR, "events")
+    edges = list(batch_ev.selectExpr(
+        "percentile(value, 0.25) AS a",
+        "percentile(value, 0.5) AS b",
+        "percentile(value, 0.75) AS c",
+    ).collect()[0])
+    run_to_memory_sink(
+        streaming_value_bins(stream, edges), "t_bins", output_mode="complete"
+    )
+    got = _table(spark, "t_bins")
+    b = F.lit(0)
+    for e in edges:
+        b = b + F.when(F.col("value") >= F.lit(float(e)), 1).otherwise(0)
+    batch = (
+        batch_ev.groupBy(F.window("ts", "6 hours").alias("win"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "bin", "n")
+    )
+    assert got == {tuple(r) for r in batch.collect()}
+    # every window splits the full value range into 4 reference bins
+    bins = {r[1] for r in got}
+    assert bins == {0, 1, 2, 3}

@@ -549,3 +549,100 @@ def embed_dim_profile(spark, sf_dir):
             "var_milli2"
         ),
     )
+
+
+@query(
+    "source_dup_overlap",
+    sql="""
+    WITH toks AS (
+        SELECT source, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    d AS (
+        SELECT DISTINCT source,
+               md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+        FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ),
+    src_tot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_digests
+        FROM d GROUP BY 1
+    ),
+    pair AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, p.shared,
+           ta.n_digests AS na, tb.n_digests AS nb,
+           1000000 * p.shared // (ta.n_digests + tb.n_digests - p.shared)
+               AS jaccard_ppm,
+           1000000 * p.shared // LEAST(ta.n_digests, tb.n_digests)
+               AS containment_ppm
+    FROM pair p
+    JOIN src_tot ta ON ta.source = p.src_a
+    JOIN src_tot tb ON tb.source = p.src_b
+    """,
+    tags=("llm", "dedup", "mixture"),
+)
+def source_dup_overlap(spark, sf_dir):
+    """Cross-source content-overlap matrix at the word-3-gram shingle
+    level: for every source pair, how many distinct shingle digests
+    they share, with Jaccard and containment in ppm — the
+    mixture-design question ("is crawl B mostly a re-crawl / remix of
+    A?" decides dedup ORDER and per-source weights; high containment
+    with low Jaccard is the re-crawl signature). Shingle-level rather
+    than whole-document digests because cross-source duplication is
+    almost never byte-exact — remixes share PASSAGES.
+
+    Scale shape: shingle digests collapse to per-source distinct sets
+    (one shuffle keyed by digest, 32-byte md5s — never text bodies);
+    the pair join is equi on the digest; the final matrix is bounded
+    (#sources^2 / 2 rows).
+
+    Exactness: distinct digest counts are exact; Jaccard and
+    containment are integer ppm floor quotients.
+    """
+    from tvbigdataproject_spark.functions import shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = (
+        docs.select(
+            "source", F.explode(shingles(F.lower("text"), 3)).alias("s")
+        )
+        .select("source", F.md5("s").alias("h"))
+        .distinct()
+    )
+    src_tot = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_digests")
+    )
+    a = d.select(F.col("source").alias("src_a"), "h")
+    b = d.select(F.col("source").alias("src_b"), "h")
+    pair = (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    ta = src_tot.select(
+        F.col("source").alias("src_a"), F.col("n_digests").alias("na")
+    )
+    tb = src_tot.select(
+        F.col("source").alias("src_b"), F.col("n_digests").alias("nb")
+    )
+    return (
+        pair.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "na",
+            "nb",
+            F.expr(
+                "(1000000 * shared) div (na + nb - shared)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "(1000000 * shared) div least(na, nb)"
+            ).alias("containment_ppm"),
+        )
+    )

@@ -5,4 +5,5 @@ from tvbigdataproject_spark.streaming.events import (  # noqa: F401
     streaming_ohlc_agg,
     streaming_session_agg,
     streaming_tumbling_agg,
+    streaming_value_bins,
 )

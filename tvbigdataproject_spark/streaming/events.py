@@ -289,3 +289,36 @@ def read_table_stream(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     return reader.parquet(path)
+
+
+def streaming_value_bins(
+    events: DataFrame,
+    edges: list[float],
+    window: str = "6 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked per-window value-distribution bin counts — the
+    streaming half of a drift monitor (the batch half is
+    queries/analytic10.py::tvd_value_drift). Bin edges are FIXED
+    literals from a batch baseline: a stream cannot see global
+    min/max, and production drift monitors bin against the reference
+    distribution anyway (moving edges would hide the drift being
+    measured). The bin expression is a pure literal CASE ladder, so
+    the aggregate is an ordinary incremental windowed count — bounded
+    state (windows x bins), append-safe past the watermark; the
+    per-window TVD against reference shares is a bounded post-join on
+    the sink side.
+    """
+    b = F.lit(0)
+    for e in edges:
+        b = b + F.when(F.col("value") >= F.lit(float(e)), 1).otherwise(0)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "bin",
+            "n",
+        )
+    )
