@@ -218,6 +218,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "tvd_value_drift": "share + TVD windows over the 10-row bin grid",
     "rrf_fused_retrieval": "rank windows over the two TakeOrdered top-100 candidate lists",
     "l_moments_order_value": "cumulative over the distinct-dollar grid (bounded by the price domain)",
+    "neardup_threshold_curve": "descending cumulative over the <=21-row Jaccard-band histogram",
     "ewma_daily_anomaly": "trailing-14 lag windows over the bounded day grid",
 }
 

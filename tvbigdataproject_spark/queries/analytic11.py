@@ -540,3 +540,98 @@ def xcorr_lead_lag_types(spark, sf_dir):
         "sy",
         f"{corr_expr} AS xcorr",
     )
+
+
+@query(
+    "transition_dwell_quartiles",
+    sql="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER w AS to_type,
+               (epoch_us(LEAD(ts) OVER w) - epoch_us(ts))
+                   // 60000000 AS gap_min
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT from_type, to_type, CAST(gap_min AS BIGINT) AS gap
+        FROM seq WHERE to_type IS NOT NULL
+    ),
+    counts AS (
+        SELECT from_type, to_type, gap, COUNT(*) AS cnt
+        FROM g GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT from_type, to_type, gap, cnt,
+               CAST(SUM(cnt) OVER (
+                   PARTITION BY from_type, to_type ORDER BY gap
+               ) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (
+                   PARTITION BY from_type, to_type
+               ) AS BIGINT) AS n
+        FROM counts
+    )
+    SELECT from_type, to_type, MAX(n) AS n_transitions,
+           MIN(CASE WHEN cum >= (n + 3) // 4 THEN gap END) AS q1_min,
+           MIN(CASE WHEN cum >= (n + 1) // 2 THEN gap END) AS median_min,
+           MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN gap END) AS q3_min
+    FROM cum GROUP BY from_type, to_type
+    """,
+    tags=("analytics", "temporal", "sequence"),
+)
+def transition_dwell_quartiles(spark, sf_dir):
+    """Dwell-time quartiles per event-type transition: for every
+    (from_type, to_type) pair, exact type-1 quartiles of the
+    whole-minute gap between consecutive events of one user —
+    event_transitions says WHERE users go next, this says HOW LONG
+    they sit before going (the timing half of a funnel/session model;
+    a long view->purchase median is a deliberation step, a zero
+    error->error median is a retry loop).
+
+    Exactness: gaps are exact integer minutes (epoch-microsecond
+    difference, integer division); quartiles are type-1 row picks on
+    the (pair, gap) count table — the interarrival_quartiles
+    machinery, keyed one level finer.
+
+    Scale shape: the lag window partitions by user (the natural key);
+    the quantile windows partition by the bounded type-pair set over
+    the MINUTE-gap count table, whose size is bounded by pairs x
+    minute domain (calendar-bounded), never by corpus rows.
+    """
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        # unix_micros rejects TIMESTAMP_NTZ; the session is pinned UTC,
+        # so the LTZ cast carries identical instants
+        F.expr(
+            "(unix_micros(CAST(lead(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))"
+            " - unix_micros(CAST(ts AS TIMESTAMP))) div 60000000"
+        ).alias("gap"),
+    ).where(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type", "gap").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wp = W.partitionBy("from_type", "to_type").orderBy("gap")
+    cum = counts.select(
+        "from_type",
+        "to_type",
+        "gap",
+        F.sum("cnt").over(wp).cast("long").alias("cum"),
+        F.sum("cnt")
+        .over(W.partitionBy("from_type", "to_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    pick = lambda c: F.min(  # noqa: E731
+        F.when(F.col("cum") >= c, F.col("gap"))
+    )
+    return cum.groupBy("from_type", "to_type").agg(
+        F.max("n").alias("n_transitions"),
+        pick(F.expr("(n + 3) div 4")).alias("q1_min"),
+        pick(F.expr("(n + 1) div 2")).alias("median_min"),
+        pick(F.expr("(3 * n + 3) div 4")).alias("q3_min"),
+    )

@@ -646,3 +646,101 @@ def source_dup_overlap(spark, sf_dir):
             ).alias("containment_ppm"),
         )
     )
+
+
+_TC_BAND_PPM = 50000  # 5%-wide Jaccard bands
+
+
+def _threshold_curve_sql() -> str:
+    from tvbigdataproject_spark.queries.dedup import _SH_SQL
+
+    return f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT (1000000 * i // (sa.n + sb.n - i)) // {_TC_BAND_PPM} AS band
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    ),
+    hist AS (
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM scored GROUP BY band
+    )
+    SELECT band,
+           CAST(band * {_TC_BAND_PPM} AS BIGINT) AS band_lo_ppm,
+           n_pairs,
+           CAST(SUM(n_pairs) OVER (
+               ORDER BY band DESC ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS pairs_at_or_above
+    FROM hist
+    """
+
+
+@query(
+    "neardup_threshold_curve",
+    sql=_threshold_curve_sql(),
+    tags=("llm", "dedup", "tuning"),
+)
+def neardup_threshold_curve(spark, sf_dir):
+    """Near-duplicate pair counts by Jaccard band (5% bands over the
+    shared-shingle candidate set) plus the cumulative
+    pairs-at-or-above-threshold curve — the tuning plot behind every
+    dedup threshold choice: the knee of this curve IS the threshold
+    (dedup_ngram_jaccard runs at a point; this shows the whole
+    trade-off, so raising 0.4 to 0.5 has a known pair cost BEFORE a
+    full re-run).
+
+    Scale shape: identical candidate machinery to dedup_ngram_jaccard
+    (shared-shingle equi-join, never all-pairs — the quadratic-ORACLE
+    family, so sf1 validation runs at the copies-3 protocol); the
+    curve itself is a bounded <=21-row histogram, and the cumulative
+    window runs over that bounded table (allowlisted).
+
+    Exactness: Jaccard is the integer ppm floor quotient banded by
+    integer division; counts exact.
+    """
+    from tvbigdataproject_spark.functions import shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("s")
+    ).where(F.col("s") != "")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b.hint("shuffle_hash"), "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.expr(
+                f"((1000000 * i) div (na + nb - i)) div {_TC_BAND_PPM}"
+            ).alias("band")
+        )
+    )
+    hist = scored.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    wcum = (
+        Window.orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hist.select(
+        "band",
+        (F.col("band") * _TC_BAND_PPM).cast("long").alias("band_lo_ppm"),
+        "n_pairs",
+        F.sum("n_pairs").over(wcum).cast("long").alias("pairs_at_or_above"),
+    )
