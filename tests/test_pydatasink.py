@@ -145,3 +145,31 @@ def test_jsonldir_append_parses_wide_and_foreign_part_names(tmp_path):
     assert (d / "part-00003.jsonl").exists()
     assert (d / "part-123456.jsonl").exists()
     assert json.load(open(d / "_SUCCESS"))["rows"] == 3
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.sources import read_table
+    from tvbigdataproject_spark.sources.io import read_orc, write_orc
+
+    src = read_table(spark, "/root/testdata/sf0.001", "region")
+    out = str(tmp_path / "region_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in src.collect()
+    }
+    # partitioned layout: one directory per key value
+    nat = read_table(spark, "/root/testdata/sf0.001", "nation")
+    out2 = str(tmp_path / "nation_orc")
+    write_orc(nat, out2, partition_by=["n_regionkey"])
+    import os
+
+    parts = [d for d in os.listdir(out2) if d.startswith("n_regionkey=")]
+    assert len(parts) == nat.select("n_regionkey").distinct().count()
+    back2 = read_orc(spark, out2)
+    assert back2.count() == nat.count()
+    # partition-pruning: a key filter reads a single directory
+    pruned = back2.where(F.col("n_regionkey") == 0)
+    assert "n_regionkey" in pruned.inputFiles()[0]

@@ -231,3 +231,28 @@ def test_arrow_kernel_exact_on_single_row_batches(emb):
         .collect()[0]
     )
     assert r.hof == r.arrow
+
+
+def test_embed_covariance_partials_partition_invariant(spark):
+    # the int64 Gram partials must be exactly associative: any
+    # repartitioning yields bit-identical sums (this is what makes the
+    # mapInPandas kernel safe at any parallelism)
+    from tvbigdataproject_spark.queries.embeddings3 import (
+        embed_covariance_pairs,
+    )
+
+    base = embed_covariance_pairs(spark, "/root/testdata/sf0.001")
+    rows1 = {tuple(r) for r in base.collect()}
+    # force a different partitioning of the source by re-running with a
+    # different shuffle setting on a repartitioned read
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try:
+        rows2 = {
+            tuple(r)
+            for r in embed_covariance_pairs(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    assert rows1 == rows2

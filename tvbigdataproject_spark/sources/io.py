@@ -239,3 +239,25 @@ def save_graph(
         write_parquet(edges, e_path)
         write_parquet(vertices, v_path)
     return None
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink (zlib by default) — the columnar alternative for
+    Hive-ecosystem consumers; same partitioned-directory contract as
+    write_parquet (never repartition(1) — reference anti-pattern,
+    RetweetTagsJaccardGraph.py:242)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC scan; pass an explicit schema in production paths (the
+    no-inference rule applies to every format, not just JSON)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
