@@ -635,3 +635,80 @@ def transition_dwell_quartiles(spark, sf_dir):
         pick(F.expr("(n + 1) div 2")).alias("median_min"),
         pick(F.expr("(3 * n + 3) div 4")).alias("q3_min"),
     )
+
+
+@query(
+    "weighted_median_price_by_brand",
+    sql="""
+    WITH sold AS (
+        SELECT p.p_brand AS brand,
+               CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS price_c,
+               CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT brand, price_c, w,
+               CAST(SUM(w) OVER (
+                   PARTITION BY brand ORDER BY price_c
+               ) AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY brand) AS BIGINT) AS tw
+        FROM sold
+    )
+    SELECT brand, MAX(tw) AS total_qty,
+           MIN(CASE WHEN 2 * cw >= tw THEN price_c END) AS wmedian_price_c,
+           MIN(CASE WHEN 4 * cw >= tw THEN price_c END) AS wq1_price_c,
+           MIN(CASE WHEN 4 * cw >= 3 * tw THEN price_c END) AS wq3_price_c
+    FROM cum GROUP BY brand
+    """,
+    tags=("analytics", "stats", "quantiles"),
+)
+def weighted_median_price_by_brand(spark, sf_dir):
+    """QUANTITY-weighted median (and quartiles) of part retail price
+    per brand — "the price of the median unit SOLD", which moves with
+    volume mix while the unweighted median of the catalog stays put;
+    the weighted-quantile primitive (sample weights, importance
+    weights, row multiplicities) the plain quantile tier doesn't cover.
+
+    Exactness: weights are exact integer quantities; the picks are
+    type-1 weighted quantiles — smallest price whose cumulative weight
+    reaches the target fraction, spelled as integer cross-products
+    (2*cw >= tw), no division anywhere.
+
+    Scale shape: one join + (brand, price) aggregate with map-side
+    partials; the cumulative windows partition by brand over the
+    bounded (brand x distinct-retail-price) table — the price DOMAIN
+    caps the window input at any scale factor.
+    """
+    from pyspark.sql import Window as W
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    sold = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.round(F.col("p_retailprice") * 100)
+            .cast("long")
+            .alias("price_c"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    wcum = W.partitionBy("brand").orderBy("price_c")
+    cum = sold.select(
+        "brand",
+        "price_c",
+        F.sum("w").over(wcum).cast("long").alias("cw"),
+        F.sum("w").over(W.partitionBy("brand")).cast("long").alias("tw"),
+    )
+    pick = lambda cond: F.min(F.when(cond, F.col("price_c")))  # noqa: E731
+    return cum.groupBy("brand").agg(
+        F.max("tw").alias("total_qty"),
+        pick(2 * F.col("cw") >= F.col("tw")).alias("wmedian_price_c"),
+        pick(4 * F.col("cw") >= F.col("tw")).alias("wq1_price_c"),
+        pick(4 * F.col("cw") >= 3 * F.col("tw")).alias("wq3_price_c"),
+    )
