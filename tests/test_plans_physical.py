@@ -177,6 +177,12 @@ def test_nested_loop_joins_only_where_intended(spark):
         # 7-row lag-spine cross over the calendar-bounded day grid
         # (the acf_daily_revenue shape)
         "xcorr_lead_lag_types",
+        # bounded QI-group x band-domain grid fill + one-row N / D
+        # attaches (tfidf shape)
+        "t_closeness_audit",
+        # broadcast bounded 100-probe set x corpus — embed_cosine_topk's
+        # brute-force baseline shape
+        "nn_label_agreement",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name

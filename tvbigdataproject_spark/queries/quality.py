@@ -231,3 +231,147 @@ def k_anonymity_audit(spark, sf_dir):
         )
         .where(F.col("n_members") < 5)
     )
+
+
+@query(
+    "t_closeness_audit",
+    sql="""
+    WITH base AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+        FROM customer
+    ),
+    bands AS (SELECT DISTINCT band FROM base),
+    groups AS (
+        SELECT nation, segment, CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM base GROUP BY 1, 2
+    ),
+    cnt AS (
+        SELECT nation, segment, band, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2, 3
+    ),
+    grid AS (
+        SELECT g.nation, g.segment, g.n_g, b.band,
+               COALESCE(cnt.c, 0) AS c
+        FROM groups g CROSS JOIN bands b
+        LEFT JOIN cnt ON cnt.nation = g.nation
+                     AND cnt.segment = g.segment AND cnt.band = b.band
+    ),
+    cums AS (
+        SELECT nation, segment, n_g, band,
+               CAST(SUM(c) OVER (
+                   PARTITION BY nation, segment ORDER BY band
+               ) AS BIGINT) AS cum_g
+        FROM grid
+    ),
+    gcum AS (
+        SELECT band, CAST(SUM(cum_g) AS BIGINT) AS cum_all
+        FROM cums GROUP BY band
+    ),
+    dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM bands),
+    emd AS (
+        SELECT c.nation, c.segment, MAX(c.n_g) AS n_g,
+               CAST(SUM(ABS(c.cum_g * t.n - g.cum_all * c.n_g))
+                    AS BIGINT) AS num
+        FROM cums c
+        JOIN gcum g ON g.band = c.band
+        CROSS JOIN (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM groups) t
+        GROUP BY c.nation, c.segment
+    )
+    SELECT e.nation, e.segment, e.n_g, e.num,
+           1000000 * e.num
+               // (e.n_g * (SELECT CAST(SUM(n_g) AS BIGINT) FROM groups)
+                   * (dd.d - 1)) AS t_closeness_ppm
+    FROM emd e CROSS JOIN dd
+    """,
+    tags=("quality", "privacy", "audit"),
+)
+def t_closeness_audit(spark, sf_dir):
+    """t-closeness of each (nation, segment) quasi-identifier group
+    over the ordered account-balance band — the third leg of the
+    privacy-audit trio (k_anonymity_audit counts group sizes,
+    l_diversity_audit counts sensitive diversity; t-closeness asks
+    whether a group's SENSITIVE DISTRIBUTION leaks: a group whose
+    balance profile diverges from the global one identifies its
+    members even when k and l look safe). For an ordered attribute the
+    distance is the normalized Earth Mover's Distance = mean absolute
+    cumulative-share gap over the domain steps.
+
+    Exactness: per-band cumulative counts are exact integers
+    (grid-filled so every group covers the full band domain); the EMD
+    numerator is Sum |cum_g*N - cum_all*n_g| — exact int64 well past
+    sf10 — and t_ppm is one integer floor quotient by n_g*N*(D-1).
+
+    Scale shape: one scan to (QI, band) counts with map-side partials;
+    everything after runs on the bounded QI-group x band-domain grid
+    (the cross join is bounded x bounded — intended NLJ); cumulative
+    windows partition by group.
+    """
+    from pyspark.sql import Window as W
+
+    cust = read_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+    )
+    bands = base.select("band").distinct()
+    groups = base.groupBy("nation", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    cnt = base.groupBy("nation", "segment", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(bands))
+        .join(cnt, ["nation", "segment", "band"], "left")
+        .select(
+            "nation",
+            "segment",
+            "n_g",
+            "band",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    wcum = W.partitionBy("nation", "segment").orderBy("band")
+    cums = grid.select(
+        "nation",
+        "segment",
+        "n_g",
+        "band",
+        F.sum("c").over(wcum).cast("long").alias("cum_g"),
+    )
+    gcum = cums.groupBy("band").agg(
+        F.sum("cum_g").cast("long").alias("cum_all")
+    )
+    tot = groups.agg(F.sum("n_g").cast("long").alias("n"))
+    dd = bands.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    emd = (
+        cums.join(F.broadcast(gcum), "band")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nation", "segment")
+        .agg(
+            F.max("n_g").alias("n_g"),
+            F.sum(
+                F.abs(
+                    F.col("cum_g") * F.col("n")
+                    - F.col("cum_all") * F.col("n_g")
+                )
+            )
+            .cast("long")
+            .alias("num"),
+        )
+    )
+    return (
+        emd.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dd))
+        .select(
+            "nation",
+            "segment",
+            "n_g",
+            "num",
+            F.expr(
+                "(1000000 * num) div (n_g * n * (d - 1))"
+            ).alias("t_closeness_ppm"),
+        )
+    )
