@@ -183,6 +183,9 @@ def test_nested_loop_joins_only_where_intended(spark):
         # broadcast bounded 100-probe set x corpus — embed_cosine_topk's
         # brute-force baseline shape
         "nn_label_agreement",
+        # one-row max/ray/norm attaches around the checkpointed bounded
+        # 64x64 matrix and 64-row iterate tables
+        "embed_pca_power_iteration",
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name

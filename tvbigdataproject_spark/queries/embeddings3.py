@@ -215,3 +215,201 @@ def nn_label_agreement(spark, sf_dir):
             .alias("agree"),
         )
     )
+
+
+_PCA_ROUNDS = 3
+_PCA_FX = 1 << 20  # fixed-point unit for the iterate and the matrix
+
+
+def _pca_sql() -> str:
+    from tvbigdataproject_spark.queries._stable import (
+        sql_huge_to_double_wide,
+    )
+
+    rounds = []
+    prev = "w0"
+    for r in range(1, _PCA_ROUNDS + 1):
+        rounds.append(f"""
+    u{r} AS (
+        SELECT c2.i, CAST(SUM(c2.c * {prev}.w) AS BIGINT) AS u
+        FROM c2 JOIN {prev} ON {prev}.i = c2.j GROUP BY c2.i
+    ),
+    m{r} AS (SELECT GREATEST(MAX(ABS(u)), 1) AS mu FROM u{r}),
+    w{r} AS (
+        SELECT i,
+               CAST((CAST(u AS HUGEINT) * {_PCA_FX}) // m{r}.mu AS BIGINT)
+                   AS w
+        FROM u{r} CROSS JOIN m{r}
+    )""")
+        prev = f"w{r}"
+    w_last = f"w{_PCA_ROUNDS}"
+    return f"""
+    WITH m AS (
+        SELECT vec_id, t.i AS i,
+               CAST(FLOOR(embedding[t.i]::DOUBLE * {_CV_SCALE}) AS BIGINT)
+                   AS v
+        FROM embeddings, UNNEST(range(1, {_CV_DIM + 1})) AS t(i)
+    ),
+    p AS (
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s
+        FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    ),
+    d AS (SELECT i, CAST(SUM(v) AS BIGINT) AS si FROM m GROUP BY 1),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    fullm AS (
+        SELECT i, j, s FROM p
+        UNION ALL
+        SELECT j, i, s FROM p WHERE i < j
+    ),
+    cn AS (
+        SELECT f.i, f.j,
+               CAST(t.n AS HUGEINT) * f.s
+                   - CAST(da.si AS HUGEINT) * db.si AS cnum
+        FROM fullm f
+        JOIN d da ON da.i = f.i
+        JOIN d db ON db.i = f.j
+        CROSS JOIN t
+    ),
+    mx AS (SELECT MAX(ABS(cnum)) AS mm FROM cn),
+    c2 AS (
+        SELECT i, j, CAST((cnum * {_PCA_FX}) // mx.mm AS BIGINT) AS c
+        FROM cn CROSS JOIN mx
+    ),
+    w0 AS (
+        SELECT i, CAST(1 AS BIGINT) AS w FROM (SELECT DISTINCT i FROM c2)
+    ),{",".join(rounds)[1:]},
+    ray AS (
+        SELECT CAST(SUM(CAST(wa.w * c2.c AS HUGEINT) * wb.w) AS HUGEINT)
+                   AS rnum
+        FROM c2
+        JOIN {w_last} wa ON wa.i = c2.i
+        JOIN {w_last} wb ON wb.i = c2.j
+    ),
+    dn AS (SELECT CAST(SUM(w * w) AS BIGINT) AS rden FROM {w_last})
+    SELECT {w_last}.i AS dim, {w_last}.w AS w_fixed,
+           dn.rden AS w_norm2,
+           {sql_huge_to_double_wide('ray.rnum')} AS ray_num_d,
+           {sql_huge_to_double_wide('ray.rnum')}
+               / CAST(dn.rden AS DOUBLE) AS rayleigh_c2
+    FROM {w_last} CROSS JOIN ray CROSS JOIN dn
+    """
+
+
+@query(
+    "embed_pca_power_iteration",
+    sql=_pca_sql(),
+    tags=("llm", "embeddings", "iterative"),
+)
+def embed_pca_power_iteration(spark, sf_dir):
+    """Top principal direction of the embedding covariance by
+    {_PCA_ROUNDS} integer-scaled power-iteration rounds, value-compared
+    BITWISE against the oracle — distributed linear algebra with a full
+    correctness gate, not a rows-only waiver. The dominant eigenvector
+    is what whitening, matryoshka-truncation and "is this space
+    collapsing to one direction?" decisions read; the Rayleigh quotient
+    (in scaled-matrix units) estimates the top eigenvalue's share.
+
+    Determinism: the covariance numerators n*S_ij - S_i*S_j are exact
+    128-bit integers (milli fixed point); the matrix normalizes
+    through (cnum * 2^20) div max|cnum| and each iterate renormalizes
+    through (u * 2^20) div max|u| — pure integer truncating division,
+    identical in both engines (DuckDB // and Spark div both truncate
+    toward zero), so every intermediate is an exact integer and the
+    two final doubles are one wide split-cast + one division.
+
+    Scale shape: ONE corpus-sized stage (the covariance partials —
+    here the relational p/d aggregates; embed_covariance_pairs'
+    mapInPandas Gram kernel is the 100 TB form of the same numbers);
+    everything after runs on the bounded 64x64 matrix and 64-row
+    iterate tables with one-row max/ray attaches (intended NLJs).
+    Rounds are fixed and unrolled — the pagerank_trade_graph design.
+    """
+    # the corpus-sized stage is the covariance kernel (int64 Gram
+    # partials in ONE mapInPandas pass); everything below runs on the
+    # bounded matrix, eagerly pinned so the unrolled rounds don't
+    # recompute the corpus sweep once per round
+    cov = embed_covariance_pairs(spark, sf_dir).select(
+        "i", "j", "n", "s", "si", "sj"
+    )
+    cn_up = cov.select(
+        "i",
+        "j",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("s")
+            - F.col("si").cast("decimal(38,0)") * F.col("sj")
+        ).alias("cnum"),
+    )
+    cn = cn_up.unionByName(
+        cn_up.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cnum"
+        )
+    )
+    mx = cn.agg(F.max(F.abs(F.col("cnum"))).alias("mm"))
+    c2 = (
+        cn.crossJoin(F.broadcast(mx))
+        .select(
+            "i",
+            "j",
+            F.expr(f"CAST((cnum * {_PCA_FX}) div mm AS BIGINT)").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    w = c2.select("i").distinct().select(
+        "i", F.lit(1).cast("long").alias("w")
+    )
+    for _ in range(_PCA_ROUNDS):
+        u = (
+            c2.join(
+                F.broadcast(w.select(F.col("i").alias("j"), "w")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("w")).cast("long").alias("u"))
+        )
+        mu = u.agg(
+            F.greatest(F.max(F.abs(F.col("u"))), F.lit(1)).alias("mu")
+        )
+        w = (
+            u.crossJoin(F.broadcast(mu))
+            .select(
+                "i",
+                F.expr(
+                    f"CAST((CAST(u AS DECIMAL(38,0)) * {_PCA_FX}) div mu"
+                    " AS BIGINT)"
+                ).alias("w"),
+            )
+        )
+    ray = (
+        c2.join(
+            F.broadcast(w.select(F.col("i"), F.col("w").alias("wa"))), "i"
+        )
+        .join(
+            F.broadcast(
+                w.select(F.col("i").alias("j"), F.col("w").alias("wb"))
+            ),
+            "j",
+        )
+        .agg(
+            F.sum(
+                (F.col("wa") * F.col("c")).cast("decimal(38,0)")
+                * F.col("wb")
+            ).alias("rnum")
+        )
+    )
+    dn = w.agg(F.sum(F.col("w") * F.col("w")).cast("long").alias("rden"))
+    from tvbigdataproject_spark.queries._stable import dec_to_double_wide
+
+    return (
+        w.crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(dn))
+        .select(
+            F.col("i").alias("dim"),
+            F.col("w").alias("w_fixed"),
+            F.col("rden").alias("w_norm2"),
+            dec_to_double_wide(F.col("rnum")).alias("ray_num_d"),
+            (
+                dec_to_double_wide(F.col("rnum"))
+                / F.col("rden").cast("double")
+            ).alias("rayleigh_c2"),
+        )
+    )
