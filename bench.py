@@ -129,6 +129,11 @@ HEADLINE = [
     "l_moments_order_value",    # hockey-stick exact order-stat moments
     "xcorr_lead_lag_types",     # two-series lead-lag Pearson ladder
     "bowtie_trade_returns",     # SCC + two reachability sweeps
+    "source_dup_overlap",       # shingle-digest source overlap matrix
+    "transition_dwell_quartiles",  # type-pair gap quartiles (bucketed)
+    "t_closeness_audit",        # ordered-EMD privacy distribution leak
+    "neardup_threshold_curve",  # Jaccard-band dedup tuning histogram
+    "weighted_median_price_by_brand",  # weighted type-1 quantile picks
 ]
 
 
