@@ -413,3 +413,104 @@ def embed_pca_power_iteration(spark, sf_dir):
             ).alias("rayleigh_c2"),
         )
     )
+
+
+def _check_whitened(spark, sf_dir, rows, cols):
+    """Bounded numerical gate for the whitening transform: the sample
+    covariance of the returned vectors must be the identity within
+    tolerance (diagonal within 2% — ZCA on the exact sample covariance
+    is algebraically exact, the slack only covers the float pipeline;
+    off-diagonal |cov| below 0.02)."""
+    import numpy as np
+
+    idx = {c: i for i, c in enumerate(cols)}
+    w = np.stack([np.asarray(r[idx["whitened"]], dtype=np.float64) for r in rows])
+    n_src = len(
+        read_table(spark, sf_dir, "embeddings").select("vec_id").collect()
+    )
+    if w.shape[0] != n_src:
+        return f"row count {w.shape[0]} != corpus {n_src}"
+    c = np.cov(w, rowvar=False, bias=True)
+    dmax = float(np.abs(np.diag(c) - 1.0).max())
+    off = c - np.diag(np.diag(c))
+    omax = float(np.abs(off).max())
+    if dmax > 0.02:
+        return f"whitened diagonal deviates from 1 by {dmax:.4f}"
+    if omax > 0.02:
+        return f"whitened off-diagonal covariance {omax:.4f} > 0.02"
+    return None
+
+
+@query(
+    "embed_whiten_apply",
+    sql=None,  # the ZCA matrix comes from a numpy eigendecomposition —
+    # no SQL twin; _check_whitened gates the OUTPUT's covariance
+    tags=("llm", "embeddings", "transform"),
+    check=_check_whitened,
+)
+def embed_whiten_apply(spark, sf_dir):
+    """Apply ZCA whitening to the embedding corpus: W = C^(-1/2) from
+    the exact sample covariance, x' = W (x - mean) — the decorrelation
+    step that makes cosine/Euclidean retrieval treat every direction
+    equally (anisotropic embedding spaces overweight dominant
+    directions; embed_pca_power_iteration measures the dominance, this
+    removes it). Completes the covariance tier: measure
+    (embed_dim_profile) -> structure (embed_covariance_pairs) ->
+    dominant direction (embed_pca_power_iteration) -> transform (here).
+
+    Shape at scale: the covariance comes from the mapInPandas Gram
+    kernel (one corpus pass, bounded partials); the 64x64
+    eigendecomposition runs DRIVER-side on the collected bounded
+    matrix (the fit_ivf_centers precedent — never a distributed eig);
+    the transform is one broadcast of the (mean, W) pack and a second
+    scan-local mapInPandas pass. Two corpus passes total, no shuffle
+    in the apply.
+
+    Gate: rows-only + bounded check — the returned vectors' sample
+    covariance must be the identity within 2%.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cov = embed_covariance_pairs(spark, sf_dir).collect()
+    n = cov[0]["n"]
+    C = np.zeros((_CV_DIM, _CV_DIM))
+    mean = np.zeros(_CV_DIM)
+    for r in cov:
+        i, j = r["i"] - 1, r["j"] - 1
+        C[i, j] = C[j, i] = r["cov_milli2"]
+        if i == j:
+            mean[i] = r["si"] / n
+    # eigen floor guards rank deficiency (a dead dimension would make
+    # C singular); units: milli^2 -> the whitened output is unit-less
+    evals, evecs = np.linalg.eigh(C)
+    evals = np.maximum(evals, 1e-9 * float(evals.max()))
+    W = (evecs * (evals**-0.5)) @ evecs.T  # ZCA: C^(-1/2), symmetric
+    pack = spark.sparkContext.broadcast((mean, W))
+
+    def apply_w(batches):
+        b_mean, b_w = pack.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = (
+                np.floor(
+                    np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                    * _CV_SCALE
+                )
+                - b_mean
+            )
+            out = m @ b_w.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "whitened": list(out.astype(np.float64)),
+                }
+            )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return emb.mapInPandas(
+        apply_w, schema="vec_id long, whitened array<double>"
+    )
