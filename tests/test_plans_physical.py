@@ -383,6 +383,15 @@ def test_aggregates_have_partial_phase(spark):
 # sanctioned.
 _DECLARED_MAPINPANDAS = (
     "multimodal_features", "multimodal_resize", "multimodal_frame_sample",
+    # int64 Gram-matmul partials: one mapInPandas stage per corpus
+    # scan is the covariance kernel (embeddings3.py); the whitening
+    # apply adds its own scan-local pass. (embed_pca_power_iteration
+    # composes on the same kernel but eagerly localCheckpoints the
+    # bounded matrix, so its LAZY plan shows a checkpoint scan, not
+    # the fence — the kernel's fence is asserted via
+    # embed_covariance_pairs.)
+    "embed_covariance_pairs",
+    "embed_whiten_apply",
     # skyline_parts' scan-local pareto pre-filter (operators/skyline.py)
     # is also a declared mapInPandas stage, but the guarded path now
     # returns a checkpointed result whose plan is a scan — the fence is
@@ -409,6 +418,8 @@ _DECLARED_ARROW_KERNEL = (
     # full + prefix cosine over the 200k-pair probe stream — the HOF
     # kernel measured 9.5s of interpreted eval here; arrow runs ~1s
     "matryoshka_prefix_nn",
+    # 1-NN label probe rides the same brute-force arrow cosine kernel
+    "nn_label_agreement",
 )
 
 
