@@ -1,0 +1,100 @@
+"""Portable transcendental kernel (functions/portable.py): accuracy vs
+math.log/math.exp, and the property the suite actually depends on —
+BITWISE Spark == DuckDB equality of every output double."""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+
+import duckdb
+
+from tvbigdataproject_spark.functions.portable import (
+    apply_stages,
+    pexp_stages,
+    plog_stages,
+    sql_wrap_stages,
+)
+
+
+def _duck_eval(vals, stages, col):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(float(v),) for v in vals])
+    sql = sql_wrap_stages("SELECT x FROM t", stages)
+    return dict(con.execute(f"SELECT x, {col} FROM {sql}").fetchall())
+
+
+def _plog_sample():
+    rng = random.Random(20260816)
+    return sorted(
+        set(
+            [1, 2, 3, 10, 97, 123456789, 2**52, 2**62 - 1]
+            + [0.5, 1.5, 0.9999, 1.0001, 1e-9, 2**-63]
+            + [rng.randint(1, 2**53) for _ in range(150)]
+            + [rng.random() for _ in range(100)]
+            + [
+                rng.random() * rng.choice([1e-12, 1e-6, 1e6, 1e12])
+                for _ in range(100)
+            ]
+        )
+    )
+
+
+def _pexp_sample():
+    rng = random.Random(20260816)
+    return sorted(
+        set(
+            [0.0, 1.0, -1.0, 0.3, -0.3, 10.0, -10.0, 59.9, -59.9]
+            + [rng.uniform(-60, 60) for _ in range(250)]
+        )
+    )
+
+
+def test_plog_accuracy_duckdb():
+    vals = _plog_sample()
+    out = _duck_eval(vals, plog_stages("x", "lx", "_p"), "lx")
+    for v in vals:
+        want = math.log(v)
+        got = out[float(v)]
+        assert abs(got - want) <= 5e-13 * max(abs(want), 1.0), (v, got, want)
+
+
+def test_pexp_accuracy_duckdb():
+    vals = _pexp_sample()
+    out = _duck_eval(vals, pexp_stages("x", "ex", "_e"), "ex")
+    for v in vals:
+        want = math.exp(v)
+        got = out[float(v)]
+        assert abs(got - want) <= 5e-13 * want, (v, got, want)
+
+
+def test_exact_anchor_values():
+    # ln(1) and exp(0) fall out of the construction EXACTLY (t = 0 /
+    # r = 0 short-circuit every rounded op) — pin that, since query
+    # code relies on plog(count=1) == 0.0 terms dropping out of sums.
+    out = _duck_eval([1.0], plog_stages("x", "lx", "_p"), "lx")
+    assert out[1.0] == 0.0
+    out = _duck_eval([0.0], pexp_stages("x", "ex", "_e"), "ex")
+    assert out[0.0] == 1.0
+
+
+def test_bitwise_spark_equals_duckdb(spark):
+    vals = _plog_sample()
+    sdf = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    sdf = apply_stages(sdf, plog_stages("x", "lx", "_p"))
+    got_s = {r.x: r.lx for r in sdf.select("x", "lx").collect()}
+    got_d = _duck_eval(vals, plog_stages("x", "lx", "_p"), "lx")
+    for v in vals:
+        a, b = got_s[float(v)], got_d[float(v)]
+        assert struct.pack("<d", a) == struct.pack("<d", b), (v, a, b)
+
+    zs = _pexp_sample()
+    sdf = spark.createDataFrame([(float(z),) for z in zs], "x double")
+    sdf = apply_stages(sdf, pexp_stages("x", "ex", "_e"))
+    got_s = {r.x: r.ex for r in sdf.select("x", "ex").collect()}
+    got_d = _duck_eval(zs, pexp_stages("x", "ex", "_e"), "ex")
+    for z in zs:
+        a, b = got_s[float(z)], got_d[float(z)]
+        assert struct.pack("<d", a) == struct.pack("<d", b), (z, a, b)
