@@ -79,3 +79,5 @@ from tvbigdataproject_spark.queries import analytic10  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops13  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic11  # noqa: F401,E402
 from tvbigdataproject_spark.queries import embeddings3  # noqa: F401,E402
+from tvbigdataproject_spark.queries import infotheory  # noqa: F401,E402
+from tvbigdataproject_spark.queries import infotheory2  # noqa: F401,E402
