@@ -229,6 +229,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "l_moments_order_value": "cumulative over the distinct-dollar grid (bounded by the price domain)",
     "neardup_threshold_curve": "descending cumulative over the <=21-row Jaccard-band histogram",
     "ewma_daily_anomaly": "trailing-14 lag windows over the bounded day grid",
+    "stl_weekly_decompose": "7-day centered frame over the bounded day grid",
 }
 
 
