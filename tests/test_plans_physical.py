@@ -393,6 +393,9 @@ _DECLARED_MAPINPANDAS = (
     # embed_covariance_pairs.)
     "embed_covariance_pairs",
     "embed_whiten_apply",
+    # JL distortion audit rides the same int64-matmul kernel: one
+    # mapInPandas stage emits (y2, x2) per vector, bands aggregate JVM-side
+    "rp_distortion_bands",
     # skyline_parts' scan-local pareto pre-filter (operators/skyline.py)
     # is also a declared mapInPandas stage, but the guarded path now
     # returns a checkpointed result whose plan is a scan — the fence is
