@@ -134,6 +134,17 @@ HEADLINE = [
     "t_closeness_audit",        # ordered-EMD privacy distribution leak
     "neardup_threshold_curve",  # Jaccard-band dedup tuning histogram
     "weighted_median_price_by_brand",  # weighted type-1 quantile picks
+    # round 9, session 2: the portable-ln/exp operator family
+    "token_entropy_by_source",  # vocab-agg entropy + portable perplexity
+    "js_divergence_by_source",  # token-join JSD vs corpus (closed-form tail)
+    "doc_log_perplexity_bigram",  # true bigram NLL: type-table log join
+    "dsir_importance_topk",     # 256-bucket LLR weights + bcast score join
+    "adamic_adar_linkpred",     # 1/ln(deg) common-neighbor blocking
+    "tfidf_log_topk",           # textbook tf*ln(N/df) + per-doc rank
+    "rp_distortion_bands",      # JL int64-matmul projection audit
+    "theil_index_by_nation",    # decomposable inequality (portable ln)
+    "conformal_interval_coverage",  # split-conformal quantile + coverage
+    "logistic_quality_score",   # portable-sigmoid keep-probability scan
 ]
 
 

@@ -230,6 +230,8 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "neardup_threshold_curve": "descending cumulative over the <=21-row Jaccard-band histogram",
     "ewma_daily_anomaly": "trailing-14 lag windows over the bounded day grid",
     "stl_weekly_decompose": "7-day centered frame over the bounded day grid",
+    "auc_quality_langid": "bucket-cumsum over the quantized logistic-score grid (domain-bounded by the score range x 1e4)",
+    "ndcg_bm25_eval": "rank windows over the two TakeOrdered top-20 lists",
 }
 
 

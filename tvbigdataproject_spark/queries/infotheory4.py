@@ -118,7 +118,9 @@ def tfidf_log_topk(spark, sf_dir):
 _BM25_TERMS = ("vector", "hash", "scan")  # llm_ops9 fixed lexical query
 
 
-def _bm25_sql() -> str:
+def _bm25_piv_sql() -> str:
+    """DuckDB SQL for the per-doc pivoted BM25 (log idf) score table
+    (doc_id, s_<term>...) — shared by bm25_log_topk and the NDCG eval."""
     in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     per = f"""
     SELECT qtf.doc_id, qtf.term, qtf.tf, dl.dl, df.df, st.n_docs, st.tot
@@ -160,15 +162,18 @@ def _bm25_sql() -> str:
     )
     add = " + ".join(f"s_{t}" for t in _BM25_TERMS)
     return f"""
-    WITH scored AS (
-        SELECT doc_id, term, {score} AS score FROM {per}
-    ),
-    piv AS (
+    (SELECT doc_id, {add} AS bm25 FROM (
         SELECT doc_id,
            {pivot}
-        FROM scored GROUP BY doc_id
-    )
-    SELECT doc_id, {add} AS bm25 FROM piv
+        FROM (SELECT doc_id, term, {score} AS score FROM {per})
+        GROUP BY doc_id
+    ))
+    """
+
+
+def _bm25_sql() -> str:
+    return f"""
+    SELECT doc_id, bm25 FROM {_bm25_piv_sql()}
     ORDER BY bm25 DESC, doc_id
     LIMIT 20
     """
@@ -192,6 +197,17 @@ def bm25_log_topk(spark, sf_dir):
     length joins on doc_id, the corpus stats broadcast, and the top-20
     is a TakeOrdered.
     """
+    piv = _bm25_piv_df(spark, sf_dir)
+    add = " + ".join(f"s_{t}" for t in _BM25_TERMS)
+    return (
+        piv.selectExpr("doc_id", f"{add} AS bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_piv_df(spark, sf_dir):
+    """Spark twin of _bm25_piv_sql: per-doc pivoted BM25 scores."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
@@ -228,7 +244,7 @@ def bm25_log_topk(spark, sf_dir):
         " * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)"
         " / CAST(tot AS DOUBLE)))) AS score",
     )
-    piv = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         *[
             F.coalesce(
                 F.max(F.when(F.col("term") == t, F.col("score"))),
@@ -236,12 +252,6 @@ def bm25_log_topk(spark, sf_dir):
             ).alias(f"s_{t}")
             for t in _BM25_TERMS
         ]
-    )
-    add = " + ".join(f"s_{t}" for t in _BM25_TERMS)
-    return (
-        piv.selectExpr("doc_id", f"{add} AS bm25")
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(20)
     )
 
 
