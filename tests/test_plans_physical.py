@@ -231,6 +231,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "ewma_daily_anomaly": "trailing-14 lag windows over the bounded day grid",
     "stl_weekly_decompose": "7-day centered frame over the bounded day grid",
     "auc_quality_langid": "bucket-cumsum over the quantized logistic-score grid (domain-bounded by the score range x 1e4)",
+    "psi_value_drift": "PSI total over the 10-row bin grid (tvd_value_drift's class)",
     "ndcg_bm25_eval": "rank windows over the two TakeOrdered top-20 lists",
 }
 
