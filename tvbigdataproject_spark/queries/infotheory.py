@@ -208,27 +208,36 @@ def mutual_info_lang_source(spark, sf_dir):
     handful of identically-spelled IEEE ops; sqrt is correctly rounded
     by IEEE-754, hence bit-equal.
 
-    Scale: three keyed counts + a broadcast-sized cell table (|langs| x
-    |sources|); nothing here grows beyond the label cardinalities.
+    Scale: ONE corpus scan — margins and the grand total are integer
+    sums over the (lang, source) contingency aggregate, whose
+    identical shuffle is planned once (exchange reuse); everything
+    downstream is label-cardinality-sized.
     """
     docs = read_table(spark, sf_dir, "documents")
+    # margins and the grand total derive from the contingency AGGREGATE
+    # (exact integer sums of the same cells) — one corpus scan, not four
+    base = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     cells = (
-        docs.groupBy("lang", "source")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(
+        base.join(
             F.broadcast(
-                docs.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
+                base.groupBy("lang").agg(F.sum("n").cast("long").alias("r"))
             ),
             "lang",
         )
         .join(
             F.broadcast(
-                docs.groupBy("source").agg(F.count(F.lit(1)).alias("s"))
+                base.groupBy("source").agg(
+                    F.sum("n").cast("long").alias("s")
+                )
             ),
             "source",
         )
         .crossJoin(
-            F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_total")))
+            F.broadcast(
+                base.agg(F.sum("n").cast("long").alias("n_total"))
+            )
         )
     )
     for src, out, p in (
@@ -248,7 +257,7 @@ def mutual_info_lang_source(spark, sf_dir):
     )
 
     def marginal(col, lcol, p):
-        m = docs.groupBy(col).agg(F.count(F.lit(1)).alias("k"))
+        m = base.groupBy(col).agg(F.sum("n").cast("long").alias("k"))
         m = apply_stages(m, plog_stages("k", lcol, p))
         return m.agg(
             F.sum(

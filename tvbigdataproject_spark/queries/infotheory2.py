@@ -256,23 +256,20 @@ def dsir_importance_topk(spark, sf_dir):
         "lang",
         (hex16_hash(F.col("w")) % _DSIR_BUCKETS).alias("b"),
     )
-    s_hist = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("s_b"))
-    t_hist = (
-        bucketed.where(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t_b"))
-    )
-    tot = bucketed.agg(
-        F.count(F.lit(1)).alias("s_n"),
+    # one (bucket) aggregate carries both histograms (conditional sum),
+    # and the totals are integer sums over its 256 rows — one token
+    # scan for the whole classifier table, not three
+    hist = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("s_b"),
         F.sum(
             F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("t_n"),
+        ).alias("t_b"),
     )
-    buckets = (
-        s_hist.join(t_hist, "b", "left")
-        .withColumn("t_b", F.coalesce("t_b", F.lit(0)))
-        .crossJoin(F.broadcast(tot))
+    tot = hist.agg(
+        F.sum("s_b").cast("long").alias("s_n"),
+        F.sum("t_b").cast("long").alias("t_n"),
     )
+    buckets = hist.crossJoin(F.broadcast(tot))
     for src, out, p in (
         ("t_b + 1", "_ltb", "_d1_"),
         (f"t_n + {_DSIR_BUCKETS}", "_ltt", "_d2_"),
@@ -390,8 +387,10 @@ def doc_log_perplexity_bigram(spark, sf_dir):
     ).select(
         "doc_id", F.col("z.w1s").alias("w1"), F.col("z.w2s").alias("w2")
     )
+    # c1(w1) = sum_w2 c2(w1, w2): the unigram margin derives from the
+    # bigram-type aggregate — one corpus explode, not two
     cnt2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    cnt1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
     lam = cnt2.join(cnt1, "w1")
     lam = apply_stages(lam, plog_stages("c1", "_l1", "_q1_"))
     lam = apply_stages(lam, plog_stages("c2", "_l2", "_q2_"))

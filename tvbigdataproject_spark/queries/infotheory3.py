@@ -102,18 +102,23 @@ def js_divergence_by_source(spark, sf_dir):
     source x vocab table is ever built. Per-source accumulation is the
     scaled-BIGINT stable sum; sqrt is IEEE-correctly-rounded.
 
-    Scale shape: two vocabulary aggregates + one equi-join on the
-    token (the corpus-count table), broadcast-sized source totals; the
-    join is the tf-idf shape and shuffles on the token key only.
+    Scale shape: ONE corpus explode + (source, token) aggregate; the
+    corpus counts, source totals, and grand total are integer sums
+    over that aggregate (its identical exchange is planned once), and
+    the only data-sized join is the tf-idf-shaped equi-join on the
+    token key.
     """
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
+    # corpus counts, source totals, and the grand total all derive from
+    # the (source, token) AGGREGATE — one corpus explode+shuffle (the
+    # identical sw exchange is planned once), then vocab-sized reshuffles
     sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("a"))
-    wt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("b"))
-    ns = toks.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
-    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    wt = sw.groupBy("w").agg(F.sum("a").cast("long").alias("b"))
+    ns = sw.groupBy("source").agg(F.sum("a").cast("long").alias("ns"))
+    n = sw.agg(F.sum("a").cast("long").alias("n"))
     per = (
         sw.join(wt, "w")
         .join(F.broadcast(ns), "source")

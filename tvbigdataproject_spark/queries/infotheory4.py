@@ -218,13 +218,12 @@ def _bm25_piv_df(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfr = (
-        toks.where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
-    )
-    st = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        toks.agg(F.count(F.lit(1)).alias("tot"))
+    # df and both corpus totals derive from the qtf / dl aggregates —
+    # two corpus passes (the filtered tf scan and the length scan)
+    dfr = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot"),
     )
     per = (
         qtf.join(dl, "doc_id")
@@ -333,14 +332,13 @@ def pmi_collocations(spark, sf_dir):
         .select(F.explode(F.arrays_zip("w1s", "w2s")).alias("z"))
         .select(F.col("z.w1s").alias("w1"), F.col("z.w2s").alias("w2"))
     )
-    c2 = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c2"))
-        .where(F.col("c2") >= _PMI_MIN_COUNT)
-    )
-    ca = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("ca"))
-    cb = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("cb"))
-    n = bg.agg(F.count(F.lit(1)).alias("n"))
+    # margins and the total derive from the UNFILTERED bigram-type
+    # aggregate (one corpus explode; its identical exchange plans once)
+    c2_all = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = c2_all.where(F.col("c2") >= _PMI_MIN_COUNT)
+    ca = c2_all.groupBy("w1").agg(F.sum("c2").cast("long").alias("ca"))
+    cb = c2_all.groupBy("w2").agg(F.sum("c2").cast("long").alias("cb"))
+    n = c2_all.agg(F.sum("c2").cast("long").alias("n"))
     per = c2.join(ca, "w1").join(cb, "w2").crossJoin(F.broadcast(n))
     for src, out, p in (
         ("c2", "_l2", "_p1_"),

@@ -159,8 +159,10 @@ def info_gain_lang_features(spark, sf_dir):
             "svl"
         )
     )
-    margins = melted.groupBy("feature", "v").agg(
-        F.count(F.lit(1)).alias("m")
+    # feature margins derive from the cell aggregate (integer sums over
+    # the <=10-row cells) — the melt is scanned once, not twice
+    margins = cells.groupBy("feature", "v").agg(
+        F.sum("c").cast("long").alias("m")
     )
     margins = apply_stages(margins, plog_stages("m", "_lm", "_g2_"))
     sv = margins.groupBy("feature").agg(

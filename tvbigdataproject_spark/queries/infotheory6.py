@@ -97,9 +97,11 @@ def cross_entropy_lang_matrix(spark, sf_dir):
     toks = docs.select(
         "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
+    # totals and the vocabulary size derive from the (lang, token)
+    # aggregate — one corpus explode (identical exchange plans once)
     lw = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
-    nl = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    v = toks.agg(F.countDistinct("w").alias("v"))
+    nl = lw.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    v = lw.agg(F.countDistinct("w").alias("v"))
     a = lw.selectExpr("lang AS lang_p", "w", "c AS cp")
     b = lw.selectExpr("lang AS lang_q", "w", "c AS cq")
     per = (
@@ -308,7 +310,9 @@ def ngram_entropy_ladder(spark, sf_dir):
             .cast("long")
             .alias("s_s"),
         )
-        pcd = inst.groupBy("pfx").agg(F.count(F.lit(1)).alias("pc"))
+        # prefix counts derive from the gram-type aggregate (sum of c
+        # over the suffix) — one corpus explode per order, not two
+        pcd = cnt.groupBy("pfx").agg(F.sum("c").cast("long").alias("pc"))
         pcd = apply_stages(pcd, plog_stages("pc", "_lp", f"_n{k}b_"))
         pg = pcd.agg(
             F.sum(

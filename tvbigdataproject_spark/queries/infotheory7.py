@@ -168,13 +168,11 @@ def psi_value_drift(spark, sf_dir):
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
     )
-    t = pe.agg(
-        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("ta"),
-        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("tb"),
+    # period totals derive from the 10-row bin table (every event lands
+    # in exactly one bin) — two corpus scans total (bounds + binning)
+    t = g.agg(
+        F.sum("ca").cast("long").alias("ta"),
+        F.sum("cb").cast("long").alias("tb"),
     )
     per = g.crossJoin(F.broadcast(t))
     for src, out, p in (
