@@ -80,6 +80,47 @@ def test_exact_anchor_values():
     assert out[0.0] == 1.0
 
 
+def test_pnorm_accuracy_and_bitwise(spark):
+    from tvbigdataproject_spark.functions.portable import pnorm_stages
+
+    rng = random.Random(99)
+    zs = [0.0, 1.0, -1.0, 1.959963985, -2.5758293, 5.0, -5.0] + [
+        rng.uniform(-9, 9) for _ in range(150)
+    ]
+    got_d = _duck_eval(zs, pnorm_stages("x", "phi", "_pn"), "phi")
+    for z in zs:
+        want = 0.5 * (1 + math.erf(z / math.sqrt(2)))
+        assert abs(got_d[float(z)] - want) <= 2e-7, (z,)
+    sdf = spark.createDataFrame([(float(z),) for z in zs], "x double")
+    sdf = apply_stages(sdf, pnorm_stages("x", "phi", "_pn"))
+    got_s = {r.x: r.phi for r in sdf.select("x", "phi").collect()}
+    for z in zs:
+        a, b = got_s[float(z)], got_d[float(z)]
+        assert struct.pack("<d", a) == struct.pack("<d", b), (z, a, b)
+
+
+def test_kolmogorov_q_accuracy():
+    from tvbigdataproject_spark.functions.portable import (
+        kolmogorov_q_stages,
+    )
+
+    def q_ref(lam, kmax=200):
+        return 2 * sum(
+            (-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+            for k in range(1, kmax)
+        )
+
+    vals = [0.3, 0.35, 0.5, 0.8, 1.0, 1.2, 1.36, 1.5, 2.0, 2.5]
+    out = _duck_eval(vals, kolmogorov_q_stages("x", "q", "_k"), "q")
+    for lam in vals:
+        assert abs(out[float(lam)] - q_ref(lam)) <= 1e-12, (lam,)
+    # the classic table anchor: Q(1.36) ~ 0.049 (the 5% critical value)
+    assert abs(out[1.36] - 0.049485877) <= 1e-6
+    # below the clamp the result pins to exactly 1
+    below = _duck_eval([0.1, 0.29], kolmogorov_q_stages("x", "q", "_k"), "q")
+    assert set(below.values()) == {1.0}
+
+
 def test_bitwise_spark_equals_duckdb(spark):
     vals = _plog_sample()
     sdf = spark.createDataFrame([(float(v),) for v in vals], "x double")

@@ -190,6 +190,113 @@ def pexp_cols(p: str) -> list[str]:
     return [f"{p}{s}" for s in ("kf", "kd", "r")]
 
 
+# Abramowitz & Stegun 7.1.26 rational erf approximation: coefficients
+# as decimal literals both engines round identically. Max abs error
+# 1.5e-7 on erf — i.e. p-values good to ~1e-7, documented per caller.
+# (Unlike plog/pexp this is an APPROXIMATION by construction; its
+# virtue here is bit-reproducibility, which a libm erf cannot give.)
+_ERF_P = "CAST(0.3275911 AS DOUBLE)"
+_ERF_A = (
+    "CAST(0.254829592 AS DOUBLE)",
+    "CAST(-0.284496736 AS DOUBLE)",
+    "CAST(1.421413741 AS DOUBLE)",
+    "CAST(-1.453152027 AS DOUBLE)",
+    "CAST(1.061405429 AS DOUBLE)",
+)
+
+
+def pnorm_stages(src: str, out: str, p: str) -> list[list[str]]:
+    """Expression stages computing the standard normal CDF Phi(src).
+
+    Phi(z) = (1 + erf(|z|/sqrt 2) * sign(z)) / 2 with erf by the
+    fixed-order A&S 7.1.26 rational form (abs error <= 1.5e-7) and
+    exp(-a^2) through the portable exp kernel — every op correctly
+    rounded on identical inputs, so the CDF is bitwise-equal across
+    engines. Domain |z| <= ~10 (beyond that the result saturates to
+    0/1 within the approximation error anyway).
+    """
+    a, t, poly, erfa = f"{p}a", f"{p}t", f"{p}poly", f"{p}erf"
+    horner = f"{_ERF_A[4]}"
+    for c in (_ERF_A[3], _ERF_A[2], _ERF_A[1], _ERF_A[0]):
+        horner = f"{c} + {t} * ({horner})"
+    return (
+        [
+            [
+                f"abs(CAST(({src}) AS DOUBLE))"
+                f" / sqrt(CAST(2 AS DOUBLE)) AS {a}"
+            ],
+            [f"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + {_ERF_P} * {a}) AS {t}"],
+        ]
+        + pexp_stages(f"CAST(0 AS DOUBLE) - {a} * {a}", f"{p}e", f"{p}x_")
+        + [
+            [f"{t} * ({horner}) AS {poly}"],
+            [f"CAST(1 AS DOUBLE) - {poly} * {p}e AS {erfa}"],
+            [
+                f"CASE WHEN CAST(({src}) AS DOUBLE) >= CAST(0 AS DOUBLE)"
+                f" THEN (CAST(1 AS DOUBLE) + {erfa}) * CAST(0.5 AS DOUBLE)"
+                f" ELSE (CAST(1 AS DOUBLE) - {erfa}) * CAST(0.5 AS DOUBLE)"
+                f" END AS {out}"
+            ],
+        ]
+    )
+
+
+def kolmogorov_q_stages(src: str, out: str, p: str) -> list[list[str]]:
+    """Kolmogorov limiting survival Q(lambda) = 2 sum_{k>=1} (-1)^{k-1}
+    e^{-2 k^2 lambda^2}, truncated at k = 12 — the asymptotic two-sample
+    KS p-value.
+
+    One portable exp gives u = e^{-2 lambda^2}; u^(k^2) then comes from
+    an exact-order squaring chain (u^2, u^4, ..., u^128) and fixed
+    products — every multiply correctly rounded on identical inputs,
+    so the whole series is bitwise-equal across engines. Truncation at
+    k = 12 is < 1e-13 for lambda >= 0.3; below 0.3 the series needs
+    many terms and Q is 1 to ~5e-5 anyway, so the result clamps to 1
+    there (documented cutoff, identical CASE in both engines).
+    """
+    lam2 = f"{p}l2"
+    stages: list[list[str]] = [
+        [f"CAST(({src}) AS DOUBLE) * CAST(({src}) AS DOUBLE) AS {lam2}"]
+    ]
+    stages += pexp_stages(
+        f"CAST(-2 AS DOUBLE) * {lam2}", f"{p}u1", f"{p}x_"
+    )
+    # squaring chain u^(2^j)
+    chain = [1, 2, 4, 8, 16, 32, 64, 128]
+    sq = []
+    for a, b in zip(chain, chain[1:]):
+        sq.append(f"{p}u{a} * {p}u{a} AS {p}u{b}")
+    stages.append(sq[:1])
+    stages.append(sq[1:2])
+    stages.append(sq[2:3])
+    stages.append(sq[3:4])
+    stages.append(sq[4:5])
+    stages.append(sq[5:6])
+    stages.append(sq[6:7])
+    # k^2 for k = 1..12 as fixed products of chain powers
+    decomp = {
+        1: (1,), 4: (4,), 9: (8, 1), 16: (16,), 25: (16, 8, 1),
+        36: (32, 4), 49: (32, 16, 1), 64: (64,), 81: (64, 16, 1),
+        100: (64, 32, 4), 121: (64, 32, 16, 8, 1), 144: (128, 16),
+    }
+    terms = []
+    for k in range(1, 13):
+        parts = decomp[k * k]
+        expr = " * ".join(f"{p}u{a}" for a in parts)
+        terms.append(("-" if k % 2 == 0 else "+", f"({expr})"))
+    series = terms[0][1]
+    for sign, t in terms[1:]:
+        series = f"({series} {sign} {t})"
+    stages.append(
+        [
+            f"CASE WHEN CAST(({src}) AS DOUBLE) < CAST(0.3 AS DOUBLE)"
+            f" THEN CAST(1 AS DOUBLE)"
+            f" ELSE CAST(2 AS DOUBLE) * {series} END AS {out}"
+        ]
+    )
+    return stages
+
+
 def apply_stages(df, stages):
     """Spark side: fold the stages onto a DataFrame via selectExpr."""
     for stage in stages:
