@@ -232,6 +232,8 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "stl_weekly_decompose": "7-day centered frame over the bounded day grid",
     "auc_quality_langid": "bucket-cumsum over the quantized logistic-score grid (domain-bounded by the score range x 1e4)",
     "psi_value_drift": "PSI total over the 10-row bin grid (tvd_value_drift's class)",
+    "calibration_ece_quality": "ECE/Brier totals over the 10-row probability-bin table",
+    "lift_gain_deciles": "descending cumsum over the quantized-score grid (auc_quality_langid's class)",
     "ndcg_bm25_eval": "rank windows over the two TakeOrdered top-20 lists",
 }
 

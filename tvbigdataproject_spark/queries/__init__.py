@@ -88,3 +88,4 @@ from tvbigdataproject_spark.queries import infotheory5  # noqa: F401,E402
 from tvbigdataproject_spark.queries import infotheory6  # noqa: F401,E402
 from tvbigdataproject_spark.queries import infotheory7  # noqa: F401,E402
 from tvbigdataproject_spark.queries import inference  # noqa: F401,E402
+from tvbigdataproject_spark.queries import inference2  # noqa: F401,E402
