@@ -233,6 +233,14 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "auc_quality_langid": "bucket-cumsum over the quantized logistic-score grid (domain-bounded by the score range x 1e4)",
     "psi_value_drift": "PSI total over the 10-row bin grid (tvd_value_drift's class)",
     "calibration_ece_quality": "ECE/Brier totals over the 10-row probability-bin table",
+    "km_na_survival_weekly": "at-risk/ln-S cumulatives over the bounded week grid",
+    # the p-value tier composes ON the allowlisted statistic queries and
+    # therefore carries the SAME bounded windows under its own name
+    "mann_whitney_pvalue": "inherits mann_whitney_u's bucket-offset rank decomposition",
+    "kruskal_wallis_pvalue": "inherits kruskal_wallis_value's cents-bucket running sum",
+    "ks_doclen_pvalue": "inherits ks_doclen_lang's ECDF cumulative over the length domain",
+    "poisson_bootstrap_ci": "rank over the 39-row resample-mean table",
+    "logrank_repurchase_segments": "at-risk cumulatives over the bounded week grid",
     "lift_gain_deciles": "descending cumsum over the quantized-score grid (auc_quality_langid's class)",
     "ndcg_bm25_eval": "rank windows over the two TakeOrdered top-20 lists",
 }
