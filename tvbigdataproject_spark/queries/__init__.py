@@ -93,3 +93,4 @@ from tvbigdataproject_spark.queries import glm  # noqa: F401,E402
 from tvbigdataproject_spark.queries import survival  # noqa: F401,E402
 from tvbigdataproject_spark.queries import resampling  # noqa: F401,E402
 from tvbigdataproject_spark.queries import inference3  # noqa: F401,E402
+from tvbigdataproject_spark.queries import graph8  # noqa: F401,E402

@@ -1,0 +1,148 @@
+"""Graph batch 8: Weisfeiler-Leman structure fingerprinting.
+
+wl_colors_trade_graph runs 3 rounds of 1-WL color refinement on the
+bipartite customer-supplier trade graph — the canonical graph-
+structure signature (two nodes share a round-k color iff their
+k-neighborhood unfoldings agree), used for graph featurization,
+role discovery, and subgraph dedup. The color histogram after 3
+rounds is the graph's structural spectrum.
+
+Determinism: a WL color is md5(own_color || '|' || sorted neighbor
+colors) — md5 is the suite's portable hash, the neighbor multiset is
+an ORDER BY-sorted list (duplicates kept) in both engines, and the
+string assembly is identical, so every color agrees byte-for-byte
+across engines.
+
+Scale shape: one round = one join (colors onto the bi-directed edge
+list, keyed on the neighbor) + one grouped sorted-list aggregate —
+the frontier-join shape of the pagerank/BFS tier, 3 unrolled rounds.
+The per-node concat is O(degree); on the trade graph customer degree
+is bounded by orders-per-customer (the ra_link_prediction argument),
+and a production run on a hub-heavy graph would cap or sample
+neighbor lists (documented, not needed here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+_WL_ROUNDS = 3
+_WL_TOPK = 20
+
+
+def _wl_sql() -> str:
+    edges = """
+    SELECT src, dst FROM (
+        SELECT o_custkey AS src, -l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    )
+    """
+    bi = f"""
+    SELECT src, dst FROM ({edges})
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM ({edges})
+    """
+    colors = """
+    SELECT src AS node,
+           CASE WHEN src > 0 THEN 'C' ELSE 'S' END AS c
+    FROM ({bi}) GROUP BY 1
+    """.format(bi=bi)
+    cur = f"({colors})"
+    for _ in range(_WL_ROUNDS):
+        cur = f"""
+        (SELECT e.src AS node,
+                md5(MIN(own.c) || '|' ||
+                    list_aggregate(list(nb.c ORDER BY nb.c), 'string_agg',
+                                   ',')) AS c
+         FROM ({bi}) e
+         JOIN {cur} nb ON e.dst = nb.node
+         JOIN {cur} own ON e.src = own.node
+         GROUP BY e.src)
+        """
+    return f"""
+    SELECT c AS color, COUNT(*) AS n_nodes
+    FROM {cur}
+    GROUP BY 1
+    ORDER BY n_nodes DESC, color
+    LIMIT {_WL_TOPK}
+    """
+
+
+@query(
+    "wl_colors_trade_graph",
+    sql=_wl_sql(),
+    tags=("graph", "structure", "fingerprint"),
+)
+def wl_colors_trade_graph(spark, sf_dir):
+    """Top-{k} 1-WL colors (with node counts) after {r} refinement
+    rounds on the trade graph, seeded by node type (customer /
+    supplier) — the structural-role histogram: nodes sharing a color
+    are indistinguishable by {r}-hop structure, and the histogram's
+    shape is the graph's fingerprint (two feeds with the same degree
+    sequence but different wiring separate here).
+
+    Determinism: colors are md5(own || '|' || sorted neighbor
+    multiset) on the portable hash; the sorted list keeps duplicates
+    in both engines; ranking ties break on the color string.
+
+    Scale shape: {r} unrolled rounds of (edge join colors -> grouped
+    sorted-list aggregate) — the iterative frontier-join shape; the
+    final histogram is a keyed count + TakeOrdered.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    colors = bi.select("src").distinct().select(
+        F.col("src").alias("node"),
+        F.when(F.col("src") > 0, F.lit("C")).otherwise(F.lit("S")).alias(
+            "c"
+        ),
+    )
+    for _ in range(_WL_ROUNDS):
+        nb = colors.select(
+            F.col("node").alias("dst"), F.col("c").alias("nc")
+        )
+        own = colors.select(
+            F.col("node").alias("src"), F.col("c").alias("oc")
+        )
+        colors = (
+            bi.join(nb, "dst")
+            .join(own, "src")
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.md5(
+                    F.concat(
+                        F.min("oc"),
+                        F.lit("|"),
+                        F.array_join(
+                            F.sort_array(F.collect_list("nc")), ","
+                        ),
+                    )
+                ).alias("c")
+            )
+        )
+    return (
+        colors.groupBy(F.col("c").alias("color"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "color")
+        .limit(_WL_TOPK)
+    )
+
+
+wl_colors_trade_graph.__doc__ = wl_colors_trade_graph.__doc__.format(
+    k=_WL_TOPK, r=_WL_ROUNDS
+)
