@@ -145,6 +145,14 @@ HEADLINE = [
     "theil_index_by_nation",    # decomposable inequality (portable ln)
     "conformal_interval_coverage",  # split-conformal quantile + coverage
     "logistic_quality_score",   # portable-sigmoid keep-probability scan
+    "logistic_irls_fit",        # 3-step Newton GLM train (bcast beta)
+    "km_na_survival_weekly",    # KM/NA curves via ln-cumsum + pexp
+    "poisson_bootstrap_ci",     # x39 Poisson-weight bootstrap fan-out
+    "pmi_collocations",         # bigram PMI phrase mining (portable ln)
+    "wl_colors_trade_graph",    # 3-round WL refinement fingerprint
+    "cross_entropy_lang_matrix",  # 5x5 smoothed LM cross-entropies
+    "psi_value_drift",          # add-one PSI on the shared bin grid
+    "user_behavior_entropy_bands",  # per-user type-entropy histogram
 ]
 
 
