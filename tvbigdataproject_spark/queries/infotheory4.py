@@ -397,13 +397,14 @@ def _es_sql() -> str:
 )
 def es_weighted_sample(spark, sf_dir):
     """Weighted sampling WITHOUT replacement, Efraimidis-Spirakis
-    (2006): each document draws u = (h+1)/65537 from the portable md5
+    (2006): each document draws u = (h+1)/65536 from the portable md5
     hash and keeps key u^(1/w) with w = n_chars; the top-{k} keys ARE
     a w-weighted sample without replacement (the exponential-race
     argument needs the true log key, which is why llm_ops4's priority
     sample shipped a monotone integer substitute). Computed in log
-    space: ln_key = (ln(h+1) - ln 65537)/w, with ln(h+1) portable and
-    ln 65537 a shared 17-digit constant (both engines round the same
+    space: ln_key = (ln(h+1) - ln 65536)/w (u in (0, 1], the max-hash
+    doc carrying ln_key = 0 exactly), with ln(h+1) portable and
+    ln 65536 a shared 17-digit constant (both engines round the same
     decimal to the same double).
 
     Scale shape: a scan-local score + TakeOrdered top-{k} — the
