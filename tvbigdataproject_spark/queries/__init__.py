@@ -94,3 +94,4 @@ from tvbigdataproject_spark.queries import survival  # noqa: F401,E402
 from tvbigdataproject_spark.queries import resampling  # noqa: F401,E402
 from tvbigdataproject_spark.queries import inference3  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph8  # noqa: F401,E402
+from tvbigdataproject_spark.queries import resampling2  # noqa: F401,E402
