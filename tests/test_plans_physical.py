@@ -186,6 +186,32 @@ def test_nested_loop_joins_only_where_intended(spark):
         # one-row max/ray/norm attaches around the checkpointed bounded
         # 64x64 matrix and 64-row iterate tables
         "embed_pca_power_iteration",
+        # --- round-9 session-2 (portable-kernel tier): every entry
+        # below is the tfidf-shaped ONE-ROW (or label-bounded) totals
+        # attach unless noted otherwise
+        "mutual_info_lang_source",    # one-row N attach on the cell table
+        "dsir_importance_topk",       # one-row (S, T) totals on 256 buckets
+        "js_divergence_by_source",    # one-row token-total attach
+        "tfidf_log_topk",             # one-row n_docs attach
+        "bm25_log_topk",              # one-row (n_docs, tot) stats attach
+        "pmi_collocations",           # one-row bigram-total attach
+        "info_gain_lang_features",    # one-row lang-margin + total attaches
+        "log_odds_dirichlet_terms",   # one-row (A, B, V) totals attach
+        "ndcg_bm25_eval",             # one-row IDCG attach (+ bm25 stats)
+        "cross_entropy_lang_matrix",  # one-row vocab-size attach
+        "ngram_entropy_ladder",       # one-row prefix-sum attach per order
+        "psi_value_drift",            # one-row bounds + period totals on 10 bins
+        "mann_whitney_pvalue",        # one-row tie-sum attach on the base stat
+        "ks_doclen_pvalue",           # inherits ks_doclen_lang's totals attach
+        "kruskal_wallis_pvalue",      # inherits kruskal_wallis_value's attaches
+        "calibration_ece_quality",    # one-row N attach on the 10-bin table
+        "logistic_irls_fit",          # one-row beta attach per Newton step
+        "km_na_survival_weekly",      # one-row max-date attach
+        "logrank_repurchase_segments",  # one-row max-date attach
+        "poisson_bootstrap_ci",       # 39-row resample grid x corpus IS the bootstrap fan-out
+        "block_jackknife_ci",         # one-row totals on the 32-block table
+        "pr_curve_quality",           # 21-row threshold grid x corpus IS the sweep
+        "transition_entropy_events",  # one-row pair-total attach
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
