@@ -99,6 +99,25 @@ def test_pnorm_accuracy_and_bitwise(spark):
         assert struct.pack("<d", a) == struct.pack("<d", b), (z, a, b)
 
 
+def test_pnorm_saturates_in_unit_interval(spark):
+    """|z| past the erf clamp (a = |z|/sqrt2 > 8) pins Phi to exactly
+    0/1 — previously the pexp ladder bottomed out and the tail
+    polynomial could return a slightly NEGATIVE Phi (~-1e-11) for
+    |z| > ~11, the large-n z-stat regime (ADVICE r9 item 2)."""
+    from tvbigdataproject_spark.functions.portable import pnorm_stages
+
+    zs = [11.5, -11.5, 12.0, -12.0, 50.0, -50.0, 1e6, -1e6, 8 * math.sqrt(2)]
+    got_d = _duck_eval(zs, pnorm_stages("x", "phi", "_pn"), "phi")
+    sdf = spark.createDataFrame([(float(z),) for z in zs], "x double")
+    sdf = apply_stages(sdf, pnorm_stages("x", "phi", "_pn"))
+    got_s = {r.x: r.phi for r in sdf.select("x", "phi").collect()}
+    for z in zs:
+        a, b = got_s[float(z)], got_d[float(z)]
+        assert struct.pack("<d", a) == struct.pack("<d", b), (z, a, b)
+        assert 0.0 <= a <= 1.0, (z, a)
+        assert a == (1.0 if z > 0 else 0.0), (z, a)
+
+
 def test_kolmogorov_q_accuracy():
     from tvbigdataproject_spark.functions.portable import (
         kolmogorov_q_stages,

@@ -114,6 +114,43 @@ def test_pure_path_is_all_singletons(spark):
     assert len(set(got.values())) == 21
 
 
+def test_200_node_path_trims_within_two_peels(spark):
+    # r9 advice "done" bar: a 200-node pure path settles with peels
+    # << depth. Trim-to-fixpoint peels the whole chain inside ONE
+    # peel's inner passes (each pass strips the exposed source+sink
+    # layer), so max_peels=2 must suffice where the old one-pass-per-
+    # peel shape needed ~depth/2 = 100 peels.
+    n = 200
+    edges = [(i, i + 1) for i in range(n)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.scc
+        for r in strongly_connected_components(e, max_peels=2).collect()
+    }
+    assert got == {i: i for i in range(n + 1)}
+
+
+def test_nonconvergence_raises_and_leaks_nothing(spark):
+    # Both error paths must unpersist every tracked checkpoint block
+    # (r9 advice item): graph = 3-cycle + chord 1->3. Forward coloring
+    # converges in 2 rounds but the backward sweep needs 3 (root 1 is
+    # reached backward via 3 then 2 then the empty-growth check), so
+    # max_rounds=2 forces the backward raise; max_rounds=1 forces the
+    # forward raise. After each, no persistent RDDs may remain.
+    import pytest
+
+    sc = spark.sparkContext
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    for max_rounds, phase in ((1, "forward coloring"), (2, "backward sweep")):
+        before = _persistent_ids(sc)
+        with pytest.raises(RuntimeError, match=phase):
+            strongly_connected_components(e, max_rounds=max_rounds)
+        leaked = _persistent_ids(sc) - before
+        assert not leaked, (phase, leaked)
+
+
 def test_random_digraphs_match_tarjan(spark):
     rng = random.Random(42)
     for trial in range(3):

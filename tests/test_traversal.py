@@ -261,3 +261,59 @@ def test_reachable_set_max_rounds_raises(spark):
     srcs = spark.createDataFrame([(0,)], "node long")
     with pytest.raises(RuntimeError, match="reachable_set"):
         reachable_set(chain, srcs, max_rounds=3)
+
+
+def test_reachable_masks_fused_equals_two_sweeps(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.operators.traversal import (
+        reachable_masks,
+        reachable_set,
+    )
+
+    # same fixture as the reachable_set test: forward from 1 reaches
+    # {1,2,3,4}; reversed reaches {1,5,6}; only the source holds both
+    # bits (no non-source mutual reachability with 1 here)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 1), (3, 2), (6, 5)],
+        "src long, dst long",
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    masks = {r.node: r.mask for r in reachable_masks(edges, srcs).collect()}
+    fwd = {r.node for r in reachable_set(edges, srcs).collect()}
+    rev = {
+        r.node
+        for r in reachable_set(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ),
+            srcs,
+        ).collect()
+    }
+    assert {n for n, m in masks.items() if m & 1} == fwd
+    assert {n for n, m in masks.items() if m & 2} == rev
+    assert masks[1] == 3
+    after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    # the three returned visited sets may remain cached, nothing else
+    assert after - before <= 3
+
+    # a cycle through the source marks both bits on every cycle node
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r.node: r.mask for r in reachable_masks(cyc, srcs).collect()}
+    assert got == {1: 3, 2: 3, 3: 3}
+
+    # max_rounds raises and releases every non-returned block
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    before = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    with pytest.raises(RuntimeError, match="reachable_masks"):
+        reachable_masks(chain, srcs, max_rounds=2)
+    after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before

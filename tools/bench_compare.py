@@ -293,6 +293,7 @@ def main(argv: list[str]) -> int:
         ap.print_usage()
         return 2
     prev_q, prev_p = _load_queries(prev_path)
+    insuite_q = None
     # bench_detail.json stores the gate stat per query under "spread"[0]
     # (min of warm); fall back to warm_median when comparing detail files
     try:
@@ -308,6 +309,13 @@ def main(argv: list[str]) -> int:
         # adjudicated clear.
         if isinstance(d.get("gate_queries"), dict):
             cur_q = {k: float(v) for k, v in d["gate_queries"].items()}
+            # Keep the as-measured in-suite mins visible too (round-9
+            # advice): adjudicated isolated reruns legitimately clear a
+            # flag for the VERDICT, but a query that only passes when
+            # rerun alone is still drifting in-suite — surface that as
+            # a separate advisory channel that never gates.
+            if isinstance(d.get("spread"), dict):
+                insuite_q = {k: float(v[0]) for k, v in d["spread"].items()}
         else:
             cur_q = {k: float(v[0]) for k, v in d["spread"].items()}
         cur_p = {}
@@ -318,6 +326,20 @@ def main(argv: list[str]) -> int:
     out = compare(
         prev_q, cur_q, prev_p, cur_p, threshold=ns.threshold, waivers=load_waivers()
     )
+    if insuite_q is not None and insuite_q != cur_q:
+        insuite = compare(
+            prev_q,
+            insuite_q,
+            prev_p,
+            cur_p,
+            threshold=ns.threshold,
+            waivers=load_waivers(),
+        )
+        out["insuite_advisory"] = {
+            "note": "as-measured in-suite mins (spread[0]); informational only",
+            "regressions": insuite["regressions"],
+            "median_query_ratio": insuite.get("median_query_ratio"),
+        }
     print(json.dumps(out, indent=1))
     if out.get("uniform_drift"):
         print(

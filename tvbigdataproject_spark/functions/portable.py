@@ -212,8 +212,16 @@ def pnorm_stages(src: str, out: str, p: str) -> list[list[str]]:
     fixed-order A&S 7.1.26 rational form (abs error <= 1.5e-7) and
     exp(-a^2) through the portable exp kernel — every op correctly
     rounded on identical inputs, so the CDF is bitwise-equal across
-    engines. Domain |z| <= ~10 (beyond that the result saturates to
-    0/1 within the approximation error anyway).
+    engines.
+
+    Saturation is explicit: for a = |z|/sqrt2 > 8 (|z| > ~11.3,
+    erfc(8) ~ 1.1e-29, far below the 1.5e-7 approximation error) erfa
+    pins to exactly 1 via a CASE shared by both engines. Without the
+    clamp the pexp 2^k ladder bottoms out at a*a > ~62 and the tail
+    polynomial is evaluated far outside |r| <= 0.35, which can push
+    the "p-value" slightly NEGATIVE (~-1e-11) — large-n rate/logrank
+    z-stats plausibly reach |z| > 11 at scale. With it, Phi stays in
+    [0, 1] for every input.
     """
     a, t, poly, erfa = f"{p}a", f"{p}t", f"{p}poly", f"{p}erf"
     horner = f"{_ERF_A[4]}"
@@ -230,7 +238,10 @@ def pnorm_stages(src: str, out: str, p: str) -> list[list[str]]:
         + pexp_stages(f"CAST(0 AS DOUBLE) - {a} * {a}", f"{p}e", f"{p}x_")
         + [
             [f"{t} * ({horner}) AS {poly}"],
-            [f"CAST(1 AS DOUBLE) - {poly} * {p}e AS {erfa}"],
+            [
+                f"CASE WHEN {a} > CAST(8 AS DOUBLE) THEN CAST(1 AS DOUBLE)"
+                f" ELSE CAST(1 AS DOUBLE) - {poly} * {p}e END AS {erfa}"
+            ],
             [
                 f"CASE WHEN CAST(({src}) AS DOUBLE) >= CAST(0 AS DOUBLE)"
                 f" THEN (CAST(1 AS DOUBLE) + {erfa}) * CAST(0.5 AS DOUBLE)"

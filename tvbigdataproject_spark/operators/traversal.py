@@ -639,3 +639,103 @@ def reachable_set(
         raise
     finally:
         _unpersist_ids(sc, e_ids)
+
+
+def reachable_masks(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, mask) for every node reachable from ``sources`` in either
+    edge direction, in ONE frontier loop: mask bit 1 = reachable FROM
+    the sources along the edges (forward sweep), bit 2 = reachable
+    along the REVERSED edges (i.e. the node reaches the sources).
+    Sources carry mask 3.
+
+    This is the fused twin of two reachable_set calls (r9 verdict item
+    5): the bow-tie decomposition ran independent forward and reversed
+    sweeps, and on an iterative frontier loop the dominant cost is
+    rounds x fixed job latency — not per-round data. Tagging each edge
+    with a direction bit (forward edges b=1, reversed copies b=2) and
+    letting a frontier row (node, newbits) expand only across edges
+    whose bit it carries runs both BFS waves through the SAME join,
+    SAME shuffle, SAME checkpoint per round, so the loop ends after
+    max(ecc_fwd, ecc_rev) rounds instead of ecc_fwd + ecc_rev.
+
+    Per-bit-per-node visitation happens at most once (a node re-enters
+    the frontier only with bits it newly acquired), so total work
+    matches the two-sweep version while the round count halves. Eager
+    checkpoint + tracked release per round; ``max_rounds`` raises
+    rather than return a truncated set.
+    """
+    sc = edges.sparkSession.sparkContext
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e2, e_ids = _checkpoint_tracked(
+        fwd.withColumn("b", F.lit(1))
+        .unionByName(
+            fwd.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).withColumn("b", F.lit(2))
+        )
+        .distinct(),
+        sc,
+    )
+    try:
+        visited, visited_ids = _checkpoint_tracked(
+            sources.select("node").distinct().withColumn("mask", F.lit(3)),
+            sc,
+        )
+    except Exception:
+        _unpersist_ids(sc, e_ids)
+        raise
+    frontier, frontier_ids = visited, set()
+    try:
+        for _ in range(max_rounds):
+            prop = (
+                frontier.join(e2, frontier.node == e2.src)
+                .where(F.col("mask").bitwiseAND(F.col("b")) != 0)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.bit_or("b").alias("mbits"))
+            )
+            nxt = (
+                prop.join(
+                    visited.select("node", F.col("mask").alias("vmask")),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.col("mbits")
+                    .bitwiseAND(
+                        F.bitwise_not(F.coalesce("vmask", F.lit(0)))
+                    )
+                    .alias("mask"),
+                )
+                .where(F.col("mask") != 0)
+            )
+            nxt, nxt_ids = _checkpoint_tracked(nxt, sc)
+            if nxt.limit(1).count() == 0:
+                _unpersist_ids(sc, nxt_ids)
+                _unpersist_ids(sc, frontier_ids)
+                return visited
+            new_vis, new_vis_ids = _checkpoint_tracked(
+                visited.unionByName(nxt)
+                .groupBy("node")
+                .agg(F.bit_or("mask").alias("mask")),
+                sc,
+            )
+            _unpersist_ids(sc, visited_ids)
+            _unpersist_ids(sc, frontier_ids)
+            visited, visited_ids = new_vis, new_vis_ids
+            frontier, frontier_ids = nxt, nxt_ids
+        _unpersist_ids(sc, frontier_ids)
+        raise RuntimeError(
+            f"reachable_masks: frontier not empty after {max_rounds} rounds"
+        )
+    except Exception:
+        _unpersist_ids(sc, visited_ids)
+        raise
+    finally:
+        _unpersist_ids(sc, e_ids)

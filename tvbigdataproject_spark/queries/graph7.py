@@ -414,9 +414,12 @@ def bowtie_trade_returns(spark, sf_dir):
     = tendrils / tubes / disconnected mass. The four-way split is the
     first question asked of any large digraph ("how much of this graph
     can actually circulate?") and composes three operators end to end:
-    strongly_connected_components -> core selection -> two
-    multi-source reachability sweeps (reachable_set, forward and on
-    the REVERSED edges).
+    strongly_connected_components -> core selection -> ONE fused
+    bidirectional reachability sweep (reachable_masks: the forward and
+    reversed BFS waves share every round's join/shuffle/checkpoint, so
+    the loop count is max of the two eccentricities, not their sum —
+    r9 verdict item 5; the two-sweep version's sf1 wall time was
+    dominated by rounds x job latency).
 
     A non-core node can never be both IN and OUT (mutual reachability
     with the core would put it in the core SCC), so the CASE ladder is
@@ -424,16 +427,16 @@ def bowtie_trade_returns(spark, sf_dir):
     count, then smallest SCC label — total in both engines.
 
     Scale shape: SCC is the FW-BW-Trim operator (checkpointed rounds);
-    each reachability sweep is a frontier equi-join loop whose round
-    count is the graph eccentricity, with tracked cache release; the
-    final classification is three left anti/semi joins. The oracle
-    replays the definition with its transitive-closure CTE (bounded on
-    this nation-restricted graph; the operator side is general).
+    the fused sweep is a frontier equi-join loop over direction-tagged
+    edges with tracked cache release; the final classification is two
+    left joins. The oracle replays the definition with its
+    transitive-closure CTE (bounded on this nation-restricted graph;
+    the operator side is general).
     """
     from tvbigdataproject_spark.operators.components import (
         strongly_connected_components,
     )
-    from tvbigdataproject_spark.operators.traversal import reachable_set
+    from tvbigdataproject_spark.operators.traversal import reachable_masks
 
     edges = _trade_returns_edges(spark, sf_dir)
     labels = strongly_connected_components(edges)
@@ -445,27 +448,24 @@ def bowtie_trade_returns(spark, sf_dir):
         .select("scc")
     )
     core_nodes = labels.join(F.broadcast(core_label), "scc").select("node")
-    fwd = reachable_set(edges, core_nodes)
-    rev = reachable_set(
-        edges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
-        ),
-        core_nodes,
-    )
+    # mask bit 1 = reached FROM the core (OUT side), bit 2 = reaches
+    # the core via reversed edges (IN side); core itself carries 3.
+    masks = reachable_masks(edges, core_nodes)
     nodes = labels.select("node")
-    in_set = rev.join(core_nodes, "node", "left_anti")
-    out_set = fwd.join(core_nodes, "node", "left_anti")
     return (
         nodes.join(
             core_nodes.withColumn("_c", F.lit(1)), "node", "left"
         )
-        .join(in_set.withColumn("_i", F.lit(1)), "node", "left")
-        .join(out_set.withColumn("_o", F.lit(1)), "node", "left")
+        .join(masks, "node", "left")
         .select(
             "node",
             F.when(F.col("_c") == 1, F.lit("core"))
-            .when(F.col("_i") == 1, F.lit("in"))
-            .when(F.col("_o") == 1, F.lit("out"))
+            .when(
+                F.col("mask").bitwiseAND(2) == 2, F.lit("in")
+            )
+            .when(
+                F.col("mask").bitwiseAND(1) == 1, F.lit("out")
+            )
             .otherwise(F.lit("other"))
             .alias("bowtie_class"),
         )

@@ -85,7 +85,7 @@ _MW_A = "BUILDING"  # analytic6.py's fixed two-sample design
 _MW_B = "MACHINERY"
 
 from tvbigdataproject_spark.queries._stable import (  # noqa: E402
-    sql_huge_to_double,
+    sql_huge_to_double_wide,
 )
 
 # tie-corrected variance of U: (n1 n2 / 12) ((n+1) - t3t / (n (n-1)))
@@ -110,7 +110,7 @@ def _mw_sql() -> str:
     )
     """
     joined = f"""
-    SELECT b.*, {sql_huge_to_double('t.t3t')} AS t3t_d
+    SELECT b.*, {sql_huge_to_double_wide('t.t3t')} AS t3t_d
     FROM ({base}) b CROSS JOIN ({ties}) t
     """
     body = sql_wrap_stages(

@@ -39,6 +39,16 @@ from tvbigdataproject_spark.sources import read_table
 _S = 1_000_000_000
 _LN_ZERO = -50  # sentinel ln(0): e^-50 ~ 2e-22 renders S(t) = 0
 
+# pexp's 2^k ladder saturates past |src| ~ 62; accumulated _LN_ZERO
+# sentinels (one per fully-depleted week) can push ln_s below that,
+# where the tail polynomial is evaluated out of range. Clamp at -60
+# (e^-60 ~ 8.8e-27, still "survival = 0" to any reader) with a CASE
+# shared verbatim by both engines, keeping s_km in [0, 1] always.
+_LN_S_CLAMPED = (
+    "CASE WHEN ln_s < CAST(-60 AS DOUBLE)"
+    " THEN CAST(-60 AS DOUBLE) ELSE ln_s END"
+)
+
 # shared: per-customer (segment, time_weeks, event) with right censoring
 _SURV_BASE = """
     SELECT c.c_mktsegment AS segment,
@@ -105,7 +115,9 @@ def _km_sql() -> str:
                / CAST({_S} AS DOUBLE) AS h_na
     FROM {ev}
     """
-    out = sql_wrap_stages(f"({cum})", pexp_stages("ln_s", "s_km", "_s3_"))
+    out = sql_wrap_stages(
+        f"({cum})", pexp_stages(_LN_S_CLAMPED, "s_km", "_s3_")
+    )
     return f"SELECT t AS week, d, n_risk, s_km, h_na FROM {out}"
 
 
@@ -213,7 +225,7 @@ def km_na_survival_weekly(spark, sf_dir):
             / F.lit(_S).cast("double")
         ).alias("h_na"),
     )
-    out = apply_stages(cum, pexp_stages("ln_s", "s_km", "_s3_"))
+    out = apply_stages(cum, pexp_stages(_LN_S_CLAMPED, "s_km", "_s3_"))
     return out.selectExpr("t AS week", "d", "n_risk", "s_km", "h_na")
 
 
