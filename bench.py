@@ -153,6 +153,15 @@ HEADLINE = [
     "cross_entropy_lang_matrix",  # 5x5 smoothed LM cross-entropies
     "psi_value_drift",          # add-one PSI on the shared bin grid
     "user_behavior_entropy_bands",  # per-user type-entropy histogram
+    "fdr_bh_qvalues",           # BH step-up over the z-test family
+    "good_turing_token_mass",   # bigram count-of-counts + unseen mass
+    "ngram_diversity_by_source",  # per-source type/token ratio n=1..3
+    "markov_stationary_types",  # integer power-iteration steady state
+    "oov_rate_by_source",       # top-V vocab broadcast OOV screen
+    "did_segment_revenue",      # 2x2 difference-in-differences + SE
+    "stratified_ate_priority",  # subclassification ATE (5 strata)
+    "borda_source_ranking",     # 3-metric Borda consensus (20 rows)
+    "katz_centrality_trade",    # 3-round integer Katz walks + topk
 ]
 
 

@@ -212,6 +212,11 @@ def test_nested_loop_joins_only_where_intended(spark):
         "block_jackknife_ci",         # one-row totals on the 32-block table
         "pr_curve_quality",           # 21-row threshold grid x corpus IS the sweep
         "transition_entropy_events",  # one-row pair-total attach
+        "fdr_bh_qvalues",             # one-row global-moments attach
+        "good_turing_token_mass",     # one-row gram-total attach
+        "markov_stationary_types",    # one-row type-count attach
+        "stratified_ate_priority",    # one-row pivoted-ATE attach
+        "borda_source_ranking",       # one-row source-count attach
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
@@ -269,6 +274,8 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "logrank_repurchase_segments": "at-risk cumulatives over the bounded week grid",
     "lift_gain_deciles": "descending cumsum over the quantized-score grid (auc_quality_langid's class)",
     "ndcg_bm25_eval": "rank windows over the two TakeOrdered top-20 lists",
+    "fdr_bh_qvalues": "BH rank + tail-min over the 25-row nation test family (dim-bounded)",
+    "borda_source_ranking": "metric + consensus rank windows over the 20-row source table (label-domain bounded)",
 }
 
 

@@ -1,0 +1,212 @@
+"""Distributed minimum spanning forest: Boruvka's algorithm.
+
+The classic distributed MST shape (one of the original MapReduce-graph
+algorithms): every round, each component selects its minimum outgoing
+edge under a TOTAL order on edges (w, u, v); selected edges join the
+forest; components contract by hooking + pointer jumping; rounds halve
+the component count, so the loop runs O(log n) rounds of
+corpus-partitioned equi-joins — the connected_components discipline
+(eager checkpoint, tracked release, scalar-only driver decisions).
+
+Uniqueness: with edge ranks totally ordered (ties broken by the
+canonical endpoint pair), per-component minima are unique, so the
+greedy selection can never close a cycle (the standard cut-property
+argument) and the forest is THE unique MSF — which is what lets a
+driver-side Kruskal replay validate the distributed result exactly
+(tests/test_mst.py, and the registry query's bounded check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.operators.components import (
+    _checkpoint_tracked,
+    _unpersist_ids,
+)
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(u, v, w) edge list of the minimum spanning FOREST of the
+    undirected graph (one tree per connected component). Edges are
+    canonicalized u < v and deduplicated keeping the minimum weight;
+    selection order is the total order (w, u, v).
+
+    Every round: two label joins onto the edge list + one per-component
+    min + a pointer-jumping contraction — all corpus-partitioned keyed
+    ops, nothing per-row on the driver. ``max_rounds`` raises rather
+    than return a partial forest (25 rounds covers 2^25 components).
+    """
+    sc = edges.sparkSession.sparkContext
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+            F.col(weight).alias("w"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    e, e_ids = _checkpoint_tracked(canon, sc)
+    labels, l_ids = _checkpoint_tracked(
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp")),
+        sc,
+    )
+    forest: DataFrame | None = None
+    f_ids: set[int] = set()
+    try:
+        for _ in range(max_rounds):
+            lab_u = labels.select(
+                F.col("node").alias("u"), F.col("comp").alias("cu")
+            )
+            lab_v = labels.select(
+                F.col("node").alias("v"), F.col("comp").alias("cv")
+            )
+            cross = (
+                e.join(lab_u, "u")
+                .join(lab_v, "v")
+                .where(F.col("cu") != F.col("cv"))
+            )
+            cross, x_ids = _checkpoint_tracked(cross, sc)
+            if not cross.head(1):
+                _unpersist_ids(sc, x_ids)
+                break
+            # each component's minimum outgoing edge under (w, u, v):
+            # min over a struct is lexicographic, so the selection is
+            # the unique total-order minimum per component
+            cand = cross.select(
+                F.col("cu").alias("comp"),
+                F.struct("w", "u", "v", F.col("cv").alias("cother")).alias(
+                    "e"
+                ),
+            ).unionByName(
+                cross.select(
+                    F.col("cv").alias("comp"),
+                    F.struct(
+                        "w", "u", "v", F.col("cu").alias("cother")
+                    ).alias("e"),
+                )
+            )
+            sel = cand.groupBy("comp").agg(F.min("e").alias("e"))
+            sel, s_ids = _checkpoint_tracked(
+                sel.select(
+                    "comp",
+                    F.col("e.w").alias("w"),
+                    F.col("e.u").alias("u"),
+                    F.col("e.v").alias("v"),
+                    F.col("e.cother").alias("parent"),
+                ),
+                sc,
+            )
+            _unpersist_ids(sc, x_ids)
+            picked = sel.select("u", "v", "w").distinct()
+            new_forest, nf_ids = _checkpoint_tracked(
+                picked
+                if forest is None
+                else forest.unionByName(picked),
+                sc,
+            )
+            _unpersist_ids(sc, f_ids)
+            forest, f_ids = new_forest, nf_ids
+            # contraction: hook each selecting component to its chosen
+            # neighbor; a mutual pair (2-cycle) roots at the smaller id
+            par = sel.select("comp", "parent")
+            mutual = (
+                par.alias("a")
+                .join(
+                    par.alias("b"),
+                    (F.col("a.parent") == F.col("b.comp"))
+                    & (F.col("b.parent") == F.col("a.comp")),
+                    "left_semi",
+                )
+            )
+            hooked = par.join(
+                mutual.select("comp").withColumn("_m", F.lit(1)),
+                "comp",
+                "left",
+            ).select(
+                "comp",
+                F.when(
+                    (F.col("_m") == 1)
+                    & (F.col("comp") < F.col("parent")),
+                    F.col("comp"),
+                )
+                .otherwise(F.col("parent"))
+                .alias("parent"),
+            )
+            par_ck, p_ids = _checkpoint_tracked(hooked, sc)
+            _unpersist_ids(sc, s_ids)
+            # pointer jumping to the roots (chains halve per step)
+            for _j in range(max_rounds):
+                pj = par_ck.alias("x").join(
+                    par_ck.select(
+                        F.col("comp").alias("parent"),
+                        F.col("parent").alias("gp"),
+                    ),
+                    "parent",
+                    "left",
+                ).select(
+                    "comp",
+                    F.coalesce("gp", "parent").alias("parent"),
+                )
+                new_p, np_ids = _checkpoint_tracked(pj, sc)
+                changed = (
+                    new_p.alias("n")
+                    .join(
+                        par_ck.select(
+                            "comp", F.col("parent").alias("old")
+                        ),
+                        "comp",
+                    )
+                    .where(F.col("parent") != F.col("old"))
+                    .head(1)
+                )
+                _unpersist_ids(sc, p_ids)
+                par_ck, p_ids = new_p, np_ids
+                if not changed:
+                    break
+            else:
+                _unpersist_ids(sc, p_ids)
+                raise RuntimeError(
+                    "boruvka_msf: pointer jumping did not converge"
+                )
+            relab = labels.join(
+                par_ck.select(
+                    F.col("comp"), F.col("parent").alias("newc")
+                ),
+                "comp",
+                "left",
+            ).select(
+                "node", F.coalesce("newc", "comp").alias("comp")
+            )
+            new_l, nl_ids = _checkpoint_tracked(relab, sc)
+            _unpersist_ids(sc, l_ids)
+            _unpersist_ids(sc, p_ids)
+            labels, l_ids = new_l, nl_ids
+        else:
+            raise RuntimeError(
+                f"boruvka_msf: not settled after {max_rounds} rounds"
+            )
+        if forest is None:
+            out = e.limit(0).select("u", "v", "w")
+            out_ck, _ = _checkpoint_tracked(out, sc)
+            return out_ck
+        out_ck, _ = _checkpoint_tracked(
+            forest.select("u", "v", "w"), sc
+        )
+        return out_ck
+    finally:
+        _unpersist_ids(sc, e_ids)
+        _unpersist_ids(sc, l_ids)
+        _unpersist_ids(sc, f_ids)

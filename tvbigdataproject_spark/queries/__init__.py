@@ -95,3 +95,6 @@ from tvbigdataproject_spark.queries import resampling  # noqa: F401,E402
 from tvbigdataproject_spark.queries import inference3  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph8  # noqa: F401,E402
 from tvbigdataproject_spark.queries import resampling2  # noqa: F401,E402
+from tvbigdataproject_spark.queries import analytic13  # noqa: F401,E402
+from tvbigdataproject_spark.queries import causal  # noqa: F401,E402
+from tvbigdataproject_spark.queries import graph9  # noqa: F401,E402

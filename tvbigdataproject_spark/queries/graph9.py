@@ -1,0 +1,240 @@
+"""Graph batch 9: Katz centrality on the trade graph.
+
+katz_centrality_trade completes the centrality family (degree,
+pagerank, HITS, betweenness/harmonic-closeness landmarks) with the
+attenuated-walk-count measure: katz(i) = sum over k >= 1 of
+alpha^k (#walks of length k ending at i). PageRank answers "where does
+a random surfer settle"; Katz answers "how many short ways lead here",
+which is the link-prediction / influence prior the recommendation
+tier keys on.
+
+Exactness: alpha = 1/8 is an exact binary fraction and the iteration
+runs in scaled integers — x_0 = 1e6 per node, x_{k+1}(i) =
+(sum over in-neighbors j of x_k(j)) div 8 — so every round is an
+exact BIGINT sum followed by a deterministic floor-div (the
+holt/markov integer-recursion discipline); no float accumulation
+order anywhere. Truncation at K = 3 is the declared estimator
+(walks of length <= 3), not an approximation of the infinite sum.
+
+Scale shape: one round = one colors-onto-edges equi-join + a keyed
+sum — the WL/pagerank frontier-join shape, 3 unrolled rounds; the
+final top-k is TakeOrdered. Sums stay inside int64 for in-degrees up
+to ~1e6 per the scaling argument in the docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tvbigdataproject_spark.queries.registry import query
+from tvbigdataproject_spark.sources import read_table
+
+_KZ_S = 1_000_000  # starting mass per node (1e6-scaled)
+_KZ_ALPHA_DIV = 8  # alpha = 1/8, exact in binary
+_KZ_ROUNDS = 3
+_KZ_TOPK = 20
+
+
+def _kz_sql() -> str:
+    edges = """
+    SELECT src, dst FROM (
+        SELECT o_custkey AS src, -l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    )
+    """
+    bi = f"""
+    SELECT src, dst FROM ({edges})
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM ({edges})
+    """
+    nodes = f"SELECT dst AS node FROM ({bi}) GROUP BY 1"
+    xs = [f"(SELECT node, CAST({_KZ_S} AS BIGINT) AS x FROM ({nodes}))"]
+    for _ in range(_KZ_ROUNDS):
+        xs.append(
+            f"""
+        (SELECT e.dst AS node,
+                CAST(SUM(p.x) // {_KZ_ALPHA_DIV} AS BIGINT) AS x
+         FROM ({bi}) e JOIN {xs[-1]} p ON e.src = p.node
+         GROUP BY 1)
+        """
+        )
+    walks = " UNION ALL ".join(f"SELECT node, x FROM {q}" for q in xs[1:])
+    return f"""
+    SELECT node, CAST(SUM(x) AS BIGINT) AS katz_scaled
+    FROM ({walks})
+    GROUP BY 1
+    ORDER BY katz_scaled DESC, node
+    LIMIT {_KZ_TOPK}
+    """
+
+
+@query(
+    "katz_centrality_trade",
+    sql=_kz_sql(),
+    tags=("graph", "centrality", "iterative"),
+)
+def katz_centrality_trade(spark, sf_dir):
+    """Top-{k} nodes of the bi-directed customer-supplier trade graph
+    by truncated Katz centrality: sum over k = 1..{r} of
+    alpha^k (#length-k walks ending at the node), alpha = 1/8 — the
+    attenuated-walk influence prior (pagerank's unnormalized cousin:
+    counts ways-to-reach rather than random-surfer mass, which is why
+    link prediction uses it as a score and not a distribution).
+
+    Exactness: scaled-integer iteration (x0 = 1e6, each round an exact
+    BIGINT neighbor-sum then div 8) — alpha is an exact binary
+    fraction, so the only rounding is the deterministic floor, and the
+    DuckDB oracle replays every round bit-for-bit.
+
+    Scale shape: {r} unrolled frontier joins (the WL/pagerank shape),
+    one keyed sum per round; the three per-round tables union into a
+    keyed sum and a TakeOrdered top-{k}. Per-round sums stay in int64
+    while max in-degree x 1e6 < 9.2e18 (degree <= ~1e6; a hub-heavier
+    graph drops x0 a decade, same argument as the WL color cap).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    x = (
+        bi.select(F.col("dst").alias("node"))
+        .distinct()
+        .select("node", F.lit(_KZ_S).cast("long").alias("x"))
+    )
+    rounds = []
+    for _ in range(_KZ_ROUNDS):
+        x = (
+            bi.join(
+                x.select(F.col("node").alias("src"), "x"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.expr(f"CAST(SUM(x) div {_KZ_ALPHA_DIV} AS BIGINT)").alias(
+                    "x"
+                )
+            )
+        )
+        rounds.append(x)
+    walks = rounds[0]
+    for r in rounds[1:]:
+        walks = walks.unionByName(r)
+    return (
+        walks.groupBy("node")
+        .agg(F.sum("x").cast("long").alias("katz_scaled"))
+        .orderBy(F.col("katz_scaled").desc(), "node")
+        .limit(_KZ_TOPK)
+    )
+
+
+katz_centrality_trade.__doc__ = katz_centrality_trade.__doc__.format(
+    k=_KZ_TOPK, r=_KZ_ROUNDS
+)
+
+
+# ---------------------------------------------------------------- MSF
+
+
+def _msf_edges_sql() -> str:
+    return """
+    SELECT LEAST(o_custkey, -l_suppkey) AS u,
+           GREATEST(o_custkey, -l_suppkey) AS v,
+           MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS w
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """
+
+
+def _check_msf(spark, sf_dir, rows, colnames):
+    """Bounded check: replay the unique MSF with a driver-side Kruskal
+    (union-find) over the SAME canonical edge list read through DuckDB
+    — the forest is unique under the (w, u, v) total order, so the
+    comparison is exact multiset equality, not a heuristic bound."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    edges = con.execute(
+        f"SELECT u, v, w FROM ({_msf_edges_sql()}) ORDER BY w, u, v"
+    ).fetchall()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    want = set()
+    for u, v, w in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            want.add((u, v, w))
+    idx = {c: i for i, c in enumerate(colnames)}
+    got = {
+        (r[idx["u"]], r[idx["v"]], r[idx["w"]]) for r in rows
+    }
+    if len(got) != len(rows):
+        return f"{len(rows) - len(got)} duplicate forest edges"
+    if got != want:
+        return (
+            f"forest mismatch: {len(got - want)} extra, "
+            f"{len(want - got)} missing of {len(want)} Kruskal edges"
+        )
+    return None
+
+
+@query(
+    "msf_trade_backbone",
+    sql=None,
+    tags=("graph", "iterative", "mst"),
+    check=_check_msf,
+)
+def msf_trade_backbone(spark, sf_dir):
+    """Minimum spanning forest of the customer-supplier trade graph,
+    weighted by the cheapest observed line item between each pair —
+    the minimum-cost backbone that keeps every trading community
+    connected (the classic network-design / hierarchy-extraction
+    primitive; single-linkage clustering is this forest's dendrogram).
+
+    Correctness: the (w, u, v) total order makes the forest UNIQUE, so
+    the registered bounded check replays it exactly with a driver-side
+    Kruskal over the same canonical edges — multiset equality, the
+    strongest check a non-SQL-expressible iterative op can carry
+    (DuckDB has no recursive aggregate for union-find, hence sql=None).
+
+    Scale shape: Boruvka rounds (operators/mst.py) — per round two
+    label joins + a per-component struct-min + pointer-jumping
+    contraction, all keyed shuffles, O(log n) rounds, eager checkpoint
+    with tracked release.
+    """
+    from tvbigdataproject_spark.operators.mst import boruvka_msf
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+            cents.alias("w"),
+        )
+    )
+    return boruvka_msf(pairs, weight="w")
