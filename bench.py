@@ -162,6 +162,10 @@ HEADLINE = [
     "stratified_ate_priority",  # subclassification ATE (5 strata)
     "borda_source_ranking",     # 3-metric Borda consensus (20 rows)
     "katz_centrality_trade",    # 3-round integer Katz walks + topk
+    "cm_sketch_heavy_hitters",  # count-min grid + top-k estimate audit
+    "markov_absorption_steps",  # truncated Neumann absorption horizon
+    "cuped_adjusted_ab",        # pre-period covariate adjustment
+    "permutation_test_segments",  # x32 hash-relabel Monte-Carlo test
 ]
 
 

@@ -217,6 +217,7 @@ def test_nested_loop_joins_only_where_intended(spark):
         "markov_stationary_types",    # one-row type-count attach
         "stratified_ate_priority",    # one-row pivoted-ATE attach
         "borda_source_ranking",       # one-row source-count attach
+        "permutation_test_segments",  # one-row observed-diff attach
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name

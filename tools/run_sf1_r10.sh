@@ -15,7 +15,8 @@ km_na_survival_weekly"
 NEW10="fdr_bh_qvalues good_turing_token_mass ngram_diversity_by_source \
 markov_stationary_types oov_rate_by_source did_segment_revenue \
 stratified_ate_priority borda_source_ranking katz_centrality_trade \
-msf_trade_backbone"
+msf_trade_backbone cm_sketch_heavy_hitters markov_absorption_steps \
+cuped_adjusted_ab permutation_test_segments"
 echo "=== R10 TAIL ($(echo $TAIL | wc -w) queries, copies 10) ==="
 python tools/scale_parity.py --copies 10 --skip-gen $TAIL
 echo "=== R10 CHANGED ($(echo $CHANGED | wc -w) queries, copies 10, skip-gen) ==="

@@ -565,3 +565,131 @@ def oov_rate_by_source(spark, sf_dir):
 
 
 oov_rate_by_source.__doc__ = oov_rate_by_source.__doc__.format(v=_OOV_V)
+
+
+# ---------------------------------------------------------------- Q52
+
+# truncated Neumann series for the absorbing chain: with Q the
+# transition matrix restricted to non-absorbing types, the expected
+# number of steps before absorption is sum_{k>=0} (Q^k 1). Truncation
+# at K declared (not an approximation of the infinite sum: the output
+# IS "expected steps within the first K", the bounded-horizon number
+# an SLA dashboard wants). Same scaled-integer discipline as
+# markov_stationary_types: v at 1e12, Q at 1e6, per-edge terms
+# (ps_ij * v_j) div 1e6 — exact BIGINTs, no float accumulation.
+_AB_TARGET = "purchase"
+_AB_K = 6
+
+
+def _ab_sql() -> str:
+    pairs = """
+    SELECT cur, nxt FROM (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    ) WHERE nxt IS NOT NULL
+    """
+    trans = f"SELECT cur, nxt, COUNT(*) AS c FROM ({pairs}) GROUP BY 1, 2"
+    rowt = (
+        f"SELECT cur, CAST(SUM(c) AS BIGINT) AS r FROM ({trans})"
+        f" WHERE cur <> '{_AB_TARGET}' GROUP BY 1"
+    )
+    qs = f"""
+    SELECT t.cur, t.nxt,
+           (CAST(t.c AS BIGINT) * {_MK_S_P}) // w.r AS ps
+    FROM ({trans}) t JOIN ({rowt}) w ON t.cur = w.cur
+    WHERE t.nxt <> '{_AB_TARGET}'
+    """
+    cur = f"(SELECT cur AS t, CAST({_MK_S_PI} AS BIGINT) AS v FROM ({rowt}))"
+    acc = f"SELECT t, v FROM {cur}"
+    for _ in range(_AB_K - 1):
+        cur = f"""
+        (SELECT s.cur AS t,
+                CAST(SUM((p.v * s.ps) // {_MK_S_P}) AS BIGINT) AS v
+         FROM ({qs}) s JOIN {cur} p ON s.nxt = p.t
+         GROUP BY 1)
+        """
+        acc += f" UNION ALL SELECT t, v FROM {cur}"
+    return f"""
+    SELECT t AS event_type,
+           CAST(SUM(v) AS BIGINT) AS steps_scaled,
+           CAST(SUM(v) AS DOUBLE) / CAST({_MK_S_PI} AS DOUBLE)
+               AS expected_steps
+    FROM ({acc})
+    GROUP BY 1
+    """
+
+
+@query(
+    "markov_absorption_steps",
+    sql=_ab_sql(),
+    tags=("analytics", "events", "markov"),
+)
+def markov_absorption_steps(spark, sf_dir):
+    """Expected number of steps a user spends in non-'{a}' event types
+    within a {k}-step horizon before hitting '{a}', per starting type —
+    the truncated Neumann series sum over k < {k} of (Q^k 1) on the
+    absorbing Markov chain (Q = the transition matrix restricted to
+    non-'{a}' types). The funnel-latency companion of
+    markov_stationary_types: the stationary query says where users
+    settle; this says how long the detour to conversion is from each
+    entry point.
+
+    Exactness: scaled-integer iteration (v at 1e12, row-normalized Q
+    at 1e6, per-edge product-and-floor-div) — every round's sums are
+    exact BIGINTs with no float accumulation order, bit-replayed by
+    the oracle. The {k}-step truncation is the declared estimator.
+
+    Scale shape: one windowed pair extraction, then {k} broadcast
+    joins on the #types x #types matrix — iteration cost independent
+    of corpus size.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    pairs = (
+        ev.selectExpr(
+            "event_type AS cur",
+            "LEAD(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS nxt",
+        )
+        .where(F.col("nxt").isNotNull())
+    )
+    trans = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    rowt = (
+        trans.where(F.col("cur") != _AB_TARGET)
+        .groupBy("cur")
+        .agg(F.sum("c").cast("long").alias("r"))
+    )
+    qs = (
+        trans.where(F.col("nxt") != _AB_TARGET)
+        .join(rowt, "cur")
+        .selectExpr(
+            "cur", "nxt", f"(CAST(c AS BIGINT) * {_MK_S_P}) div r AS ps"
+        )
+    )
+    v = rowt.selectExpr(
+        "cur AS t", f"CAST({_MK_S_PI} AS BIGINT) AS v"
+    )
+    acc = v
+    for _ in range(_AB_K - 1):
+        v = (
+            F.broadcast(qs)
+            .join(v.select(F.col("t").alias("nxt"), "v"), "nxt")
+            .selectExpr("cur AS t2", f"(v * ps) div {_MK_S_P} AS term")
+            .groupBy(F.col("t2").alias("t"))
+            .agg(F.sum("term").cast("long").alias("v"))
+        )
+        acc = acc.unionByName(v)
+    return acc.groupBy(F.col("t").alias("event_type")).agg(
+        F.sum("v").cast("long").alias("steps_scaled"),
+        (
+            F.sum("v").cast("double")
+            / F.lit(float(_MK_S_PI))
+        ).alias("expected_steps"),
+    )
+
+
+markov_absorption_steps.__doc__ = markov_absorption_steps.__doc__.format(
+    a=_AB_TARGET, k=_AB_K
+)

@@ -449,3 +449,337 @@ def borda_source_ranking(spark, sf_dir):
             " + r_doclen, source) AS consensus_rank",
         )
     )
+
+
+# ---------------------------------------------------------------- Q53
+
+_CU_T = "BUILDING"
+_CU_C = "MACHINERY"
+_CU_CUT = "1998-01-01"
+
+# per-customer pre/post spend (cents); theta fitted POOLED:
+# theta = cov(x, y) / var(x) = (n sxy - sx sy) / (n sxx - sx^2),
+# every cross product lifted to 128 bits. The 2-group pivot makes all
+# global sums fixed-order (t + c, left to right).
+_CU_NUM = "(nd * sxy_d - sx_d * sy_d)"
+_CU_DEN = "(nd * sxx_d - sx_d * sx_d)"
+_CU_THETA = f"({_CU_NUM} / {_CU_DEN})"
+
+
+def _cu_cell(g: str, col: str) -> str:
+    return f"MAX(CASE WHEN grp = '{g}' THEN {col} END)"
+
+
+def _cuped_sql() -> str:
+    per = f"""
+    SELECT c.c_custkey AS cust,
+           CASE WHEN c.c_mktsegment = '{_CU_T}' THEN 't' ELSE 'c' END
+               AS grp,
+           CAST(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '{_CU_CUT}'
+                THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{_CU_CUT}'
+                THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment IN ('{_CU_T}', '{_CU_C}')
+    GROUP BY 1, 2
+    """
+    g = f"""
+    SELECT grp, COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy
+    FROM ({per}) GROUP BY 1
+    """
+    piv = f"""
+    SELECT {_cu_cell('t', 'n')} AS n_t, {_cu_cell('c', 'n')} AS n_c,
+           {_cu_cell('t', 'sx')} AS sx_t, {_cu_cell('c', 'sx')} AS sx_c,
+           {_cu_cell('t', 'sy')} AS sy_t, {_cu_cell('c', 'sy')} AS sy_c,
+           {sql_huge_to_double_wide(_cu_cell('t', 'sxx')
+               + ' + ' + _cu_cell('c', 'sxx'))} AS sxx_d,
+           {sql_huge_to_double_wide(_cu_cell('t', 'sxy')
+               + ' + ' + _cu_cell('c', 'sxy'))} AS sxy_d
+    FROM ({g})
+    """
+    scored = f"""
+    SELECT n_t, n_c,
+           CAST(n_t + n_c AS DOUBLE) AS nd,
+           CAST(sx_t + sx_c AS DOUBLE) AS sx_d,
+           CAST(sy_t + sy_c AS DOUBLE) AS sy_d,
+           sxx_d, sxy_d,
+           CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+               - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS diff_raw,
+           CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+               - CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS diff_x
+    FROM ({piv})
+    """
+    return f"""
+    SELECT n_t, n_c, diff_raw,
+           {_CU_THETA} AS theta,
+           diff_raw - {_CU_THETA} * diff_x AS diff_cuped
+    FROM ({scored})
+    """
+
+
+@query(
+    "cuped_adjusted_ab",
+    sql=_cuped_sql(),
+    tags=("analytics", "causal", "experiment"),
+)
+def cuped_adjusted_ab(spark, sf_dir):
+    """CUPED-adjusted two-group comparison of post-period customer
+    spend ({t} vs {c}, cut at {cut}): the raw mean difference, the
+    pooled pre-period regression coefficient theta = cov(x,y)/var(x),
+    and the adjusted difference diff - theta * (pre-period imbalance) —
+    the industry-standard experiment variance-reduction (Deng et al.
+    2013's controlled-experiment covariate adjustment): pre-period
+    spend soaks up between-customer variance AND corrects the
+    pre-existing imbalance a naive diff would misread as effect.
+
+    Exactness: per-customer pre/post cents are exact BIGINTs; group
+    cross-moments lift to 128 bits through the agreed split-cast and
+    pool by the fixed-order two-group pivot; theta and both diffs are
+    identically-spelled IEEE expressions.
+
+    Scale shape: one join + per-customer aggregate (map-side combined),
+    then a 2-row group reduce and a single-row pivot.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cut = F.lit(_CU_CUT).cast("timestamp")
+    per = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_mktsegment").isin(_CU_T, _CU_C))
+        .groupBy(
+            F.col("c_custkey").alias("cust"),
+            F.when(F.col("c_mktsegment") == _CU_T, F.lit("t"))
+            .otherwise(F.lit("c"))
+            .alias("grp"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderdate") < cut, cents).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("o_orderdate") >= cut, cents).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    g = per.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+
+    def cell(grp, col):
+        return F.max(F.when(F.col("grp") == grp, F.col(col)))
+
+    piv = g.agg(
+        cell("t", "n").alias("n_t"),
+        cell("c", "n").alias("n_c"),
+        cell("t", "sx").alias("sx_t"),
+        cell("c", "sx").alias("sx_c"),
+        cell("t", "sy").alias("sy_t"),
+        cell("c", "sy").alias("sy_c"),
+        dec_to_double_wide(
+            cell("t", "sxx") + cell("c", "sxx")
+        ).alias("sxx_d"),
+        dec_to_double_wide(
+            cell("t", "sxy") + cell("c", "sxy")
+        ).alias("sxy_d"),
+    )
+    scored = piv.selectExpr(
+        "n_t",
+        "n_c",
+        "CAST(n_t + n_c AS DOUBLE) AS nd",
+        "CAST(sx_t + sx_c AS DOUBLE) AS sx_d",
+        "CAST(sy_t + sy_c AS DOUBLE) AS sy_d",
+        "sxx_d",
+        "sxy_d",
+        "CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)"
+        " - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS diff_raw",
+        "CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE)"
+        " - CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS diff_x",
+    )
+    return scored.selectExpr(
+        "n_t",
+        "n_c",
+        "diff_raw",
+        f"{_CU_THETA} AS theta",
+        f"diff_raw - {_CU_THETA} * diff_x AS diff_cuped",
+    )
+
+
+cuped_adjusted_ab.__doc__ = cuped_adjusted_ab.__doc__.format(
+    t=_CU_T, c=_CU_C, cut=_CU_CUT
+)
+
+
+# ---------------------------------------------------------------- Q54
+
+_PM_B = 32  # permutations; fixed fan-out, the poisson-bootstrap shape
+_PM_T = "BUILDING"
+_PM_C = "MACHINERY"
+
+
+def _perm_sql() -> str:
+    units = f"""
+    SELECT c_custkey AS cust,
+           CASE WHEN c_mktsegment = '{_PM_T}' THEN 1 ELSE 0 END AS t,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS y
+    FROM customer WHERE c_mktsegment IN ('{_PM_T}', '{_PM_C}')
+    """
+    obs = f"""
+    SELECT CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(t) AS DOUBLE)
+           - CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(1 - t) AS DOUBLE) AS d_obs
+    FROM ({units})
+    """
+    perm = f"""
+    SELECT b,
+           CAST(SUM(CASE WHEN pt = 1 THEN y ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(pt) AS DOUBLE)
+           - CAST(SUM(CASE WHEN pt = 0 THEN y ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(1 - pt) AS DOUBLE) AS d_b
+    FROM (
+        SELECT u.y, b.b,
+               ('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':'
+                    || CAST(u.cust AS VARCHAR)), 1, 4))::BIGINT % 2 AS pt
+        FROM ({units}) u
+        CROSS JOIN (SELECT UNNEST(range(0, {_PM_B})) AS b) b
+    )
+    GROUP BY 1
+    """
+    return f"""
+    SELECT o.d_obs, CAST({_PM_B} AS BIGINT) AS n_perm,
+           CAST(SUM(CASE WHEN abs(p.d_b) >= abs(o.d_obs)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+           (CAST(1 AS DOUBLE)
+            + CAST(SUM(CASE WHEN abs(p.d_b) >= abs(o.d_obs)
+                       THEN 1 ELSE 0 END) AS DOUBLE))
+               / CAST({_PM_B} + 1 AS DOUBLE) AS p_mc
+    FROM ({perm}) p CROSS JOIN ({obs}) o
+    GROUP BY o.d_obs
+    """
+
+
+@query(
+    "permutation_test_segments",
+    sql=_perm_sql(),
+    tags=("analytics", "stats", "inference"),
+)
+def permutation_test_segments(spark, sf_dir):
+    """Monte-Carlo permutation test of the {t}-vs-{c} mean balance
+    gap: {b} label permutations (a deterministic md5 coin per
+    (permutation, customer) — the seeded-hash discipline of the
+    bootstrap tier, so both engines draw the SAME permutations),
+    Monte-Carlo p = (1 + #{{|d_b| >= |d_obs|}}) / ({b} + 1) — the
+    distribution-free twin of ab_test_pvalue: no normality, no
+    variance formula, just the null enforced by relabeling.
+
+    Exactness: per-permutation sums are exact BIGINT cents; each d_b
+    and the comparison |d_b| >= |d_obs| evaluate on bitwise-identical
+    doubles in both engines; the permutation fan-out is a fixed x{b}
+    map-side explode (the poisson_bootstrap_ci scale shape).
+
+    Scale shape: one customer scan, one x{b} explode into a {b}-row
+    keyed reduce, one broadcast attach of the observed diff.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    units = cust.where(
+        F.col("c_mktsegment").isin(_PM_T, _PM_C)
+    ).select(
+        F.col("c_custkey").alias("cust"),
+        F.when(F.col("c_mktsegment") == _PM_T, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("t"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("y"),
+    )
+    d_expr = (
+        "CAST(SUM(CASE WHEN {g} = 1 THEN y ELSE 0 END) AS DOUBLE)"
+        " / CAST(SUM({g}) AS DOUBLE)"
+        " - CAST(SUM(CASE WHEN {g} = 0 THEN y ELSE 0 END) AS DOUBLE)"
+        " / CAST(SUM(1 - {g}) AS DOUBLE)"
+    )
+    obs = units.selectExpr(f"{d_expr.format(g='t')} AS d_obs")
+    perm = (
+        units.select(
+            "y",
+            "cust",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_PM_B - 1))
+            ).alias("b"),
+        )
+        .select(
+            "y",
+            "b",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("b").cast("string"),
+                                F.lit(":"),
+                                F.col("cust").cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("pt"),
+        )
+        .groupBy("b")
+        .agg(F.expr(f"{d_expr.format(g='pt')}").alias("d_b"))
+    )
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .groupBy("d_obs")
+        .agg(
+            F.lit(_PM_B).cast("long").alias("n_perm"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_ge"),
+            (
+                (
+                    F.lit(1.0)
+                    + F.sum(
+                        F.when(
+                            F.abs(F.col("d_b"))
+                            >= F.abs(F.col("d_obs")),
+                            1,
+                        )
+                        .otherwise(0)
+                        .cast("double")
+                    )
+                )
+                / F.lit(float(_PM_B + 1))
+            ).alias("p_mc"),
+        )
+        .select("d_obs", "n_perm", "n_ge", "p_mc")
+    )
+
+
+permutation_test_segments.__doc__ = permutation_test_segments.__doc__.format(
+    t=_PM_T, c=_PM_C, b=_PM_B
+)
