@@ -166,6 +166,9 @@ HEADLINE = [
     "markov_absorption_steps",  # truncated Neumann absorption horizon
     "cuped_adjusted_ab",        # pre-period covariate adjustment
     "permutation_test_segments",  # x32 hash-relabel Monte-Carlo test
+    "eb_shrunk_return_rates",   # beta-binomial shrinkage ranking
+    "sprt_daily_conversion",    # sequential LLR monitor (portable ln)
+    "ipf_raking_weights",       # 3-round integer survey raking
 ]
 
 

@@ -215,3 +215,43 @@ def test_best_of_cluster_keeps_highest_quality(spark):
     # docs with no pairs are their own cluster and always keep
     assert got[4] == (4, True)
     assert got[9] == (9, True)
+
+
+def test_checkpoint_stats_do_not_compound(spark):
+    """localCheckpoint inherits the pre-checkpoint plan's ESTIMATED
+    stats, and join estimates multiply children — an iterative
+    self-join loop therefore squares the estimate per round (a power
+    tower that eventually stalls the driver in BigInteger.multiply and
+    then throws "BigInteger would overflow supported range"; boruvka
+    at sf1 hit it first). _checkpoint_tracked must (a) keep honest
+    small stats so broadcast planning still works, and (b) reset the
+    leaf once the estimate passes the information-free ceiling."""
+    from pyspark.sql import functions as F
+
+    from tvbigdataproject_spark.operators.components import (
+        _checkpoint_tracked,
+        _unpersist_ids,
+    )
+
+    sc = spark.sparkContext
+
+    def bits(d):
+        return int(
+            d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ).bit_length()
+
+    cur, ids = _checkpoint_tracked(
+        spark.range(50).select(F.col("id").alias("a")), sc
+    )
+    assert bits(cur) < 96  # honest small stats preserved
+    for _ in range(8):
+        j = cur.join(
+            cur.select(F.col("a").alias("a2")), F.col("a") == F.col("a2")
+        ).select("a")
+        new, nids = _checkpoint_tracked(j, sc)
+        _unpersist_ids(sc, ids)
+        cur, ids = new, nids
+        assert cur.count() == 50
+    # without the ceiling this is ~9 * 2^8 = 2300+ bits and climbing
+    assert bits(cur) < 160, bits(cur)
+    _unpersist_ids(sc, ids)

@@ -218,6 +218,8 @@ def test_nested_loop_joins_only_where_intended(spark):
         "stratified_ate_priority",    # one-row pivoted-ATE attach
         "borda_source_ranking",       # one-row source-count attach
         "permutation_test_segments",  # one-row observed-diff attach
+        "eb_shrunk_return_rates",     # one-row Beta-prior attach
+        "ipf_raking_weights",         # one-row grand-total attach (x3 rounds)
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
@@ -277,6 +279,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "ndcg_bm25_eval": "rank windows over the two TakeOrdered top-20 lists",
     "fdr_bh_qvalues": "BH rank + tail-min over the 25-row nation test family (dim-bounded)",
     "borda_source_ranking": "metric + consensus rank windows over the 20-row source table (label-domain bounded)",
+    "sprt_daily_conversion": "cumulative LLR over the bounded day grid (rolling_corr_28d class)",
 }
 
 

@@ -138,6 +138,14 @@ def main() -> None:
         print(f"generated sf1 under {OUT} in {time.time()-t0:.0f}s", flush=True)
 
     con = duckdb.connect()
+    # DuckDB's default memory_limit is 80% of PHYSICAL RAM and ignores
+    # the 16g+ Spark JVM living in this same process — at sf1 the two
+    # raced to the wire and heavy oracles died with "bad allocation"
+    # (and even pyarrow .so mmaps started failing). An explicit cap +
+    # a spill directory makes the oracle spill instead of dying.
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         # Spark writes a directory of part files (glob them for DuckDB);
         # DuckDB-generated tables are single files

@@ -62,11 +62,43 @@ def _unpersist_ids(sc, ids: set[int]) -> None:
             jmap.get(k).unpersist(False)
 
 
+# localCheckpoint carries the ORIGINAL plan's ESTIMATED statistics onto
+# the checkpointed leaf (originStats), and the size-only stats visitor
+# multiplies join children's sizes — so an iterative operator whose
+# round contains a self-join SQUARES the estimate every round, a power
+# tower that first makes Catalyst's BigInt arithmetic the bottleneck
+# (minutes of driver CPU inside BigInteger.multiply) and then overflows
+# BigInteger's magnitude cap outright ("BigInteger would overflow
+# supported range" — boruvka_msf at sf1 was the first to hit it, at
+# ~2^(63 * 2^r) bits). Past this ceiling the estimate carries no
+# information anyway, so the checkpoint is rebuilt as a fresh LogicalRDD
+# over the SAME materialized rows (no recompute, same persisted blocks),
+# whose stats fall back to the leaf default. Below the ceiling the
+# inherited estimate is kept — it is what lets small checkpointed tables
+# keep auto-broadcasting.
+_STATS_BITLEN_CEILING = 96
+
+
 def _checkpoint_tracked(df: DataFrame, sc) -> tuple[DataFrame, set[int]]:
     """localCheckpoint(eager) + the ids of the RDDs it persisted, so the
     caller can release them the moment they stop being needed."""
     before = _persistent_ids(sc)
     out = df.localCheckpoint(eager=True)
+    jdf = out._jdf
+    try:
+        # py4j hands scala.math.BigInt back as a plain Python int
+        size = int(
+            jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        blown = size.bit_length() > _STATS_BITLEN_CEILING
+    except Exception:  # stats access is advisory, never fail the loop
+        blown = False
+    if blown:
+        spark = df.sparkSession
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        out = DataFrame(fresh, spark)
     return out, _persistent_ids(sc) - before
 
 

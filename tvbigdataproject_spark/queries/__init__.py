@@ -99,3 +99,4 @@ from tvbigdataproject_spark.queries import analytic13  # noqa: F401,E402
 from tvbigdataproject_spark.queries import causal  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph9  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops14  # noqa: F401,E402
+from tvbigdataproject_spark.queries import analytic14  # noqa: F401,E402

@@ -46,45 +46,48 @@ _WL_HEX = 15
 
 
 def _wl_sql() -> str:
-    edges = """
-    SELECT src, dst FROM (
+    # every round is a MATERIALIZED CTE so the oracle evaluates each
+    # color table exactly once — the f-string-nested form duplicated
+    # round k's subquery twice per successor (2^rounds expansions),
+    # which blew DuckDB's memory at sf1
+    ctes = [
+        """e0 AS MATERIALIZED (
         SELECT o_custkey AS src, -l_suppkey AS dst
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1, 2
-    )
-    """
-    bi = f"""
-    SELECT src, dst FROM ({edges})
-    UNION ALL
-    SELECT dst AS src, src AS dst FROM ({edges})
-    """
-    colors = """
-    SELECT src AS node,
-           CASE WHEN src > 0 THEN 0 ELSE 1 END AS c
-    FROM ({bi}) GROUP BY 1
-    """.format(bi=bi)
-    cur = f"({colors})"
-    for _ in range(_WL_ROUNDS):
+    )""",
+        """bi AS MATERIALIZED (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    )""",
+        """c0 AS MATERIALIZED (
+        SELECT src AS node,
+               CASE WHEN src > 0 THEN 0 ELSE 1 END AS c
+        FROM bi GROUP BY 1
+    )""",
+    ]
+    for i in range(_WL_ROUNDS):
         # neighbor multiset aggregated FIRST; own color joins the
         # per-node aggregate, never the edge-wide rows (mirrors the
         # Spark plan; identical md5 input either way)
-        cur = f"""
-        (SELECT a.node,
-                ('0x' || substr(md5(
-                    CAST(own.c AS VARCHAR) || '|' || a.nbs
-                ), 1, {_WL_HEX}))::BIGINT AS c
-         FROM (SELECT e.src AS node,
-                      list_aggregate(
-                          list(CAST(nb.c AS VARCHAR) ORDER BY nb.c),
-                          'string_agg', ',') AS nbs
-               FROM ({bi}) e
-               JOIN {cur} nb ON e.dst = nb.node
-               GROUP BY e.src) a
-         JOIN {cur} own ON a.node = own.node)
-        """
+        ctes.append(f"""c{i + 1} AS MATERIALIZED (
+        SELECT a.node,
+               ('0x' || substr(md5(
+                   CAST(own.c AS VARCHAR) || '|' || a.nbs
+               ), 1, {_WL_HEX}))::BIGINT AS c
+        FROM (SELECT e.src AS node,
+                     string_agg(CAST(nb.c AS VARCHAR), ','
+                                ORDER BY nb.c) AS nbs
+              FROM bi e
+              JOIN c{i} nb ON e.dst = nb.node
+              GROUP BY e.src) a
+        JOIN c{i} own ON a.node = own.node
+    )""")
     return f"""
+    WITH {', '.join(ctes)}
     SELECT c AS color, COUNT(*) AS n_nodes
-    FROM {cur}
+    FROM c{_WL_ROUNDS}
     GROUP BY 1
     ORDER BY n_nodes DESC, color
     LIMIT {_WL_TOPK}

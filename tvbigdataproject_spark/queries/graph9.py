@@ -36,31 +36,38 @@ _KZ_TOPK = 20
 
 
 def _kz_sql() -> str:
-    edges = """
-    SELECT src, dst FROM (
+    # rounds as MATERIALIZED CTEs: round k feeds both round k+1 and
+    # the final union, so the nested-subquery form would expand it
+    # twice per successor (exponential oracle text/memory — the WL sf1
+    # lesson, graph8.py)
+    ctes = [
+        """e0 AS MATERIALIZED (
         SELECT o_custkey AS src, -l_suppkey AS dst
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1, 2
+    )""",
+        """bi AS MATERIALIZED (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    )""",
+        f"""x0 AS MATERIALIZED (
+        SELECT dst AS node, CAST({_KZ_S} AS BIGINT) AS x
+        FROM bi GROUP BY 1
+    )""",
+    ]
+    for i in range(_KZ_ROUNDS):
+        ctes.append(f"""x{i + 1} AS MATERIALIZED (
+        SELECT e.dst AS node,
+               CAST(SUM(p.x) // {_KZ_ALPHA_DIV} AS BIGINT) AS x
+        FROM bi e JOIN x{i} p ON e.src = p.node
+        GROUP BY 1
+    )""")
+    walks = " UNION ALL ".join(
+        f"SELECT node, x FROM x{i + 1}" for i in range(_KZ_ROUNDS)
     )
-    """
-    bi = f"""
-    SELECT src, dst FROM ({edges})
-    UNION ALL
-    SELECT dst AS src, src AS dst FROM ({edges})
-    """
-    nodes = f"SELECT dst AS node FROM ({bi}) GROUP BY 1"
-    xs = [f"(SELECT node, CAST({_KZ_S} AS BIGINT) AS x FROM ({nodes}))"]
-    for _ in range(_KZ_ROUNDS):
-        xs.append(
-            f"""
-        (SELECT e.dst AS node,
-                CAST(SUM(p.x) // {_KZ_ALPHA_DIV} AS BIGINT) AS x
-         FROM ({bi}) e JOIN {xs[-1]} p ON e.src = p.node
-         GROUP BY 1)
-        """
-        )
-    walks = " UNION ALL ".join(f"SELECT node, x FROM {q}" for q in xs[1:])
     return f"""
+    WITH {', '.join(ctes)}
     SELECT node, CAST(SUM(x) AS BIGINT) AS katz_scaled
     FROM ({walks})
     GROUP BY 1
