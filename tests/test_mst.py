@@ -91,3 +91,27 @@ def test_random_graphs_match_kruskal_and_no_leaks(spark):
     after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
     # only the returned forests' own checkpoint blocks may remain
     assert after - before <= results * 2
+
+
+def test_error_path_leaks_nothing(spark):
+    # mirror of test_scc's error-path hygiene: a long path graph with
+    # max_rounds=1 fails mid-iteration (either the pointer-jumping
+    # inner loop or the outer not-settled raise, depending on which
+    # budget runs out first); every checkpoint block taken before the
+    # raise — including the round-transient cross/sel/parent tables —
+    # must be released by the finally clause.
+    import pytest
+
+    from tvbigdataproject_spark.operators.components import _persistent_ids
+    from tvbigdataproject_spark.operators.mst import boruvka_msf
+
+    sc = spark.sparkContext
+    n = 24
+    e = spark.createDataFrame(
+        [(i, i + 1, 100 - i) for i in range(n)], "src long, dst long, w long"
+    )
+    before = _persistent_ids(sc)
+    with pytest.raises(RuntimeError):
+        boruvka_msf(e, max_rounds=1)
+    leaked = _persistent_ids(sc) - before
+    assert not leaked, leaked

@@ -4,13 +4,19 @@ Runs every registered query through Spark AND its DuckDB oracle on the
 same parquet tables, then compares row count, sorted column names, and
 order-insensitive values. Usage:
 
-    python tools/check_parity.py [sf_dir] [query ...]
+    python tools/check_parity.py [--sample N --seed S] [sf_dir] [query ...]
 
-Defaults to /root/testdata/sf0.01 and all queries.
+Defaults to /root/testdata/sf0.01 and all queries. ``--sample N``
+draws a deterministic N-query rotation from the registry (seeded by
+``--seed``, e.g. the round number) — a self-serve stand-in for the
+driver's fixed 50-name panel, so a DIFFERENT slice of the registry
+gets an independently-recorded receipt each round (COVERAGE.md).
 """
 
 from __future__ import annotations
 
+import argparse
+import hashlib
 import math
 import sys
 import time
@@ -55,11 +61,33 @@ def rows_to_multiset(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--sample", type=int, default=0,
+                    help="run a deterministic N-query rotation instead of all")
+    ap.add_argument("--seed", default="0",
+                    help="rotation seed (e.g. the round number)")
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+    only = set(args.queries)
 
     from tvbigdataproject_spark.queries import REGISTRY
     from tvbigdataproject_spark.session import get_spark
+
+    if args.sample and not only:
+        # md5(seed || name) total-orders the registry reproducibly; the
+        # first N names are the round's rotation — different seed,
+        # different slice, no RNG state involved
+        ranked = sorted(
+            REGISTRY,
+            key=lambda n: hashlib.md5(
+                f"{args.seed}:{n}".encode()
+            ).hexdigest(),
+        )
+        only = set(ranked[: args.sample])
+        print(f"rotation seed={args.seed} n={args.sample}: "
+              + " ".join(sorted(only)))
 
     spark = get_spark(app_name="parity-check")
 

@@ -144,7 +144,21 @@ def main() -> None:
     # (and even pyarrow .so mmaps started failing). An explicit cap +
     # a spill directory makes the oracle spill instead of dying.
     os.makedirs("/tmp/duck_spill", exist_ok=True)
-    con.execute("SET memory_limit='48GB'")
+    # Derive the cap from the actual host instead of hardcoding a
+    # large-host value: min(48 GB, physical RAM minus ~20 GB for the
+    # co-resident Spark JVM + headroom), floored at 4 GB so tiny boxes
+    # still run (they will just spill sooner). Overridable via
+    # SPARK_GRAFT_DUCK_MEM for odd hosts.
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if not duck_mem:
+        try:
+            phys_gb = (
+                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            ) / (1 << 30)
+        except (ValueError, OSError):
+            phys_gb = 64.0
+        duck_mem = f"{max(4, min(48, int(phys_gb) - 20))}GB"
+    con.execute(f"SET memory_limit='{duck_mem}'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         # Spark writes a directory of part files (glob them for DuckDB);

@@ -94,11 +94,19 @@ def _checkpoint_tracked(df: DataFrame, sc) -> tuple[DataFrame, set[int]]:
     except Exception:  # stats access is advisory, never fail the loop
         blown = False
     if blown:
-        spark = df.sparkSession
-        fresh = spark._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        out = DataFrame(fresh, spark)
+        # internalCreateDataFrame is a private Spark API (pinned against
+        # pyspark 4.1); if a future Spark renames it, keep the (valid,
+        # just pessimistically-estimated) checkpoint rather than fail
+        # the iteration — losing the stats reset degrades planning,
+        # losing the checkpointed rows would break the run.
+        try:
+            spark = df.sparkSession
+            fresh = spark._jsparkSession.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False
+            )
+            out = DataFrame(fresh, spark)
+        except Exception:
+            pass
     return out, _persistent_ids(sc) - before
 
 

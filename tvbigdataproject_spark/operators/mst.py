@@ -55,13 +55,27 @@ def boruvka_msf(
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
     )
-    e, e_ids = _checkpoint_tracked(canon, sc)
-    labels, l_ids = _checkpoint_tracked(
+    # every live checkpoint block id is mirrored in ``held`` so a
+    # mid-round exception releases round-transient checkpoints
+    # (cross/sel/parent tables) too, not just the loop-carried ones —
+    # the error-path cache hygiene scc and reachable_masks already have
+    held: set[int] = set()
+
+    def _ck(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        out, ids = _checkpoint_tracked(df, sc)
+        held.update(ids)
+        return out, ids
+
+    def _rel(ids: set[int]) -> None:
+        _unpersist_ids(sc, ids)
+        held.difference_update(ids)
+
+    e, e_ids = _ck(canon)
+    labels, l_ids = _ck(
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("comp")),
-        sc,
     )
     forest: DataFrame | None = None
     f_ids: set[int] = set()
@@ -78,9 +92,9 @@ def boruvka_msf(
                 .join(lab_v, "v")
                 .where(F.col("cu") != F.col("cv"))
             )
-            cross, x_ids = _checkpoint_tracked(cross, sc)
+            cross, x_ids = _ck(cross)
             if not cross.head(1):
-                _unpersist_ids(sc, x_ids)
+                _rel(x_ids)
                 break
             # each component's minimum outgoing edge under (w, u, v):
             # min over a struct is lexicographic, so the selection is
@@ -99,7 +113,7 @@ def boruvka_msf(
                 )
             )
             sel = cand.groupBy("comp").agg(F.min("e").alias("e"))
-            sel, s_ids = _checkpoint_tracked(
+            sel, s_ids = _ck(
                 sel.select(
                     "comp",
                     F.col("e.w").alias("w"),
@@ -107,17 +121,15 @@ def boruvka_msf(
                     F.col("e.v").alias("v"),
                     F.col("e.cother").alias("parent"),
                 ),
-                sc,
             )
-            _unpersist_ids(sc, x_ids)
+            _rel(x_ids)
             picked = sel.select("u", "v", "w").distinct()
-            new_forest, nf_ids = _checkpoint_tracked(
+            new_forest, nf_ids = _ck(
                 picked
                 if forest is None
                 else forest.unionByName(picked),
-                sc,
             )
-            _unpersist_ids(sc, f_ids)
+            _rel(f_ids)
             forest, f_ids = new_forest, nf_ids
             # contraction: hook each selecting component to its chosen
             # neighbor; a mutual pair (2-cycle) roots at the smaller id
@@ -145,8 +157,8 @@ def boruvka_msf(
                 .otherwise(F.col("parent"))
                 .alias("parent"),
             )
-            par_ck, p_ids = _checkpoint_tracked(hooked, sc)
-            _unpersist_ids(sc, s_ids)
+            par_ck, p_ids = _ck(hooked)
+            _rel(s_ids)
             # pointer jumping to the roots (chains halve per step)
             for _j in range(max_rounds):
                 pj = par_ck.alias("x").join(
@@ -160,7 +172,7 @@ def boruvka_msf(
                     "comp",
                     F.coalesce("gp", "parent").alias("parent"),
                 )
-                new_p, np_ids = _checkpoint_tracked(pj, sc)
+                new_p, np_ids = _ck(pj)
                 changed = (
                     new_p.alias("n")
                     .join(
@@ -172,12 +184,11 @@ def boruvka_msf(
                     .where(F.col("parent") != F.col("old"))
                     .head(1)
                 )
-                _unpersist_ids(sc, p_ids)
+                _rel(p_ids)
                 par_ck, p_ids = new_p, np_ids
                 if not changed:
                     break
             else:
-                _unpersist_ids(sc, p_ids)
                 raise RuntimeError(
                     "boruvka_msf: pointer jumping did not converge"
                 )
@@ -190,9 +201,9 @@ def boruvka_msf(
             ).select(
                 "node", F.coalesce("newc", "comp").alias("comp")
             )
-            new_l, nl_ids = _checkpoint_tracked(relab, sc)
-            _unpersist_ids(sc, l_ids)
-            _unpersist_ids(sc, p_ids)
+            new_l, nl_ids = _ck(relab)
+            _rel(l_ids)
+            _rel(p_ids)
             labels, l_ids = new_l, nl_ids
         else:
             raise RuntimeError(
@@ -207,6 +218,8 @@ def boruvka_msf(
         )
         return out_ck
     finally:
-        _unpersist_ids(sc, e_ids)
-        _unpersist_ids(sc, l_ids)
-        _unpersist_ids(sc, f_ids)
+        # release EVERY still-held checkpoint block — loop-carried
+        # (e/labels/forest) and any round-transient table a mid-round
+        # exception left behind (the returned out_ck is checkpointed
+        # outside ``held`` so it survives)
+        _unpersist_ids(sc, held)

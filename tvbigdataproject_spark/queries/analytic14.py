@@ -238,7 +238,7 @@ def sprt_daily_conversion(spark, sf_dir):
 
     Exactness: the four log constants come from the portable ln kernel
     on INTEGER literals (ln(5/4) = plog 5 - plog 4; ln(15/16) for the
-    failure term), rounded once to 1e9-scaled ints, so each day's LLR
+    failure term), rounded once to 1e6-scaled ints, so each day's LLR
     increment and the running sum are exact BIGINTs; the decision CASE
     compares integers.
 

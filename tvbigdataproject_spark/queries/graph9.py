@@ -96,9 +96,15 @@ def katz_centrality_trade(spark, sf_dir):
 
     Scale shape: {r} unrolled frontier joins (the WL/pagerank shape),
     one keyed sum per round; the three per-round tables union into a
-    keyed sum and a TakeOrdered top-{k}. Per-round sums stay in int64
-    while max in-degree x 1e6 < 9.2e18 (degree <= ~1e6; a hub-heavier
-    graph drops x0 a decade, same argument as the WL color cap).
+    keyed sum and a TakeOrdered top-{k}. int64 headroom bound covers
+    the FULL 3-round recursion, not just round 1: the pre-div sum at
+    round k is <= d^k * 1e6 / 8^(k-1) for max degree d, worst at k=3
+    (d^3 * 1e6 / 64 < 9.2e18 => d <= ~8e4). A hub-heavier graph must
+    drop x0 a decade per extra degree-decade (same argument as the WL
+    color cap) or accumulate the per-round sums in decimal(38,0);
+    Spark's non-ANSI SUM(long) would wrap silently past the bound
+    while DuckDB promotes to HUGEINT, so the bound is a parity
+    invariant, not just an accuracy one.
     """
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
