@@ -401,6 +401,44 @@ def main() -> None:
             scan_best = min(scan_best, time.perf_counter() - t0)
         return round(shuffle_best, 3), round(scan_best, 3)
 
+    # INTERLEAVED probe ticks (round-10 verdict item 1): the start/end
+    # probe pairs measure the session's QUIET windows, not the weather
+    # DURING the query loop — r10 shipped the contradictory "probes
+    # faster, every query ~20% slower" verdict precisely because drift
+    # between the probe readings was assumed uniform instead of
+    # measured. A tick (one single-rep calib + shuffle + scan, ~1 s) is
+    # taken before the loop, after every PROBE_EVERY queries, and after
+    # the loop; bench_detail.json carries the series plus each query's
+    # surrounding-tick drift, so a slow reading can be attributed to a
+    # measured local burst — or proven NOT to be weather.
+    PROBE_EVERY = max(1, int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "5")))
+    probe_ticks: list[dict] = []
+
+    def _probe_tick(after_idx: int) -> None:
+        t0 = time.perf_counter()
+        spark.range(2**26, numPartitions=32).selectExpr(
+            "sum(pmod(xxhash64(id), 1048576)) as s"
+        ).collect()
+        c = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        spark.range(2**22, numPartitions=32).selectExpr(
+            "id % 4096 as k", "id"
+        ).groupBy("k").sum("id").write.format("noop").mode("overwrite").save()
+        sh = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        spark.read.parquet(probe_parquet).where("k < 900").selectExpr(
+            "sum(crc32(h)) as s"
+        ).write.format("noop").mode("overwrite").save()
+        sc_ = time.perf_counter() - t0
+        probe_ticks.append(
+            {
+                "after": after_idx,  # -1 = before the first query
+                "calib": round(c, 3),
+                "shuffle": round(sh, 3),
+                "scan": round(sc_, 3),
+            }
+        )
+
     calib_start = _calibrate()
     probe_start = _probe_spark()
 
@@ -419,7 +457,8 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     suspect: list[str] = []
     sc = spark.sparkContext
-    for name in names:
+    _probe_tick(-1)
+    for qi, name in enumerate(names):
         fn = REGISTRY[name].fn
         runs = []
         for i in range(1 + reps):
@@ -457,6 +496,9 @@ def main() -> None:
                 "— implausible inversion, treat this reading as noisy",
                 file=sys.stderr,
             )
+        if (qi + 1) % PROBE_EVERY == 0:
+            _probe_tick(qi)
+    _probe_tick(len(names) - 1)
 
     calib_end = _calibrate()
     probe_end = _probe_spark()
@@ -558,8 +600,46 @@ def main() -> None:
             del gate_queries[name]
             omitted.append(name)
             gate_line = _gate_line(gate_queries)
+    # attribute each query to its surrounding probe ticks: drift is the
+    # tick's probe geomean over the session's QUIETEST tick, and a
+    # query's local drift is the worse of the tick before / after it —
+    # conservative (a burst near either boundary flags the window).
+    # This is what turns "probes moved one way, queries the other"
+    # from a paradox into a measurement.
+    tick_gs = [
+        (t["calib"] * t["shuffle"] * t["scan"]) ** (1.0 / 3.0)
+        for t in probe_ticks
+    ]
+    tick_gmin = min(tick_gs) if tick_gs else 1.0
+    for t, g in zip(probe_ticks, tick_gs):
+        t["drift"] = round(g / tick_gmin, 3)
+    local_drift: dict[str, float] = {}
+    for qi, name in enumerate(names):
+        if name not in timings:
+            continue
+        before = [t["drift"] for t in probe_ticks if t["after"] < qi]
+        after = [t["drift"] for t in probe_ticks if t["after"] >= qi]
+        pair = ([before[-1]] if before else []) + ([after[0]] if after else [])
+        local_drift[name] = round(max(pair, default=1.0), 3)
+    drifts_sorted = sorted(local_drift.values())
+    probe_weather = {
+        "tick_every": PROBE_EVERY,
+        "n_ticks": len(probe_ticks),
+        "drift_median": (
+            round(drifts_sorted[len(drifts_sorted) // 2], 3)
+            if drifts_sorted
+            else None
+        ),
+        "drift_max": round(max(drifts_sorted), 3) if drifts_sorted else None,
+        "queries_in_burst": sorted(
+            n for n, d in local_drift.items() if d > 1.15
+        ),
+    }
     detail = {
         "regress": regress,
+        "probe_ticks": probe_ticks,
+        "probe_local_drift": local_drift,
+        "probe_weather": probe_weather,
         # in-suite vs isolated reading for every flag that triggered
         # the end-of-session adjudication re-run
         "flag_adjudication": reflag,

@@ -132,12 +132,20 @@ def load_waivers(repo: str = REPO) -> dict[str, dict]:
 
 
 def latest_round_artifact(repo: str = REPO) -> str | None:
-    """Newest BENCH_r{N}.json by round number, or None."""
-    best, best_n = None, -1
-    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
-            best, best_n = p, int(m.group(1))
+    """Newest BENCH_r{N}.json / BENCH_IDLE_r{N}.json by round number,
+    or None. An IDLE artifact (a builder-run full headline on a
+    provably idle host, with interleaved probe ticks — the r10 verdict
+    item 1 protocol) outranks the driver artifact of the SAME round:
+    it is the credible reading, recorded precisely because the driver
+    session's weather was in question."""
+    best, best_key = None, (-1, 0)
+    for p in glob.glob(os.path.join(repo, "BENCH_*r*.json")):
+        m = re.search(r"BENCH_(IDLE_)?r(\d+)\.json$", p)
+        if not m:
+            continue
+        key = (int(m.group(2)), 1 if m.group(1) else 0)
+        if key > best_key:
+            best, best_key = p, key
     return best
 
 

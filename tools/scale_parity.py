@@ -12,7 +12,11 @@ Generation = 10 key-offset copies of the sf0.1 tables:
 - document text / embedding vectors are NOT offset, so every document
   occurs ~10x — the dup-heavy corpus SCALE.md's collision-light
   synthetic generator missed (candidate joins fan out across copies,
-  which is exactly the stress near-dup dedup must survive);
+  which is exactly the stress near-dup dedup must survive); ODD copies
+  additionally get a rare per-doc suffix token so the n-gram frequency
+  spectrum keeps a real singleton tail (r11 — count-of-counts queries
+  were vacuous under byte-identical copies) while even copies stay
+  byte-exact duplicates;
 - region/nation stay as-is (bounded dims at any SF).
 
 Comparison: queries whose result fits under --cap rows get the full
@@ -108,12 +112,44 @@ def generate(spark, copies: int) -> None:
         widened = df.withColumn(
             "_copy", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
         ).select(
+            "_copy",
             *[
                 (F.col(c) + F.col("_copy") * OFFSET).alias(c) if c in keys else F.col(c)
                 for c in df.columns
-            ]
+            ],
         )
-        widened.write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+        if t == "documents":
+            # Copy-protocol falsifiability (r10 verdict item 4): 10
+            # IDENTICAL text copies multiply every n-gram count by 10,
+            # emptying the r <= 5 count-of-counts tail — Good-Turing /
+            # Zipf-tail queries returned 0 rows at sf1 and certified
+            # nothing. ODD copies get a rare deterministic suffix token
+            # (pz<offset-doc_id mod 99991>: ~1.25 expected occurrences
+            # each, so the singleton/rare tail is non-empty and the
+            # frequency spectrum is real), while EVEN copies remain
+            # byte-exact duplicates — the dup-heavy stress the near-dup
+            # tier needs is preserved (5 exact copies of every doc).
+            # Both engines read the same parquet, so parity semantics
+            # are untouched.
+            widened = widened.withColumn(
+                "text",
+                F.when(
+                    F.col("_copy") % 2 == 1,
+                    F.concat_ws(
+                        " ",
+                        F.col("text"),
+                        F.concat(
+                            F.lit("pz"),
+                            F.pmod(F.col("doc_id"), F.lit(99991)).cast(
+                                "string"
+                            ),
+                        ),
+                    ),
+                ).otherwise(F.col("text")),
+            )
+        widened.drop("_copy").write.mode("overwrite").parquet(
+            f"{OUT}/{t}.parquet"
+        )
 
 
 def main() -> None:

@@ -100,3 +100,7 @@ from tvbigdataproject_spark.queries import causal  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph9  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops14  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic14  # noqa: F401,E402
+from tvbigdataproject_spark.queries import analytic15  # noqa: F401,E402
+from tvbigdataproject_spark.queries import llm_ops15  # noqa: F401,E402
+from tvbigdataproject_spark.queries import analytic16  # noqa: F401,E402
+from tvbigdataproject_spark.queries import embeddings4  # noqa: F401,E402

@@ -116,8 +116,21 @@ def katz_centrality_trade(spark, sf_dir):
         )
         .distinct()
     )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # materialize the static edge table ONCE, pre-partitioned on the
+    # per-round join key: the sf1 profile showed the rounds dominated
+    # by re-exchanging the corpus-sized bi while the frontier is only
+    # node-sized. localCheckpoint preserves the physical
+    # HashPartitioning(src), so every round's join proves the edge side
+    # already satisfies its distribution and exchanges ONLY the
+    # frontier (mirrors the oracle's MATERIALIZED bi CTE; values are
+    # untouched — same exact integer sums, any partitioning).
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bi = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(nparts, "src")
+        .localCheckpoint(eager=True)
     )
     x = (
         bi.select(F.col("dst").alias("node"))
