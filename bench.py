@@ -169,6 +169,22 @@ HEADLINE = [
     "eb_shrunk_return_rates",   # beta-binomial shrinkage ranking
     "sprt_daily_conversion",    # sequential LLR monitor (portable ln)
     "ipf_raking_weights",       # 3-round integer survey raking
+    # round 11
+    "holm_stepdown_family",     # FWER step-down over the z-test family
+    "mcnemar_gate_vs_length",   # paired discordance test (1-row agg)
+    "cochran_q_gates",          # k-gate proportion homogeneity test
+    "friedman_event_value_daily",  # within-day rank concordance test
+    "kendall_w_sources",        # 3-ranking concordance coefficient
+    "untapped_customer_balance",  # Q22 shape: 2 scalars + anti join
+    "kneser_ney_bigram_topk",   # KN-smoothed bigram LM (continuation)
+    "rbo_term_rankings",        # top-weighted ranking overlap
+    "msttr_by_source",          # segmental type-token ratio
+    "dp_noisy_source_counts",   # deterministic Laplace release shape
+    "gumbel_daily_value_extremes",  # block-maxima EVT fit
+    "hill_tail_index_orders",   # heavy-tail index over top-k stats
+    "weibull_median_rank_fit",  # parametric survival via rank OLS
+    "timed_funnel_conversion",  # deadline-constrained funnel
+    "kcenter_coreset_embeddings",  # greedy max-min coreset selection
 ]
 
 

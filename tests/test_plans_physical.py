@@ -220,6 +220,15 @@ def test_nested_loop_joins_only_where_intended(spark):
         "permutation_test_segments",  # one-row observed-diff attach
         "eb_shrunk_return_rates",     # one-row Beta-prior attach
         "ipf_raking_weights",         # one-row grand-total attach (x3 rounds)
+        # round 11
+        "holm_stepdown_family",       # one-row global-moments attach (fdr twin)
+        "untapped_customer_balance",  # one-row avg-balance + cutoff-date attaches
+        "kneser_ney_bigram_topk",     # one-row bigram-type-count attach
+        "hill_tail_index_orders",     # one-row k-th-order-stat attach
+        "timed_funnel_conversion",    # one-row stage-count attaches
+        "bcubed_dedup_eval",          # one-row corpus-size attach
+        "binseg_two_changepoints",    # one-row first-split attach on the day grid
+        "nation_homophily_trade",     # one-row margin-product attach
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
@@ -280,6 +289,13 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "fdr_bh_qvalues": "BH rank + tail-min over the 25-row nation test family (dim-bounded)",
     "borda_source_ranking": "metric + consensus rank windows over the 20-row source table (label-domain bounded)",
     "sprt_daily_conversion": "cumulative LLR over the bounded day grid (rolling_corr_28d class)",
+    # round 11
+    "holm_stepdown_family": "Holm rank + running max over the 25-row nation test family (fdr_bh class)",
+    "kendall_w_sources": "three metric-rank windows over the 20-row source table (label-domain bounded)",
+    "hill_tail_index_orders": "rank window over the TakeOrdered top-100 order-stat list (rrf/ndcg class)",
+    "rbo_term_rankings": "rank windows over the two TakeOrdered top-10 prefix lists (rrf/ndcg class)",
+    "weibull_median_rank_fit": "bucket-offset rank decomposition over the distinct-gap grid (calendar-bounded; mann_whitney class)",
+    "binseg_two_changepoints": "prefix sums + re-split windows over the bounded day grid (rolling_corr_28d class)",
 }
 
 

@@ -104,3 +104,5 @@ from tvbigdataproject_spark.queries import analytic15  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops15  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic16  # noqa: F401,E402
 from tvbigdataproject_spark.queries import embeddings4  # noqa: F401,E402
+from tvbigdataproject_spark.queries import analytic17  # noqa: F401,E402
+from tvbigdataproject_spark.queries import graph10  # noqa: F401,E402

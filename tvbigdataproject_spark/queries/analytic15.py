@@ -612,13 +612,21 @@ def kendall_w_sources(spark, sf_dir):
 # ---------------------------------------------------------------- Q68
 
 
+_UT_LAPSE_DAYS = 180
+
+
 @query(
     "untapped_customer_balance",
-    sql="""
+    sql=f"""
     WITH avg_bal AS (
         SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS avg_cents
         FROM customer WHERE c_acctbal > 0.0
+    ),
+    cutoff AS (
+        SELECT MAX(CAST(o_orderdate AS DATE))
+               - INTERVAL {_UT_LAPSE_DAYS} DAY AS cut
+        FROM orders
     )
     SELECT n.n_name AS nation,
            CAST(COUNT(*) AS BIGINT) AS n_untapped,
@@ -628,8 +636,9 @@ def kendall_w_sources(spark, sf_dir):
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     CROSS JOIN avg_bal a
     WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) > a.avg_cents
-      AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o CROSS JOIN cutoff t
+                      WHERE o.o_custkey = c.c_custkey
+                        AND CAST(o.o_orderdate AS DATE) > t.cut)
     GROUP BY 1
     ORDER BY 1
     """,
@@ -638,17 +647,20 @@ def kendall_w_sources(spark, sf_dir):
 def untapped_customer_balance(spark, sf_dir):
     """TPC-H Q22 shape: per nation, the count and total balance of
     customers whose balance exceeds the positive-balance global average
-    but who have NEVER placed an order — the classic scalar-subquery +
-    NOT EXISTS decorrelation pattern (global aggregate broadcast-joined
-    as a filter, anti join against the fact table).
+    but who placed NO order in the dataset's trailing {d} days (the
+    generator gives every customer at least one lifetime order, so the
+    lapsed-window variant is the non-vacuous form of "money sitting
+    with inactive accounts") — two scalar subqueries (global average,
+    global max date) + the classic NOT EXISTS anti-join decorrelation.
 
-    Exactness: balances compared and summed in exact integer cents; the
-    global average is one double division both engines spell
-    identically.
+    Exactness: balances compared and summed in exact integer cents;
+    the average is one shared double division; the cutoff is exact
+    date arithmetic (engine-specific spelling, identical value).
 
-    Scale shape: the scalar average is a one-row broadcast; the NOT
-    EXISTS decorrelates to a left-anti join on o_custkey (shuffle on
-    the key, no correlated per-row probe); output is nation-bounded.
+    Scale shape: both scalars are one-row broadcasts; the NOT EXISTS
+    decorrelates to a left-anti join on o_custkey against the
+    date-filtered orders (filter pushed to the scan); output is
+    nation-bounded.
     """
     cust = read_table(spark, sf_dir, "customer")
     nat = read_table(spark, sf_dir, "nation")
@@ -663,18 +675,27 @@ def untapped_customer_balance(spark, sf_dir):
             ).alias("avg_cents")
         )
     )
+    cutoff = orders.agg(
+        F.date_sub(
+            F.max(F.to_date("o_orderdate")), _UT_LAPSE_DAYS
+        ).alias("cut")
+    )
     rich = (
         cust.select("c_custkey", "c_nationkey", cents.alias("cents"))
         .crossJoin(F.broadcast(avg_bal))
         .where(F.col("cents") > F.col("avg_cents"))
     )
-    never = rich.join(
-        orders.select(F.col("o_custkey").alias("c_custkey")),
-        "c_custkey",
-        "left_anti",
+    recent = (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.to_date("o_orderdate").alias("od"),
+        )
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("od") > F.col("cut"))
     )
+    lapsed = rich.join(recent, "c_custkey", "left_anti")
     return (
-        never.join(F.broadcast(nat), never.c_nationkey == nat.n_nationkey)
+        lapsed.join(F.broadcast(nat), lapsed.c_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_untapped"),
@@ -682,3 +703,8 @@ def untapped_customer_balance(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+untapped_customer_balance.__doc__ = untapped_customer_balance.__doc__.format(
+    d=_UT_LAPSE_DAYS
+)

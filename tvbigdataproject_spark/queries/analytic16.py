@@ -61,7 +61,7 @@ _GB_MU = f"({_GB_MEAN}) - {_GB_GAMMA} * ({_GB_BETA})"
 # exceedance at x0 = 2 * mean: P = 1 - exp(-exp(-(x0-mu)/beta)); the
 # inner exponent is clamped to the portable-exp domain (a physically
 # impossible z > 60 would otherwise leave the ladder)
-_GB_Z = f"(CAST(2 AS DOUBLE) * ({_GB_MEAN}) - mu) / beta"
+_GB_Z = "(CAST(2 AS DOUBLE) * xm - mu) / beta"
 
 
 def _gumbel_sql() -> str:
@@ -78,7 +78,7 @@ def _gumbel_sql() -> str:
     FROM ({daily})
     """
     fitted = f"""
-    SELECT n_days, {_GB_MU} AS mu, beta FROM
+    SELECT n_days, {_GB_MEAN} AS xm, {_GB_MU} AS mu, beta FROM
     (SELECT *, {_GB_BETA} AS beta FROM ({mom}))
     """
     inner = sql_wrap_stages(
@@ -130,7 +130,7 @@ def gumbel_daily_value_extremes(spark, sf_dir):
         "n_days", "s_cents", dec_to_double_wide(F.col("sq")).alias("sq_d")
     )
     fitted = mom.selectExpr("*", f"{_GB_BETA} AS beta").selectExpr(
-        "n_days", f"{_GB_MU} AS mu", "beta"
+        "n_days", f"{_GB_MEAN} AS xm", f"{_GB_MU} AS mu", "beta"
     )
     inner = apply_stages(
         fitted.selectExpr(
@@ -275,11 +275,26 @@ def _weibull_sql() -> str:
     HAVING COUNT(*) >= 2
        AND MIN(CAST(o_orderdate AS DATE)) < MAX(CAST(o_orderdate AS DATE))
     """
-    ranked = f"""
+    # bucket-offset rank decomposition (the mann_whitney discipline):
+    # the global rank = (#rows with a smaller gap) + the within-gap
+    # row_number by custkey — the only unpartitioned window runs over
+    # the DISTINCT-GAP grid (calendar-bounded), never the customers
+    offs = f"""
     SELECT gap_days,
-           ROW_NUMBER() OVER (ORDER BY gap_days, o_custkey) AS i,
-           COUNT(*) OVER () AS n
-    FROM ({gaps})
+           CAST(SUM(cnt) OVER (ORDER BY gap_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS off,
+           CAST(SUM(cnt) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND
+                UNBOUNDED FOLLOWING) AS BIGINT) AS n
+    FROM (SELECT gap_days, COUNT(*) AS cnt FROM ({gaps}) GROUP BY 1)
+    """
+    ranked = f"""
+    SELECT g.gap_days,
+           COALESCE(o.off, 0)
+               + ROW_NUMBER() OVER (PARTITION BY g.gap_days
+                                    ORDER BY g.o_custkey) AS i,
+           o.n
+    FROM ({gaps}) g JOIN ({offs}) o ON g.gap_days = o.gap_days
     """
     fexpr = (
         "(CAST(i AS DOUBLE) - CAST(0.3 AS DOUBLE))"
@@ -307,14 +322,17 @@ def _weibull_sql() -> str:
                  CAST(ROUND(_y * {_WB_SCALE}) AS BIGINT) AS yi
           FROM {staged})
     """
+    # the scale product is spelled through DOUBLE casts — a bare
+    # decimal literal product overflows DuckDB's DECIMAL(18) parse
+    sc2 = (
+        f"(CAST({_WB_SCALE} AS DOUBLE) * CAST({_WB_SCALE} AS DOUBLE))"
+    )
     wide = f"""
     SELECT n,
-           CAST(sx AS DOUBLE) / {float(_WB_SCALE)!r} AS sx_d,
-           CAST(sy AS DOUBLE) / {float(_WB_SCALE)!r} AS sy_d,
-           {sql_huge_to_double_wide('sxx')}
-               / ({float(_WB_SCALE)!r} * {float(_WB_SCALE)!r}) AS sxx_d,
-           {sql_huge_to_double_wide('sxy')}
-               / ({float(_WB_SCALE)!r} * {float(_WB_SCALE)!r}) AS sxy_d
+           CAST(sx AS DOUBLE) / CAST({_WB_SCALE} AS DOUBLE) AS sx_d,
+           CAST(sy AS DOUBLE) / CAST({_WB_SCALE} AS DOUBLE) AS sy_d,
+           {sql_huge_to_double_wide('sxx')} / {sc2} AS sxx_d,
+           {sql_huge_to_double_wide('sxy')} / {sc2} AS sxy_d
     FROM ({sums})
     """
     fitted = f"""
@@ -354,9 +372,11 @@ def weibull_median_rank_fit(spark, sf_dir):
     decimal-128 with the agreed wide cast, so slope/intercept are
     shared-text doubles; the scale comes back through portable exp.
 
-    Scale shape: one orders aggregate to per-customer gaps, one
-    unpartitioned rank window over the (bounded-by-customer-count)
-    gap table, scalar OLS on one aggregate row.
+    Scale shape: one orders aggregate to per-customer gaps; ranks come
+    from the bucket-offset decomposition (the mann_whitney
+    discipline) — the only unpartitioned window runs over the
+    distinct-gap grid (calendar-bounded), the per-customer tiebreak
+    window is partitioned by gap; scalar OLS on one aggregate row.
     """
     orders = read_table(spark, sf_dir, "orders")
     gaps = (
@@ -375,12 +395,31 @@ def weibull_median_rank_fit(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    ranked = gaps.select(
+    # bucket-offset rank decomposition: only the distinct-gap grid
+    # (calendar-bounded) sees an unpartitioned window; the per-customer
+    # row_number is partitioned by gap
+    cnts = gaps.groupBy("gap_days").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("gap_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = cnts.select(
         "gap_days",
-        F.row_number()
-        .over(Window.orderBy("gap_days", "o_custkey"))
-        .alias("i"),
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        F.sum("cnt").over(w_off).cast("long").alias("off"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    ranked = gaps.join(offs, "gap_days").select(
+        "gap_days",
+        (
+            F.coalesce(F.col("off"), F.lit(0))
+            + F.row_number().over(
+                Window.partitionBy("gap_days").orderBy("o_custkey")
+            )
+        ).alias("i"),
+        "n",
+    )
     fexpr = (
         "(CAST(i AS DOUBLE) - CAST(0.3 AS DOUBLE))"
         " / (CAST(n AS DOUBLE) + CAST(0.4 AS DOUBLE))"

@@ -33,6 +33,8 @@ _KZ_S = 1_000_000  # starting mass per node (1e6-scaled)
 _KZ_ALPHA_DIV = 8  # alpha = 1/8, exact in binary
 _KZ_ROUNDS = 3
 _KZ_TOPK = 20
+# previous invocation's checkpoint block ids (released latest-wins)
+_KZ_PREV_CKPT: list = []
 
 
 def _kz_sql() -> str:
@@ -108,40 +110,87 @@ def katz_centrality_trade(spark, sf_dir):
     """
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+    # SHUFFLE_HASH on the orders side WHEN IT FITS: the edge build
+    # dominated the sf1 profile (7.6 s of ~11.5 s; SMJ sorts the
+    # 60M-row lineitem side) and the hash build halves it (3.5 s) —
+    # but the build side must fit per-partition heap: at c100 (136 MB
+    # orders parquet over 32 fixed local partitions) the 60M-entry
+    # maps OOM'd the 16g JVM (SCALE.md r11 ladder). So the hint is
+    # SIZE-GATED on the driver-side parquet footprint (no job) — the
+    # bytes-per-task criterion AQE itself applies; past the gate the
+    # planner's SMJ (sort spills, never OOMs) takes over. Both fact
+    # sides still shuffle on the join key either way — never a
+    # broadcast (measured WORSE at sf1, 8.5 s, and dies at scale).
+    #
+    # The eager localCheckpoint materializes the edge build exactly
+    # once: each x_k in the naive unrolled form is referenced both by
+    # round k+1 AND the final union, so the edge subplan re-executes
+    # O(2^r) times (18 lineitem scans in the sf1 plan; AQE's runtime
+    # stage reuse only recovered part of it) — the Spark twin of the
+    # oracle's MATERIALIZED bi.
+    import os as _os
+
+    o_sel = orders.select("o_orderkey", "o_custkey")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        o_bytes = sum(
+            _os.path.getsize(f.removeprefix("file:"))
+            for f in orders.inputFiles()
+        )
+    except OSError:
+        o_bytes = None
+    if o_bytes is not None and o_bytes <= nparts * (2 << 20):
+        o_sel = o_sel.hint("SHUFFLE_HASH")
+    # The checkpoint blocks outlive the call (the returned lazy plan
+    # reads them), so a PREVIOUS invocation's blocks are released here
+    # instead of leaking per call — repeated benchmarking loops would
+    # otherwise accumulate one edge table per rep until a JVM GC
+    # happens to run the ContextCleaner (measured: c100 reps degraded
+    # 29 s -> 68 s). Trade: a still-unconsumed result from an EARLIER
+    # katz call becomes unrecomputable once a new call lands — the
+    # same latest-wins contract the iterative operators' returned
+    # checkpoints already carry.
+    from tvbigdataproject_spark.operators.components import (
+        _checkpoint_tracked,
+        _unpersist_ids,
+    )
+
+    sc = spark.sparkContext
+    _unpersist_ids(sc, _KZ_PREV_CKPT.pop() if _KZ_PREV_CKPT else set())
+    e0, _kz_ids = _checkpoint_tracked(
+        li.select("l_orderkey", "l_suppkey")
+        .join(o_sel, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.col("o_custkey").alias("src"),
             (-F.col("l_suppkey")).alias("dst"),
         )
-        .distinct()
+        .distinct(),
+        sc,
     )
-    # materialize the static edge table ONCE, pre-partitioned on the
-    # per-round join key: the sf1 profile showed the rounds dominated
-    # by re-exchanging the corpus-sized bi while the frontier is only
-    # node-sized. localCheckpoint preserves the physical
-    # HashPartitioning(src), so every round's join proves the edge side
-    # already satisfies its distribution and exchanges ONLY the
-    # frontier (mirrors the oracle's MATERIALIZED bi CTE; values are
-    # untouched — same exact integer sums, any partitioning).
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bi = (
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .repartition(nparts, "src")
-        .localCheckpoint(eager=True)
+    _KZ_PREV_CKPT.append(_kz_ids)
+    bi = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    x = (
+    # carry-total recursion: y_k = (node, x_k, t_k = t_{k-1} + x_k), so
+    # every x_k is referenced EXACTLY once (by y_{k+1}) and the final
+    # answer is t_r — no union that would re-reference (and re-execute)
+    # every round's chain. The per-round floor-div arithmetic is
+    # untouched, so the oracle's unrolled-CTE replay is bit-identical.
+    # Measured at sf1 (SCALE.md r11): 16.4 s (r10) -> 5.9 s, ahead of
+    # the DuckDB oracle's 6.8 s for the first time.
+    y = (
         bi.select(F.col("dst").alias("node"))
         .distinct()
-        .select("node", F.lit(_KZ_S).cast("long").alias("x"))
+        .select(
+            "node",
+            F.lit(_KZ_S).cast("long").alias("x"),
+            F.lit(0).cast("long").alias("t"),
+        )
     )
-    rounds = []
     for _ in range(_KZ_ROUNDS):
-        x = (
+        xk = (
             bi.join(
-                x.select(F.col("node").alias("src"), "x"), "src"
+                y.select(F.col("node").alias("src"), "x"), "src"
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(
@@ -150,13 +199,13 @@ def katz_centrality_trade(spark, sf_dir):
                 )
             )
         )
-        rounds.append(x)
-    walks = rounds[0]
-    for r in rounds[1:]:
-        walks = walks.unionByName(r)
+        y = xk.join(y.select("node", "t"), "node", "left").select(
+            "node",
+            "x",
+            (F.col("x") + F.coalesce(F.col("t"), F.lit(0))).alias("t"),
+        )
     return (
-        walks.groupBy("node")
-        .agg(F.sum("x").cast("long").alias("katz_scaled"))
+        y.select("node", F.col("t").alias("katz_scaled"))
         .orderBy(F.col("katz_scaled").desc(), "node")
         .limit(_KZ_TOPK)
     )

@@ -160,7 +160,8 @@ _RBO = (
     f" / (CAST(3 AS DOUBLE) / CAST(4 AS DOUBLE)) * ({_RBO_EXPR})"
 )
 _RBO_XCOLS_SQL = ", ".join(
-    f"CAST(SUM(CASE WHEN m <= {i} THEN 1 ELSE 0 END) AS BIGINT) AS x{i}"
+    f"CAST(COALESCE(SUM(CASE WHEN m <= {i} THEN 1 ELSE 0 END), 0)"
+    f" AS BIGINT) AS x{i}"
     for i in range(1, _RBO_DEPTH + 1)
 )
 
@@ -173,17 +174,26 @@ def _rbo_sql() -> str:
           FROM documents)
     GROUP BY 1
     """
-    ranked = f"""
-    SELECT w,
-           ROW_NUMBER() OVER (ORDER BY n DESC, w) AS ra,
-           ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rb
-    FROM ({tf})
+    # only terms inside SOME top-d prefix influence X_i, so the global
+    # rankings never materialize: each side is a TakeOrdered top-d and
+    # the rank window runs over that d-row list (its row_number IS the
+    # global rank — it is the global order's prefix)
+    top_a = f"""
+    SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS ra
+    FROM (SELECT w, n FROM ({tf})
+          ORDER BY n DESC, w LIMIT {_RBO_DEPTH})
+    """
+    top_b = f"""
+    SELECT w, ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rb
+    FROM (SELECT w, df FROM ({tf})
+          ORDER BY df DESC, w LIMIT {_RBO_DEPTH})
     """
     return f"""
     SELECT {_RBO_DEPTH} AS depth, x{_RBO_DEPTH} AS overlap_at_depth,
            {_RBO} AS rbo_p75
     FROM (SELECT {_RBO_XCOLS_SQL}
-          FROM (SELECT GREATEST(ra, rb) AS m FROM ({ranked})))
+          FROM (SELECT GREATEST(a.ra, b.rb) AS m
+                FROM ({top_a}) a JOIN ({top_b}) b ON a.w = b.w))
     """
 
 
@@ -206,10 +216,11 @@ def rbo_term_rankings(spark, sf_dir):
     as the exact integer power 3^i/4^i, so the weighted sum is a
     fixed-order shared expression.
 
-    Scale shape: one token aggregate to the term-type table, two
-    unpartitioned rank windows over it (bounded by vocabulary, not
-    corpus), and a single {x}-column conditional aggregate; only
-    top-{d} prefixes influence the answer.
+    Scale shape: one token aggregate to the term-type table, then two
+    TakeOrdered top-{d} lists whose {d}-row rank windows ARE the global
+    ranks (a prefix of the global order) — the vocab-wide ranking never
+    materializes (the zipf r9 lesson); the statistic is one
+    {x}-column conditional aggregate over the joined prefix lists.
     """
     docs = read_table(spark, sf_dir, "documents")
     tf = (
@@ -224,17 +235,36 @@ def rbo_term_rankings(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    ranked = tf.select(
-        F.row_number()
-        .over(Window.orderBy(F.col("n").desc(), "w"))
-        .alias("ra"),
-        F.row_number()
-        .over(Window.orderBy(F.col("df").desc(), "w"))
-        .alias("rb"),
-    ).select(F.greatest("ra", "rb").alias("m"))
+    top_a = (
+        tf.select("w", "n")
+        .orderBy(F.col("n").desc(), "w")
+        .limit(_RBO_DEPTH)
+        .select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "w"))
+            .alias("ra"),
+        )
+    )
+    top_b = (
+        tf.select("w", "df")
+        .orderBy(F.col("df").desc(), "w")
+        .limit(_RBO_DEPTH)
+        .select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.col("df").desc(), "w"))
+            .alias("rb"),
+        )
+    )
+    ranked = top_a.join(top_b, "w").select(
+        F.greatest("ra", "rb").alias("m")
+    )
     xagg = ranked.agg(
         *[
-            F.sum(F.when(F.col("m") <= i, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("m") <= i, 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias(f"x{i}")
             for i in range(1, _RBO_DEPTH + 1)
