@@ -185,6 +185,11 @@ HEADLINE = [
     "weibull_median_rank_fit",  # parametric survival via rank OLS
     "timed_funnel_conversion",  # deadline-constrained funnel
     "kcenter_coreset_embeddings",  # greedy max-min coreset selection
+    "shapley_channel_attribution",  # exact 16-mask Shapley collapse
+    "bcubed_dedup_eval",        # dedup-cluster quality vs exact gold
+    "binseg_two_changepoints",  # greedy 2-level mean-shift search
+    "community_conductance",    # per-community separation (LPA)
+    "nation_homophily_trade",   # categorical assortativity (mixing)
 ]
 
 
