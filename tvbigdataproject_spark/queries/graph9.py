@@ -176,8 +176,9 @@ def katz_centrality_trade(spark, sf_dir):
     # answer is t_r — no union that would re-reference (and re-execute)
     # every round's chain. The per-round floor-div arithmetic is
     # untouched, so the oracle's unrolled-CTE replay is bit-identical.
-    # Measured at sf1 (SCALE.md r11): 16.4 s (r10) -> 5.9 s, ahead of
-    # the DuckDB oracle's 6.8 s for the first time.
+    # Measured at sf1 (SCALE.md r11): 16.4 s (r10) -> 5.9-7.9 s warm
+    # (session-dependent), at/ahead of the DuckDB oracle's 6.8 s for
+    # the first time.
     y = (
         bi.select(F.col("dst").alias("node"))
         .distinct()
