@@ -122,13 +122,26 @@ def main() -> None:
         raw = _edges(spark, rd)
         rung: dict = {}
 
-        ck = raw.localCheckpoint(eager=True)
-        rung["shuffled"] = _time_layout(spark, ck, args)
-        ck.unpersist()
+        # deterministic checkpoint release between layouts (ADVICE
+        # r11): DataFrame.unpersist() does NOT free localCheckpoint
+        # blocks — the backing RDD lives outside the cacheManager —
+        # so the earlier layouts' edge tables would stay persisted
+        # while the later ones are timed, skewing the very ablation
+        # this tool measures (c100 especially). Track the persisted
+        # ids and release them explicitly instead.
+        from tvbigdataproject_spark.operators.components import (
+            _checkpoint_tracked,
+            _unpersist_ids,
+        )
 
-        ck = raw.repartition(nparts, "src").localCheckpoint(eager=True)
+        sc = spark.sparkContext
+        ck, ids = _checkpoint_tracked(raw, sc)
+        rung["shuffled"] = _time_layout(spark, ck, args)
+        _unpersist_ids(sc, ids)
+
+        ck, ids = _checkpoint_tracked(raw.repartition(nparts, "src"), sc)
         rung["colocated"] = _time_layout(spark, ck, args)
-        ck.unpersist()
+        _unpersist_ids(sc, ids)
 
         tbl = f"t_edges_b_c{copies}"
         t0 = time.perf_counter()

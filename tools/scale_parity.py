@@ -131,21 +131,25 @@ def generate(spark, copies: int) -> None:
             # tier needs is preserved (5 exact copies of every doc).
             # Both engines read the same parquet, so parity semantics
             # are untouched.
+            suffix = F.concat(
+                F.lit("pz"),
+                F.pmod(F.col("doc_id"), F.lit(99991)).cast("string"),
+            )
+            odd = F.col("_copy") % 2 == 1
             widened = widened.withColumn(
                 "text",
+                F.when(odd, F.concat_ws(" ", F.col("text"), suffix))
+                .otherwise(F.col("text")),
+            ).withColumn(
+                # keep n_chars == len(text) on the suffixed copies too
+                # (ADVICE r11: an internally inconsistent fixture would
+                # quietly skew the queries that gate on n_chars as a
+                # text-length proxy — mcnemar/cochran, MSTTR-adjacent);
+                # +1 for the joining space
+                "n_chars",
                 F.when(
-                    F.col("_copy") % 2 == 1,
-                    F.concat_ws(
-                        " ",
-                        F.col("text"),
-                        F.concat(
-                            F.lit("pz"),
-                            F.pmod(F.col("doc_id"), F.lit(99991)).cast(
-                                "string"
-                            ),
-                        ),
-                    ),
-                ).otherwise(F.col("text")),
+                    odd, F.col("n_chars") + F.lit(1) + F.length(suffix)
+                ).otherwise(F.col("n_chars")),
             )
         widened.drop("_copy").write.mode("overwrite").parquet(
             f"{OUT}/{t}.parquet"

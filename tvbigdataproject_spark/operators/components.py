@@ -77,6 +77,9 @@ def _unpersist_ids(sc, ids: set[int]) -> None:
 # inherited estimate is kept — it is what lets small checkpointed tables
 # keep auto-broadcasting.
 _STATS_BITLEN_CEILING = 96
+# one-time flag: the stats rebuild failing is advisory but must not be
+# silent (ADVICE r11) — warn on the first failure, then stay quiet
+_STATS_REBUILD_WARNED = False
 
 
 def _checkpoint_tracked(df: DataFrame, sc) -> tuple[DataFrame, set[int]]:
@@ -98,15 +101,30 @@ def _checkpoint_tracked(df: DataFrame, sc) -> tuple[DataFrame, set[int]]:
         # pyspark 4.1); if a future Spark renames it, keep the (valid,
         # just pessimistically-estimated) checkpoint rather than fail
         # the iteration — losing the stats reset degrades planning,
-        # losing the checkpointed rows would break the run.
+        # losing the checkpointed rows would break the run. The
+        # degradation must be OBSERVABLE though (ADVICE r11): a silent
+        # fallback would let the driver-CPU/BigInteger blowup the
+        # rebuild exists to prevent quietly return, so the first
+        # failure per process warns once with the real cause.
         try:
             spark = df.sparkSession
             fresh = spark._jsparkSession.internalCreateDataFrame(
                 jdf.queryExecution().toRdd(), jdf.schema(), False
             )
             out = DataFrame(fresh, spark)
-        except Exception:
-            pass
+        except Exception as exc:
+            global _STATS_REBUILD_WARNED
+            if not _STATS_REBUILD_WARNED:
+                _STATS_REBUILD_WARNED = True
+                import warnings
+
+                warnings.warn(
+                    "checkpoint stats rebuild failed; keeping the "
+                    "pessimistic size estimate (planning may degrade "
+                    f"on deep iterative plans): {exc!r}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return out, _persistent_ids(sc) - before
 
 

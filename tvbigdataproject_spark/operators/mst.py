@@ -39,10 +39,16 @@ def boruvka_msf(
     canonicalized u < v and deduplicated keeping the minimum weight;
     selection order is the total order (w, u, v).
 
-    Every round: two label joins onto the edge list + one per-component
-    min + a pointer-jumping contraction — all corpus-partitioned keyed
-    ops, nothing per-row on the driver. ``max_rounds`` raises rather
-    than return a partial forest (25 rounds covers 2^25 components).
+    Every round: one explode-pass min-selection over the CONTRACTED
+    edge table + a pointer-jumping hook + a re-contraction (relabel to
+    roots, min original edge per root pair) — all corpus-partitioned
+    keyed ops, nothing per-row on the driver; the persisted state is
+    one geometrically-shrinking edge table plus component-bounded
+    parent maps (r12: the corpus-sized labels table and the second
+    edge-sized ``cross`` checkpoint of the r11 shape are gone — the
+    c100 rung OOM'd 16 GB with edge+cross+labels concurrently live).
+    ``max_rounds`` raises rather than return a partial forest (25
+    rounds covers 2^25 components).
     """
     sc = edges.sparkSession.sparkContext
     canon = (
@@ -57,7 +63,7 @@ def boruvka_msf(
     )
     # every live checkpoint block id is mirrored in ``held`` so a
     # mid-round exception releases round-transient checkpoints
-    # (cross/sel/parent tables) too, not just the loop-carried ones —
+    # (sel/parent tables) too, not just the loop-carried ones —
     # the error-path cache hygiene scc and reachable_masks already have
     held: set[int] = set()
 
@@ -70,48 +76,54 @@ def boruvka_msf(
         _unpersist_ids(sc, ids)
         held.difference_update(ids)
 
-    e, e_ids = _ck(canon)
-    labels, l_ids = _ck(
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .distinct()
-        .select("node", F.col("node").alias("comp")),
+    # CONTRACTED edge representation (r12, the c100 16-GB fix): each
+    # row is the minimum ORIGINAL edge (w, u, v) between a live
+    # component pair (cu, cv). Round 1 starts with cu=u, cv=v; each
+    # round relabels endpoints to component roots and re-contracts
+    # (min-struct per root pair), so the persisted edge table SHRINKS
+    # geometrically instead of staying corpus-sized — and the old
+    # edge-sized ``cross`` checkpoint (a second full copy of the edge
+    # list persisted alongside it every round; the r11 c100 OOM named
+    # exactly "per-round edge + label + forest concurrently live") is
+    # gone entirely: candidates are now emitted in ONE pass over the
+    # contracted table via an inline 2-element explode, so nothing
+    # edge-sized needs a second materialization. Correctness is the
+    # standard Boruvka contraction argument: keeping the (w, u, v)-min
+    # original edge per component pair preserves every component's
+    # minimum outgoing edge, so the selected forest is unchanged (and
+    # still THE unique MSF under the total order).
+    ec, ec_ids = _ck(
+        canon.select(
+            F.col("u").alias("cu"), F.col("v").alias("cv"), "w", "u", "v"
+        )
     )
     forest: DataFrame | None = None
     f_ids: set[int] = set()
     try:
         for _ in range(max_rounds):
-            lab_u = labels.select(
-                F.col("node").alias("u"), F.col("comp").alias("cu")
-            )
-            lab_v = labels.select(
-                F.col("node").alias("v"), F.col("comp").alias("cv")
-            )
-            cross = (
-                e.join(lab_u, "u")
-                .join(lab_v, "v")
-                .where(F.col("cu") != F.col("cv"))
-            )
-            cross, x_ids = _ck(cross)
-            if not cross.head(1):
-                _rel(x_ids)
-                break
+            # both orientations in one pass (no self-union => the
+            # contracted table is referenced once and stays lazy)
+            cand = ec.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("cu").alias("comp"),
+                            F.struct(
+                                "w", "u", "v", F.col("cv").alias("cother")
+                            ).alias("e"),
+                        ),
+                        F.struct(
+                            F.col("cv").alias("comp"),
+                            F.struct(
+                                "w", "u", "v", F.col("cu").alias("cother")
+                            ).alias("e"),
+                        ),
+                    )
+                ).alias("x")
+            ).select("x.comp", "x.e")
             # each component's minimum outgoing edge under (w, u, v):
             # min over a struct is lexicographic, so the selection is
             # the unique total-order minimum per component
-            cand = cross.select(
-                F.col("cu").alias("comp"),
-                F.struct("w", "u", "v", F.col("cv").alias("cother")).alias(
-                    "e"
-                ),
-            ).unionByName(
-                cross.select(
-                    F.col("cv").alias("comp"),
-                    F.struct(
-                        "w", "u", "v", F.col("cu").alias("cother")
-                    ).alias("e"),
-                )
-            )
             sel = cand.groupBy("comp").agg(F.min("e").alias("e"))
             sel, s_ids = _ck(
                 sel.select(
@@ -122,7 +134,9 @@ def boruvka_msf(
                     F.col("e.cother").alias("parent"),
                 ),
             )
-            _rel(x_ids)
+            if not sel.head(1):
+                _rel(s_ids)
+                break
             picked = sel.select("u", "v", "w").distinct()
             new_forest, nf_ids = _ck(
                 picked
@@ -192,25 +206,65 @@ def boruvka_msf(
                 raise RuntimeError(
                     "boruvka_msf: pointer jumping did not converge"
                 )
-            relab = labels.join(
-                par_ck.select(
-                    F.col("comp"), F.col("parent").alias("newc")
-                ),
-                "comp",
-                "left",
-            ).select(
-                "node", F.coalesce("newc", "comp").alias("comp")
+            # contract: relabel both endpoints to their roots (the
+            # root map is component-bounded; components that selected
+            # nothing keep their label via the left-join coalesce),
+            # drop now-internal edges, keep the min original edge per
+            # root pair. The pre-contraction relabeled rows live only
+            # in shuffle (spill-safe), never in block storage.
+            roots = par_ck.select("comp", F.col("parent").alias("root"))
+            relab = (
+                ec.join(
+                    roots.select(
+                        F.col("comp").alias("cu"),
+                        F.col("root").alias("ru"),
+                    ),
+                    "cu",
+                    "left",
+                )
+                .join(
+                    roots.select(
+                        F.col("comp").alias("cv"),
+                        F.col("root").alias("rv"),
+                    ),
+                    "cv",
+                    "left",
+                )
+                .select(
+                    F.coalesce("ru", "cu").alias("nu"),
+                    F.coalesce("rv", "cv").alias("nv"),
+                    "w",
+                    "u",
+                    "v",
+                )
+                .where(F.col("nu") != F.col("nv"))
             )
-            new_l, nl_ids = _ck(relab)
-            _rel(l_ids)
+            contracted = (
+                relab.select(
+                    F.least("nu", "nv").alias("cu"),
+                    F.greatest("nu", "nv").alias("cv"),
+                    F.struct("w", "u", "v").alias("e"),
+                )
+                .groupBy("cu", "cv")
+                .agg(F.min("e").alias("e"))
+                .select(
+                    "cu",
+                    "cv",
+                    F.col("e.w").alias("w"),
+                    F.col("e.u").alias("u"),
+                    F.col("e.v").alias("v"),
+                )
+            )
+            new_ec, nec_ids = _ck(contracted)
+            _rel(ec_ids)
             _rel(p_ids)
-            labels, l_ids = new_l, nl_ids
+            ec, ec_ids = new_ec, nec_ids
         else:
             raise RuntimeError(
                 f"boruvka_msf: not settled after {max_rounds} rounds"
             )
         if forest is None:
-            out = e.limit(0).select("u", "v", "w")
+            out = ec.limit(0).select("u", "v", "w")
             out_ck, _ = _checkpoint_tracked(out, sc)
             return out_ck
         out_ck, _ = _checkpoint_tracked(
@@ -219,7 +273,7 @@ def boruvka_msf(
         return out_ck
     finally:
         # release EVERY still-held checkpoint block — loop-carried
-        # (e/labels/forest) and any round-transient table a mid-round
+        # (ec/forest) and any round-transient table a mid-round
         # exception left behind (the returned out_ck is checkpointed
         # outside ``held`` so it survives)
         _unpersist_ids(sc, held)

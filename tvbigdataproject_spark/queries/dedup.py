@@ -225,13 +225,46 @@ def dedup_simhash(spark, sf_dir):
 
 
 # Near-dup pairs (word-3-gram Jaccard >= 0.4) as a reusable CTE chain,
-# then transitive closure via a recursive CTE — exact at sf=0.01; the
-# Spark side must converge to the same fixpoint.
+# then transitive closure via a recursive CTE. r12 (VERDICT r11 item
+# 7): candidate generation is PREFIX-FILTERED — the naive all-shingle
+# self-join + per-pair aggregate died at a 78 GB spill at sf1 under
+# the perturbed copy protocol (every shingle carried ~10x
+# multiplicity, so the pre-aggregate fan-out exploded while the
+# engine's blocked plan took seconds). The rewrite uses the SAME
+# lossless PPJoin prefix scheme the engine implements
+# (operators/dedup.py::ngram_jaccard_pairs_prefix, whose losslessness
+# the dedup_ngram_prefix gate verifies against the brute force):
+# order each document's shingles rarest-first, keep the first
+# n - ceil(t*n) + 1 as its prefix; any Jaccard >= t pair must share a
+# prefix shingle (Xiao et al., WWW'08), so candidates come from the
+# prefix self-join only and the exact-verify aggregate is bounded by
+# the candidate set, not the shared-shingle fan-out. Output identical.
 _PAIRS_CTE = f"""{_SH_SQL},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    sfreq AS (SELECT s, COUNT(*) AS f FROM sh GROUP BY 1),
+    ranked AS (
+        SELECT sh.doc_id, sh.s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sh.doc_id ORDER BY sfreq.f, sh.s
+               ) AS rk,
+               sz.n
+        FROM sh
+        JOIN sfreq ON sfreq.s = sh.s
+        JOIN sizes sz ON sz.doc_id = sh.doc_id
+    ),
+    pfx AS (
+        SELECT doc_id, s FROM ranked
+        WHERE rk <= n - CAST(CEIL(0.4 * n) AS BIGINT) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
     inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
         GROUP BY 1, 2
     ),
     pairs AS (

@@ -95,24 +95,11 @@ def community_conductance(spark, sf_dir):
         _unpersist_ids,
         label_propagation,
     )
+    from tvbigdataproject_spark.operators.trade_edges import trade_edges_bi
 
     sc = spark.sparkContext
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi, bi_ids = _checkpoint_tracked(
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ),
-        sc,
-    )
+    # shared session-scoped edge table (operators/trade_edges.py, r12)
+    bi = trade_edges_bi(spark, sf_dir)
     before_lpa = _persistent_ids(sc)
     lab = label_propagation(bi, rounds=_LPA_ROUNDS)
     lpa_ids = _persistent_ids(sc) - before_lpa
@@ -146,7 +133,7 @@ def community_conductance(spark, sf_dir):
     # pin the bounded result, then release every checkpoint this query
     # created (the community_modularity cleanup discipline)
     pinned, _ = _checkpoint_tracked(out, sc)
-    _unpersist_ids(sc, bi_ids | lpa_ids)
+    _unpersist_ids(sc, lpa_ids)
     return pinned
 
 
@@ -222,16 +209,16 @@ def nation_homophily_trade(spark, sf_dir):
     broadcast dim joins to nations, then a 625-row-bounded mixing
     matrix; margins and the statistic are dim-bounded aggregates.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
+    from tvbigdataproject_spark.operators.trade_edges import trade_pairs
+
     cust = read_table(spark, sf_dir, "customer")
     supp = read_table(spark, sf_dir, "supplier")
     nat = read_table(spark, sf_dir, "nation")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-    )
+    # the Katz edge-build treatment (r12, VERDICT r11 item 2): the
+    # distinct-pair build dominated the sf1 profile (15.6 s vs the
+    # oracle's 4.9 s) exactly as it did pre-rewrite Katz — it now
+    # rides the shared size-gated-SHUFFLE_HASH materialize-once table
+    pairs = trade_pairs(spark, sf_dir)
     cn = cust.join(
         F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
     ).select(F.col("c_custkey"), F.col("n_name").alias("cnat"))

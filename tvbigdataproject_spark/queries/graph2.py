@@ -16,8 +16,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tvbigdataproject_spark.operators.pagerank import pagerank
+from tvbigdataproject_spark.operators.trade_edges import trade_pair_counts
 from tvbigdataproject_spark.queries.registry import query
-from tvbigdataproject_spark.sources import read_table
 
 _N_ITER = 3
 _S = 10**12
@@ -79,15 +79,12 @@ def pagerank_trade_graph(spark, sf_dir):
     algorithm with a full value-level correctness gate, not a rows-only
     waiver.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    # weighted edges from the shared session-scoped pair-count table
+    # (operators/trade_edges.py, r12)
+    e0 = trade_pair_counts(spark, sf_dir).select(
+        F.col("o_custkey").alias("src"),
+        (-F.col("l_suppkey")).alias("dst"),
+        F.col("n").cast("double").alias("w"),
     )
     bi = e0.unionByName(
         e0.select(
@@ -176,15 +173,12 @@ def ppr_from_landmarks(spark, sf_dir):
     is forced to DOUBLE in SQL; DuckDB's DECIMAL literals would
     otherwise diverge in the last bits).
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    # weighted edges from the shared session-scoped pair-count table
+    # (operators/trade_edges.py, r12)
+    e0 = trade_pair_counts(spark, sf_dir).select(
+        F.col("o_custkey").alias("src"),
+        (-F.col("l_suppkey")).alias("dst"),
+        F.col("n").cast("double").alias("w"),
     )
     bi = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w"))

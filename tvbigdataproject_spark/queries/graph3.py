@@ -25,6 +25,7 @@ from tvbigdataproject_spark.operators.traversal import (
     triangle_corner_counts,
 )
 from tvbigdataproject_spark.queries.dedup import _SH_SQL
+from tvbigdataproject_spark.operators.trade_edges import trade_edges_bi
 from tvbigdataproject_spark.queries.registry import query
 from tvbigdataproject_spark.sources import read_table
 
@@ -66,19 +67,7 @@ def bfs_hops_trade(spark, sf_dir):
     side is the iterative frontier operator with per-round checkpoint
     release (operators/traversal.py).
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    bi = trade_edges_bi(spark, sf_dir)
     return bfs_levels(bi, source=_BFS_SOURCE, max_hops=_BFS_HOPS)
 
 
@@ -134,19 +123,7 @@ def kcore_trade_graph(spark, sf_dir):
     as 3 unrolled CTE rounds, value-checking the whole cascade (fixed
     rounds for reproducibility, same design as pagerank_trade_graph).
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    bi = trade_edges_bi(spark, sf_dir)
     return kcore_peel(bi, k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 

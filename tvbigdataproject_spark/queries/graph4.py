@@ -11,8 +11,11 @@ from tvbigdataproject_spark.operators.traversal import (
     luby_mis,
     sssp_bounded,
 )
+from tvbigdataproject_spark.operators.trade_edges import (
+    trade_edges_bi,
+    trade_pair_counts,
+)
 from tvbigdataproject_spark.queries.registry import query
-from tvbigdataproject_spark.sources import read_table
 
 _SSSP_SOURCE = 1
 _SSSP_ROUNDS = 3
@@ -71,15 +74,12 @@ def sssp_trade_graph(spark, sf_dir):
     tier. Supplier ids are negated into their own id space (same
     convention as pagerank_trade_graph / bfs_hops_trade).
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
+    # weighted edges from the shared session-scoped pair-count table
+    # (operators/trade_edges.py, r12)
+    e0 = trade_pair_counts(spark, sf_dir).select(
+        F.col("o_custkey").alias("src"),
+        (-F.col("l_suppkey")).alias("dst"),
+        F.col("n").alias("w"),
     )
     bi = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w"))
@@ -133,19 +133,7 @@ def landmark_distances(spark, sf_dir):
     the recursive CTE with UNION-distinct recursion, whose state is
     bounded by landmarks x nodes x hops, never the walk count.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    bi = trade_edges_bi(spark, sf_dir)
     landmarks = (
         bi.where(F.col("src") > 0)
         .select(F.col("src").alias("node"))
@@ -203,19 +191,7 @@ def harmonic_closeness_landmarks(spark, sf_dir):
     Scale shape: one multi-source frontier loop (bfs_levels_multi)
     plus a node-keyed agg over the k x reachable distance table.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    bi = trade_edges_bi(spark, sf_dir)
     landmarks = (
         bi.where(F.col("src") > 0)
         .select(F.col("src").alias("node"))
@@ -304,19 +280,7 @@ def mis_trade_graph(spark, sf_dir):
     value-checked. DataFrame side: operators/traversal.py::luby_mis
     with the iterative tier's checkpoint-release discipline.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    bi = trade_edges_bi(spark, sf_dir)
     return luby_mis(bi, rounds=_MIS_ROUNDS)
 
 
@@ -445,19 +409,7 @@ def lpa_communities(spark, sf_dir):
     """
     from tvbigdataproject_spark.operators.components import label_propagation
 
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    bi = trade_edges_bi(spark, sf_dir)
     return label_propagation(bi, rounds=_LPA_ROUNDS)
 
 
@@ -478,17 +430,16 @@ def community_modularity(spark, sf_dir):
     node-keyed equi-joins over the edge list (the standard distributed
     modularity evaluation; nothing all-pairs, state bounded by |E|);
     everything then collapses through map-side partial aggregation to
-    one global row. The edge list is materialized ONCE (eager local
-    checkpoint, the iterative tier's discipline) — it feeds three
-    consumers (LPA rounds, the degree count, the intra-edge tagging),
-    and without the checkpoint each re-derives the lineitem-orders
+    one global row. The edge list rides the SESSION-SCOPED shared
+    checkpoint (operators/trade_edges.py) — it feeds three consumers
+    (LPA rounds, the degree count, the intra-edge tagging), and
+    without materialization each re-derives the lineitem-orders
     join + distinct from the scan (measured 5.5 s -> the build done
     once at sf0.1; exchange reuse does not fire across the
-    differently-shaped branches). Every checkpoint this query creates
-    (the edge list + LPA's internal tables) is released before
-    returning: the one-row result is pinned eagerly, then the
-    persistent-RDD delta is unpersisted — repeated construction leaves
-    nothing behind but the result row.
+    differently-shaped branches). LPA's internal checkpoints are
+    released before returning (the one-row result is pinned eagerly,
+    then the delta is unpersisted); the edge table itself stays
+    cached for the next graph query.
     """
     from tvbigdataproject_spark.operators.components import (
         _checkpoint_tracked,
@@ -498,22 +449,13 @@ def community_modularity(spark, sf_dir):
     )
 
     sc = spark.sparkContext
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi, _bi_ids = _checkpoint_tracked(
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ),
-        sc,
-    )
+    # the edge list rides the session-scoped shared checkpoint
+    # (operators/trade_edges.py, r12): materialized once per
+    # (context, sf_dir), reused by every graph query — this query's
+    # three consumers (LPA rounds, degree count, intra tagging) all
+    # scan the same persisted rows, and the blocks are NOT released
+    # here (they belong to the shared cache, not this call)
+    bi = trade_edges_bi(spark, sf_dir)
     # capture LPA's surviving checkpoint blocks as the delta around the
     # call itself — NOT a whole-query diff of global persistent-RDD
     # state, which on a shared session would sweep up (and release)
@@ -585,7 +527,7 @@ def community_modularity(spark, sf_dir):
     # be released NOW instead of accruing on a long-lived session —
     # bench alone constructs this query 5x per run.
     out, out_ids = _checkpoint_tracked(result, sc)
-    _unpersist_ids(sc, (_bi_ids | lpa_ids) - out_ids)
+    _unpersist_ids(sc, lpa_ids - out_ids)
     return out
 
 
@@ -651,19 +593,7 @@ def effective_diameter_landmarks(spark, sf_dir):
     <=5-row hop histogram; the cumulative window runs over that
     bounded grid.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    bi = trade_edges_bi(spark, sf_dir)
     landmarks = (
         bi.where(F.col("src") > 0)
         .select(F.col("src").alias("node"))

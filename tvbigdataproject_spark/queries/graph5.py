@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tvbigdataproject_spark.queries.registry import query
-from tvbigdataproject_spark.sources import read_table
 
 _RA_SCALE = 1 << 40
 # common-neighbor contributions from promiscuous intermediaries are
@@ -77,12 +76,11 @@ def ra_link_prediction(spark, sf_dir):
     top-20 is a TakeOrdered. This is the dedup tier's shared-blocker
     join shape (operators/dedup.py) applied to link prediction.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+    from tvbigdataproject_spark.operators.trade_edges import trade_pairs
+
+    # shared session-scoped pair table (operators/trade_edges.py, r12)
+    e = trade_pairs(spark, sf_dir).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
     )
     deg = (
         e.groupBy("c")

@@ -14,8 +14,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tvbigdataproject_spark.operators.centrality import brandes_betweenness
+from tvbigdataproject_spark.operators.trade_edges import trade_edges_bi
 from tvbigdataproject_spark.queries.registry import query
-from tvbigdataproject_spark.sources import read_table
 
 _BC_LANDMARKS = 3
 _BC_HOPS = 4
@@ -36,19 +36,7 @@ def betweenness_landmarks(spark, sf_dir):
     integer dependency accumulation (float-order-independent, so the
     output is bitwise-stable across runs and parallelism).
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    bi = trade_edges_bi(spark, sf_dir)
     landmarks = (
         bi.where(F.col("src") > 0)
         .select(F.col("src").alias("node"))
@@ -117,19 +105,7 @@ def graph_diameter_sweep(spark, sf_dir):
     reductions run on the hop table (|V| rows), and every 1-row side of
     the final assembly is broadcast.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    bi = trade_edges_bi(spark, sf_dir)
     from tvbigdataproject_spark.operators.traversal import bfs_levels_multi
 
     seed = (

@@ -35,8 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tvbigdataproject_spark.operators.trade_edges import trade_edges_bi
 from tvbigdataproject_spark.queries.registry import query
-from tvbigdataproject_spark.sources import read_table
 
 _WL_ROUNDS = 3
 _WL_TOPK = 20
@@ -118,19 +118,7 @@ def wl_colors_trade_graph(spark, sf_dir):
     dictionary-encoded to 8-byte longs at birth so the per-round
     shuffles never carry digest strings.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    bi = trade_edges_bi(spark, sf_dir)
     colors = bi.select("src").distinct().select(
         F.col("src").alias("node"),
         F.when(F.col("src") > 0, F.lit(0))

@@ -33,8 +33,6 @@ _KZ_S = 1_000_000  # starting mass per node (1e6-scaled)
 _KZ_ALPHA_DIV = 8  # alpha = 1/8, exact in binary
 _KZ_ROUNDS = 3
 _KZ_TOPK = 20
-# previous invocation's checkpoint block ids (released latest-wins)
-_KZ_PREV_CKPT: list = []
 
 
 def _kz_sql() -> str:
@@ -108,69 +106,21 @@ def katz_centrality_trade(spark, sf_dir):
     while DuckDB promotes to HUGEINT, so the bound is a parity
     invariant, not just an accuracy one.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    # SHUFFLE_HASH on the orders side WHEN IT FITS: the edge build
-    # dominated the sf1 profile (7.6 s of ~11.5 s; SMJ sorts the
-    # 60M-row lineitem side) and the hash build halves it (3.5 s) —
-    # but the build side must fit per-partition heap: at c100 (136 MB
-    # orders parquet over 32 fixed local partitions) the 60M-entry
-    # maps OOM'd the 16g JVM (SCALE.md r11 ladder). So the hint is
-    # SIZE-GATED on the driver-side parquet footprint (no job) — the
-    # bytes-per-task criterion AQE itself applies; past the gate the
-    # planner's SMJ (sort spills, never OOMs) takes over. Both fact
-    # sides still shuffle on the join key either way — never a
-    # broadcast (measured WORSE at sf1, 8.5 s, and dies at scale).
-    #
-    # The eager localCheckpoint materializes the edge build exactly
-    # once: each x_k in the naive unrolled form is referenced both by
-    # round k+1 AND the final union, so the edge subplan re-executes
-    # O(2^r) times (18 lineitem scans in the sf1 plan; AQE's runtime
-    # stage reuse only recovered part of it) — the Spark twin of the
-    # oracle's MATERIALIZED bi.
-    import os as _os
+    # The edge build (size-gated SHUFFLE_HASH + materialize-once —
+    # the r11 Katz treatment: SHUFFLE_HASH halves the SMJ edge build
+    # when the orders side fits per-partition heap, and the eager
+    # checkpoint stops the O(2^r) subplan re-execution of the naive
+    # unrolled form) moved to the SHARED session-scoped table in
+    # operators/trade_edges.py (r12): one materialization per
+    # (context, sf_dir) serves the whole graph family, which also
+    # retires the latest-wins _KZ_PREV_CKPT stash — repeated bench
+    # reps now REUSE the blocks instead of rebuilding + releasing
+    # (the c100 rep-degradation that stash existed to prevent), and
+    # the cache is keyed by applicationId so a context restart can
+    # never release unrelated RDDs (ADVICE r11).
+    from tvbigdataproject_spark.operators.trade_edges import trade_edges_bi
 
-    o_sel = orders.select("o_orderkey", "o_custkey")
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    try:
-        o_bytes = sum(
-            _os.path.getsize(f.removeprefix("file:"))
-            for f in orders.inputFiles()
-        )
-    except OSError:
-        o_bytes = None
-    if o_bytes is not None and o_bytes <= nparts * (2 << 20):
-        o_sel = o_sel.hint("SHUFFLE_HASH")
-    # The checkpoint blocks outlive the call (the returned lazy plan
-    # reads them), so a PREVIOUS invocation's blocks are released here
-    # instead of leaking per call — repeated benchmarking loops would
-    # otherwise accumulate one edge table per rep until a JVM GC
-    # happens to run the ContextCleaner (measured: c100 reps degraded
-    # 29 s -> 68 s). Trade: a still-unconsumed result from an EARLIER
-    # katz call becomes unrecomputable once a new call lands — the
-    # same latest-wins contract the iterative operators' returned
-    # checkpoints already carry.
-    from tvbigdataproject_spark.operators.components import (
-        _checkpoint_tracked,
-        _unpersist_ids,
-    )
-
-    sc = spark.sparkContext
-    _unpersist_ids(sc, _KZ_PREV_CKPT.pop() if _KZ_PREV_CKPT else set())
-    e0, _kz_ids = _checkpoint_tracked(
-        li.select("l_orderkey", "l_suppkey")
-        .join(o_sel, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct(),
-        sc,
-    )
-    _KZ_PREV_CKPT.append(_kz_ids)
-    bi = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    bi = trade_edges_bi(spark, sf_dir)
     # carry-total recursion: y_k = (node, x_k, t_k = t_{k-1} + x_k), so
     # every x_k is referenced EXACTLY once (by y_{k+1}) and the final
     # answer is t_r — no union that would re-reference (and re-execute)
