@@ -148,12 +148,17 @@ def test_label_propagation_releases_checkpoint_blocks(spark):
 
 
 def test_community_modularity_releases_all_but_result(spark):
-    # the registered query checkpoints the shared edge list + LPA's
-    # internal tables; all of it must be released before returning —
-    # only the one-row result checkpoint may remain per invocation.
+    # the query rides the SESSION-SCOPED shared edge table (r12,
+    # operators/trade_edges.py — cached once per context by design)
+    # and checkpoints LPA's internal tables; everything the CALL
+    # creates must be released before returning — only the one-row
+    # result checkpoint may remain per invocation. Warm the shared
+    # table first so the delta measures per-invocation growth only.
+    from tvbigdataproject_spark.operators.trade_edges import trade_edges_bi
     from tvbigdataproject_spark.queries.registry import REGISTRY
 
     sc = spark.sparkContext
+    trade_edges_bi(spark, "/root/testdata/sf0.001").count()
     before = len(sc._jsc.getPersistentRDDs().keySet().toArray())
     for _ in range(2):
         df = REGISTRY["community_modularity"].fn(spark, "/root/testdata/sf0.001")
