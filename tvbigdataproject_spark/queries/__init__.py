@@ -106,6 +106,6 @@ from tvbigdataproject_spark.queries import analytic16  # noqa: F401,E402
 from tvbigdataproject_spark.queries import embeddings4  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic17  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic18  # noqa: F401,E402
-from tvbigdataproject_spark.queries import llm_ops14  # noqa: F401,E402
+from tvbigdataproject_spark.queries import llm_ops16  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph11  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph10  # noqa: F401,E402
