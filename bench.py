@@ -190,6 +190,18 @@ HEADLINE = [
     "binseg_two_changepoints",  # greedy 2-level mean-shift search
     "community_conductance",    # per-community separation (LPA)
     "nation_homophily_trade",   # categorical assortativity (mixing)
+    # r12 additions (sequential stats / robust fits / retrieval / design)
+    "pacf_daily_revenue",
+    "ts_motif_pairs",
+    "page_hinkley_drift",
+    "isotonic_weekly_trend",
+    "huber_irls_location",
+    "vif_lineitem_features",
+    "ridge_path_qty_discount",
+    "neyman_allocation_segments",
+    "query_likelihood_dirichlet",
+    "minhash_scurve_design",
+    "graph_reciprocity",
 ]
 
 

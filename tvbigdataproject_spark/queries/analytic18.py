@@ -838,7 +838,11 @@ def ridge_path_qty_discount(spark, sf_dir):
     decimal moments (quantity integral; discount/price in exact
     hundredths), each wide-cast once; the solve is one shared-text
     expression per coefficient over those doubles, identical per
-    lambda row.
+    lambda row. UNITS ARE PART OF THE SPEC: ridge is not scale-
+    invariant, so the fit is defined in the exact-integer moment
+    space — price in CENTS, discount in HUNDREDTHS (beta_qty is
+    cents-per-unit-quantity; divide by 100 for dollars;
+    tests/test_round12.py replays the same scaling through numpy).
 
     Scale shape: ONE lineitem scan -> 1-row moment vector (map-side
     partial aggregation), then a 4-row lambda grid cross join of

@@ -22,13 +22,15 @@ from tvbigdataproject_spark.sources import read_table
 
 _GR_EDGES = """
     e AS (
-        SELECT DISTINCT o_custkey AS a, -l_suppkey AS b
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE l_returnflag <> 'R'
-        UNION
-        SELECT DISTINCT -l_suppkey AS a, o_custkey AS b
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE l_returnflag = 'R'
+        SELECT a, b FROM (
+            SELECT DISTINCT o_custkey AS a, -l_suppkey AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag <> 'R'
+            UNION
+            SELECT DISTINCT -l_suppkey AS a, o_custkey AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+        ) WHERE a <> b
     )
 """
 
@@ -53,7 +55,10 @@ def graph_reciprocity(spark, sf_dir):
     """Reciprocity of the directed trade-returns graph: forward =
     customer->supplier over kept line items, reverse = supplier->
     customer over returned ones (the scc_trade_returns orientation),
-    r = |E ∩ E^T| / |E| — the classic directed-mixing statistic; a
+    r = |E ∩ E^T| / |E| over the LOOP-FREE edge set (self-loops are
+    excluded — a loop is trivially its own reverse and the id-space
+    collision at node 0 can mint one) — the classic directed-mixing
+    statistic; a
     reciprocal dyad is a relationship carrying trade in BOTH states,
     exactly the two-way cores the bowtie/SCC family decomposes.
 
@@ -80,7 +85,15 @@ def graph_reciprocity(spark, sf_dir):
             (-F.col("l_suppkey")).alias("a"), F.col("o_custkey").alias("b")
         )
     )
-    e = fwd.unionByName(rev).distinct()
+    # a <> b: the synthetic data carries both custkey 0 and suppkey 0,
+    # so the negation convention can mint a (0,0) self-loop — and a
+    # self-loop is trivially its own reverse, which would bias r
+    # upward; standard reciprocity is defined loop-free.
+    e = (
+        fwd.unionByName(rev)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
     recip = e.join(
         e.select(F.col("a").alias("b"), F.col("b").alias("a")),
         ["a", "b"],
