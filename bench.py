@@ -202,6 +202,12 @@ HEADLINE = [
     "query_likelihood_dirichlet",
     "minhash_scurve_design",
     "graph_reciprocity",
+    "ljung_box_daily",
+    "cvm_doclen_lang",
+    "entropy_rate_markov",
+    "capture_recapture_users",
+    "hurst_rs_daily",
+    "tail_dependence_nations",
 ]
 
 
