@@ -783,10 +783,13 @@ def _td_leg_sql(nat: str, alias: str) -> str:
                AS n_b_extreme,
            CAST(SUM(CASE WHEN p.ya > qa.q AND p.yb > qb.q THEN 1 ELSE 0 END)
                AS BIGINT) AS n_joint_extreme,
-           CAST(SUM(CASE WHEN p.ya > qa.q AND p.yb > qb.q THEN 1 ELSE 0 END)
-               AS DOUBLE)
-               / CAST(SUM(CASE WHEN p.yb > qb.q THEN 1 ELSE 0 END) AS DOUBLE)
-               AS lambda_upper
+           CASE WHEN SUM(CASE WHEN p.yb > qb.q THEN 1 ELSE 0 END) = 0
+                THEN CAST(0 AS DOUBLE)
+                ELSE CAST(SUM(CASE WHEN p.ya > qa.q AND p.yb > qb.q
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(CASE WHEN p.yb > qb.q THEN 1 ELSE 0 END)
+                            AS DOUBLE)
+           END AS lambda_upper
     FROM paired p CROSS JOIN qa CROSS JOIN qb CROSS JOIN n
     GROUP BY n.n
     """,
@@ -871,10 +874,15 @@ def tail_dependence_nations(spark, sf_dir):
             "n_days",
             "n_b_extreme",
             "n_joint_extreme",
-            (
+            # zero-guard: at tiny SFs the paired grid can have no
+            # conditioning exceedances (ceil(.95n) = n) — lambda is 0
+            # by convention, and ANSI mode would otherwise throw
+            F.when(F.col("n_b_extreme") == 0, F.lit(0.0))
+            .otherwise(
                 F.col("n_joint_extreme").cast("double")
                 / F.col("n_b_extreme").cast("double")
-            ).alias("lambda_upper"),
+            )
+            .alias("lambda_upper"),
         )
     )
 
