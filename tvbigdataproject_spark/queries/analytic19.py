@@ -657,6 +657,12 @@ def hurst_rs_daily(spark, sf_dir):
             "y",
         )
     )
+    # NOTE (r12, measured): an eager checkpoint of the day grid was
+    # tried and made the query SLOWER (8.0s -> 15.0s at sf0.01) — the
+    # cost here is Catalyst compile time over the four portable-log
+    # CASE-ladder stacks, not the 4 re-derived orders scans (the scan
+    # is bounded-aggregate cheap), and checkpointing only added two
+    # blocking materialization jobs per call. Lazy is the right shape.
     idx = daily.select(
         (F.row_number().over(Window.orderBy("x")) - 1).alias("i"), "y"
     )
