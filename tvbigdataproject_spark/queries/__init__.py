@@ -109,4 +109,5 @@ from tvbigdataproject_spark.queries import analytic18  # noqa: F401,E402
 from tvbigdataproject_spark.queries import llm_ops16  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph11  # noqa: F401,E402
 from tvbigdataproject_spark.queries import analytic19  # noqa: F401,E402
+from tvbigdataproject_spark.queries import analytic20  # noqa: F401,E402
 from tvbigdataproject_spark.queries import graph10  # noqa: F401,E402

@@ -226,45 +226,33 @@ def dedup_simhash(spark, sf_dir):
 
 # Near-dup pairs (word-3-gram Jaccard >= 0.4) as a reusable CTE chain,
 # then transitive closure via a recursive CTE. r12 (VERDICT r11 item
-# 7): candidate generation is PREFIX-FILTERED — the naive all-shingle
-# self-join + per-pair aggregate died at a 78 GB spill at sf1 under
-# the perturbed copy protocol (every shingle carried ~10x
-# multiplicity, so the pre-aggregate fan-out exploded while the
-# engine's blocked plan took seconds). The rewrite uses the SAME
-# lossless PPJoin prefix scheme the engine implements
-# (operators/dedup.py::ngram_jaccard_pairs_prefix, whose losslessness
-# the dedup_ngram_prefix gate verifies against the brute force):
-# order each document's shingles rarest-first, keep the first
-# n - ceil(t*n) + 1 as its prefix; any Jaccard >= t pair must share a
-# prefix shingle (Xiao et al., WWW'08), so candidates come from the
-# prefix self-join only and the exact-verify aggregate is bounded by
-# the candidate set, not the shared-shingle fan-out. Output identical.
+# 7): the oracle DICTIONARY-ENCODES shingles to dense BIGINTs before
+# the shared-shingle join — the engine's own "encode at birth so the
+# shuffles never carry digest strings" discipline (wl_colors). The
+# r11 sf1 failure (78 GB spill, then a disk-full death for the
+# prefix-filtered variant) was the ~138M-row join fan-out carrying
+# ~30-byte STRING keys through the join + grouped aggregate; with
+# exact integer ids the identical count-based plan streams in ~29 s
+# at sf1 (measured; 250,600 pairs, byte-equal to the engine). A
+# PPJoin prefix-filter variant was measured too: it cut candidates
+# 52M -> 20M (positional filter) but the candidate-x-shingle verify
+# re-join still blew the disk, and a list_intersect verify was
+# CPU-bound past 10 min — the flat count-based aggregate over
+# integer keys beats both by orders of magnitude. Output identical
+# (dictionary encoding is a bijection; ROW_NUMBER determinism is
+# irrelevant to the pair set).
 _PAIRS_CTE = f"""{_SH_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-    sfreq AS (SELECT s, COUNT(*) AS f FROM sh GROUP BY 1),
-    ranked AS (
-        SELECT sh.doc_id, sh.s,
-               ROW_NUMBER() OVER (
-                   PARTITION BY sh.doc_id ORDER BY sfreq.f, sh.s
-               ) AS rk,
-               sz.n
-        FROM sh
-        JOIN sfreq ON sfreq.s = sh.s
-        JOIN sizes sz ON sz.doc_id = sh.doc_id
+    shdict AS (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS sid
+        FROM (SELECT DISTINCT s FROM sh)
     ),
-    pfx AS (
-        SELECT doc_id, s FROM ranked
-        WHERE rk <= n - CAST(CEIL(0.4 * n) AS BIGINT) + 1
+    she AS (
+        SELECT sh.doc_id, shdict.sid FROM sh JOIN shdict ON shdict.s = sh.s
     ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
-    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM she GROUP BY 1),
     inter AS (
-        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-        FROM cand c
-        JOIN sh a ON a.doc_id = c.doc_a
-        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM she a JOIN she b ON a.sid = b.sid AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     pairs AS (
