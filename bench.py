@@ -208,6 +208,10 @@ HEADLINE = [
     "capture_recapture_users",
     "hurst_rs_daily",
     "tail_dependence_nations",
+    "anderson_darling_doclen",
+    "rank_biserial_mwu",
+    "cohens_d_segments",
+    "odds_ratio_doclen_lang",
 ]
 
 

@@ -282,3 +282,71 @@ def test_tail_dependence_is_probability(spark):
     row = _rows(spark, "tail_dependence_nations")[0]
     assert 0 <= row["n_joint_extreme"] <= row["n_b_extreme"]
     assert 0.0 <= row["lambda_upper"] <= 1.0
+
+
+def test_anderson_darling_vs_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = docs.select("lang", "n_chars").collect()
+    a = sorted(r["n_chars"] for r in rows if r["lang"] == "en")
+    b = sorted(r["n_chars"] for r in rows if r["lang"] == "zh")
+    na, nb = len(a), len(b)
+    nn = na + nb
+    import bisect
+    from collections import Counter
+
+    mult = Counter(a + b)
+    s = 0.0
+    for v in sorted(mult):
+        cuma = bisect.bisect_right(a, v)
+        cumn = bisect.bisect_right(a, v) + bisect.bisect_right(b, v)
+        if cumn >= nn:
+            continue
+        gap = cuma * nn - cumn * na
+        s += mult[v] * gap * gap / (cumn * (nn - cumn))
+    a2 = s / (na * nb)
+    row = _rows(spark, "anderson_darling_doclen")[0]
+    assert (row["na"], row["nb"]) == (na, nb)
+    assert row["ad_a2"] == pytest.approx(a2, rel=1e-6)
+
+
+def test_rank_biserial_in_range_and_consistent(spark):
+    row = _rows(spark, "rank_biserial_mwu")[0]
+    assert -1.0 <= row["rank_biserial"] <= 1.0
+    # r = 1 - 2*U1/(n1*n2) replayed from the row's own U1
+    assert row["rank_biserial"] == pytest.approx(
+        1.0 - 2.0 * row["u1"] / (row["n1"] * row["n2"]), abs=1e-9
+    )
+
+
+def test_cohens_d_matches_numpy(spark):
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    rows = cust.select("c_mktsegment", "c_acctbal").collect()
+    g1 = np.array(
+        [r["c_acctbal"] for r in rows if r["c_mktsegment"] == "BUILDING"]
+    )
+    g2 = np.array(
+        [r["c_acctbal"] for r in rows if r["c_mktsegment"] == "MACHINERY"]
+    )
+    sp = np.sqrt(
+        ((len(g1) - 1) * g1.var(ddof=1) + (len(g2) - 1) * g2.var(ddof=1))
+        / (len(g1) + len(g2) - 2)
+    )
+    d = (g1.mean() - g2.mean()) / sp
+    row = _rows(spark, "cohens_d_segments")[0]
+    assert row["cohens_d"] == pytest.approx(d, rel=1e-9)
+    assert abs(row["hedges_g"]) < abs(row["cohens_d"])
+
+
+def test_odds_ratio_ci_covers_point(spark):
+    row = _rows(spark, "odds_ratio_doclen_lang")[0]
+    assert row["a"] + row["b"] > 0 and row["c"] + row["d"] > 0
+    want = (row["a"] * row["d"]) / (row["b"] * row["c"])
+    assert row["odds_ratio"] == pytest.approx(want, rel=1e-12)
+    assert row["ci_lo"] <= row["odds_ratio"] <= row["ci_hi"]
+    # portable exp/ln round-trip: ci bounds replay from ln_or +/- z*se
+    assert row["ci_lo"] == pytest.approx(
+        np.exp(row["ln_or"] - 1.959963984540054 * row["se_ln_or"]),
+        rel=1e-9,
+    )
