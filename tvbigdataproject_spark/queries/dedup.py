@@ -154,10 +154,17 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4, rows: int = 2, threshold: 
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shdict AS (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS sid
+        FROM (SELECT DISTINCT s FROM sh)
+    ),
+    she AS (
+        SELECT sh.doc_id, shdict.sid FROM sh JOIN shdict ON shdict.s = sh.s
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM she GROUP BY 1),
     inter AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
-        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        FROM she x JOIN she y ON x.sid = y.sid AND x.doc_id < y.doc_id
         GROUP BY 1, 2
     )
     SELECT c.doc_a, c.doc_b,
@@ -579,10 +586,17 @@ def _minhash_err_sql(num_hashes: int = 8, bands: int = 4, rows: int = 2) -> str:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shdict AS (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS sid
+        FROM (SELECT DISTINCT s FROM sh)
+    ),
+    she AS (
+        SELECT sh.doc_id, shdict.sid FROM sh JOIN shdict ON shdict.s = sh.s
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM she GROUP BY 1),
     inter AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
-        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        FROM she x JOIN she y ON x.sid = y.sid AND x.doc_id < y.doc_id
         GROUP BY 1, 2
     )
     SELECT c.doc_a, c.doc_b,

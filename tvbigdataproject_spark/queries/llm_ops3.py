@@ -24,10 +24,17 @@ _TOPN_TERMS = 20
     "dedup_containment",
     sql=f"""
     WITH {_SH_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shdict AS (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS sid
+        FROM (SELECT DISTINCT s FROM sh)
+    ),
+    she AS (
+        SELECT sh.doc_id, shdict.sid FROM sh JOIN shdict ON shdict.s = sh.s
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM she GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM she a JOIN she b ON a.sid = b.sid AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, i * 1.0 / LEAST(sa.n, sb.n) AS containment
