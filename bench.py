@@ -341,7 +341,7 @@ def main() -> None:
     names = sys.argv[1:] or HEADLINE
 
     from tvbigdataproject_spark.queries import REGISTRY
-    from tvbigdataproject_spark.session import get_spark
+    from tvbigdataproject_spark.session import get_spark, release_session_caches
 
     # no console progress bars: the gate artifact is parsed from this
     # process's output, and progress rewrites have corrupted it before.
@@ -505,6 +505,11 @@ def main() -> None:
         fn = REGISTRY[name].fn
         runs = []
         for i in range(1 + reps):
+            # every timed rep computes from the parquet inputs: the
+            # engine's session-scoped memos (shared trade-edge table,
+            # IVF centroid/index caches) are released BEFORE the timer
+            # starts, so no rep inherits another's derived tables
+            release_session_caches(spark)
             # job-group tag links this rep's jobs/stages in the event
             # log so stage_attr can attribute a flagged query's time
             sc.setJobGroup(f"{name}#rep{i}", name)
@@ -580,6 +585,7 @@ def main() -> None:
         for name in fresh:
             runs = []
             for i in range(1 + reps):
+                release_session_caches(spark)  # same fresh-rep contract
                 sc.setJobGroup(f"{name}#adj{i}", name)
                 t0 = time.perf_counter()
                 REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(

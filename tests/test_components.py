@@ -260,3 +260,24 @@ def test_checkpoint_stats_do_not_compound(spark):
     # without the ceiling this is ~9 * 2^8 = 2300+ bits and climbing
     assert bits(cur) < 160, bits(cur)
     _unpersist_ids(sc, ids)
+
+
+def test_probe_columns_never_leak_and_spans_equal_per_round(spark):
+    # r12 internals change: the convergence probe reads a carried
+    # `_prev` column off the span checkpoint instead of joining old vs
+    # new labels. The carried column must never surface, and results
+    # must be identical at every checkpoint placement (interval 1 = the
+    # old per-round probing cadence).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)],
+        "src long, dst long",
+    )
+    outs = []
+    for interval in (1, 2, 5):
+        df = connected_components(edges, checkpoint_interval=interval)
+        assert df.columns == ["node", "label"], df.columns
+        outs.append(sorted(map(tuple, df.collect())))
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0] == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20),
+    ]

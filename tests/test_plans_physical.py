@@ -229,6 +229,26 @@ def test_nested_loop_joins_only_where_intended(spark):
         "bcubed_dedup_eval",          # one-row corpus-size attach
         "binseg_two_changepoints",    # one-row first-split attach on the day grid
         "nation_homophily_trade",     # one-row margin-product attach
+        # round 12 (all bounded by construction: one-row aggregate
+        # attaches, literal lag/lambda/term grids, or the day-grid
+        # range join — audited via the full-registry NLJ sweep)
+        "anderson_darling_doclen",    # one-row pooled-total attach
+        "capture_recapture_users",    # one-row min-date anchor attach
+        "cvm_doclen_lang",            # one-row pooled-total attach
+        "entropy_rate_markov",        # one-row type-count attach
+        "graph_reciprocity",          # one-row edge-total attach
+        "huber_irls_location",        # one-row iterate attach (x3 rounds)
+        "hurst_rs_daily",             # bounded per-scale leg attaches
+        "isotonic_weekly_trend",      # one-row PAVA state attach
+        "ljung_box_daily",            # one-row variance attach + 3-row lag grid
+        "minhash_scurve_design",      # one-row neighbor-count attach
+        "neyman_allocation_segments", # one-row total-allocation attach
+        "pacf_daily_revenue",         # one-row moments attach + 3-row lag grid
+        "page_hinkley_drift",         # one-row running-min attach
+        "query_likelihood_dirichlet", # literal query-term grid + one-row totals
+        "ridge_path_qty_discount",    # one-row Gram attach x literal lambda grid
+        "tail_dependence_nations",    # one-row quantile/total attaches
+        "ts_motif_pairs",             # day-grid non-equi range join (no hash form)
     }
     for name in intended:
         assert "BroadcastNestedLoopJoin" in _plan(spark, name), name
@@ -296,6 +316,15 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "rbo_term_rankings": "rank windows over the two TakeOrdered top-10 prefix lists (rrf/ndcg class)",
     "weibull_median_rank_fit": "bucket-offset rank decomposition over the distinct-gap grid (calendar-bounded; mann_whitney class)",
     "binseg_two_changepoints": "prefix sums + re-split windows over the bounded day grid (rolling_corr_28d class)",
+    # round 12
+    "anderson_darling_doclen": "ECDF cumulative over the n_chars value grid (ks_doclen_lang class)",
+    "cvm_doclen_lang": "ECDF cumulative over the n_chars value grid (ks_doclen_lang class)",
+    "hurst_rs_daily": "per-scale cumulative ranges over the bounded day grid (rolling_corr_28d class)",
+    "isotonic_weekly_trend": "PAVA sweep over the bounded week grid (km_na class)",
+    "page_hinkley_drift": "running mean/min over the bounded day grid (sprt class)",
+    "rank_biserial_mwu": "bucket-offset rank decomposition over the value-bucket table (mann_whitney class)",
+    "tail_dependence_nations": "quantile rank over the bounded daily nation-pair grid",
+    "ts_motif_pairs": "7 LEADs over the bounded day grid (rolling_corr_28d class)",
 }
 
 

@@ -206,3 +206,25 @@ def test_dag_levels_and_cycle_detection(spark):
 
     with pytest.raises(RuntimeError, match="cycle"):
         dag_longest_path_levels(cyc, max_rounds=10)
+
+
+def test_forward_color_span_probe_matches_old_round_accounting(spark):
+    # r12 internals change: forward coloring runs 2-round spans with a
+    # carried pre-round `_mid` color for the convergence probe. The
+    # probe criterion ("the LAST round changed nothing") is the old
+    # per-round one, so a graph whose coloring converges in exactly k
+    # rounds must still succeed at max_rounds=k and raise at k-1 —
+    # and the output schema must stay (node, scc).
+    import pytest
+
+    # 3-cycle + chord: forward coloring converges in round 2 (round 1
+    # changes labels, round 2 confirms) — the round accounting the
+    # pre-r12 nonconvergence test pinned.
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    out = strongly_connected_components(e, max_rounds=3)
+    assert out.columns == ["node", "scc"]
+    assert sorted(map(tuple, out.collect())) == [(1, 1), (2, 1), (3, 1)]
+    with pytest.raises(RuntimeError, match="forward coloring"):
+        strongly_connected_components(e, max_rounds=1)

@@ -183,8 +183,24 @@ def _cc_loop(
     rounds_done = 0
     while rounds_done < max_iter:
         span = min(max(1, checkpoint_interval), max_iter - rounds_done)
+        # Two r12 probe changes, both exact (synchronous deterministic
+        # update: a round that changes nothing IS the fixpoint, and the
+        # min-propagation fixpoint is the component minimum):
+        # (a) every round carries its PRE-round label as `_prev`, so
+        #     the span-end convergence check reads the freshly
+        #     checkpointed table alone (one cached-scan filter job)
+        #     instead of shuffle-joining the new and old label tables;
+        # (b) the criterion is "the LAST round changed nothing" rather
+        #     than "the whole span changed nothing" — a span whose
+        #     final round was already an identity terminates the loop
+        #     immediately instead of paying one more full confirm span
+        #     (at bench scale a span is ~10 fixed-cost jobs).
         plan = labels
         for _ in range(span):
+            # refresh _prev to THIS round's starting label
+            plan = plan.select(
+                "node", "label", F.col("label").alias("_prev")
+            )
             # min label over the neighborhood (node itself included below)
             nbr_min = (
                 sym.hint("SHUFFLE_HASH")
@@ -205,6 +221,7 @@ def _cc_loop(
                     F.least(
                         F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                     ).alias("label"),
+                    "_prev",
                 )
             )
             # pointer jumping: node -> label -> label(label), halves chain depth
@@ -218,16 +235,16 @@ def _cc_loop(
                     stepped.label == parent.p_node,
                     "left",
                 )
-                .select("node", F.coalesce("p_label", "label").alias("label"))
+                .select(
+                    "node",
+                    F.coalesce("p_label", "label").alias("label"),
+                    "_prev",
+                )
             )
         jumped, jumped_ids = _checkpoint_tracked(plan, sc)
         rounds_done += span
         changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            jumped.where(F.col("label") != F.col("_prev")).limit(1).count()
         )
         # the old span's checkpoint is dead the moment `changed` is
         # computed — release it now instead of waiting for Python GC to
@@ -236,7 +253,9 @@ def _cc_loop(
         _unpersist_ids(sc, labels_ids)
         labels, labels_ids = jumped, jumped_ids
         if changed == 0:
-            return labels
+            # consumers see exactly (node, label); the carried _prev
+            # column is an internal of the convergence probe
+            return labels.select("node", "label")
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
@@ -489,70 +508,118 @@ def strongly_connected_components(
             # singleton SCC; each inner pass exposes the next layer,
             # and every pass removes >= 1 node or exits, so the loop
             # terminates in <= condensation-depth passes.
+            #
+            # r12 job-count cut: one FLAGGED node checkpoint per pass
+            # (node, _t = trivial?) replaces the old three (trivial
+            # table, shrunk node table, plus the union+distinct's extra
+            # exchange inside the trivial plan). The trivial rows and
+            # the surviving node set are both lazy filters over the one
+            # checkpoint; its blocks transfer to the `done` bookkeeping
+            # (they back the emitted SCC rows until the final union).
             while True:
-                trivial = rem_n.join(
-                    rem_e.select(F.col("d").alias("node")).distinct(),
-                    "node",
-                    "left_anti",
-                ).unionByName(
+                has_in = rem_e.select(F.col("d").alias("node")).distinct()
+                has_out = rem_e.select(F.col("s").alias("node")).distinct()
+                flagged, f_ids = _checkpoint_tracked(
                     rem_n.join(
-                        rem_e.select(F.col("s").alias("node")).distinct(),
-                        "node",
-                        "left_anti",
+                        has_in.withColumn("_i", F.lit(1)), "node", "left"
                     )
-                ).distinct()
-                t_ck, t_ids = _checkpoint_tracked(
-                    trivial.select("node", F.col("node").alias("scc")), sc
+                    .join(has_out.withColumn("_o", F.lit(1)), "node", "left")
+                    .select(
+                        "node",
+                        (
+                            F.col("_i").isNull() | F.col("_o").isNull()
+                        ).alias("_t"),
+                    ),
+                    sc,
                 )
-                if not t_ck.head(1):
-                    _unpersist_ids(sc, t_ids)
+                if not flagged.where("_t").head(1):
+                    _unpersist_ids(sc, f_ids)
                     break
-                done.append(t_ck)
-                done_ids.append(t_ids)
-                _shrink(t_ck)
+                trivial = flagged.where("_t").select(
+                    "node", F.col("node").alias("scc")
+                )
+                done.append(trivial)
+                done_ids.append(f_ids)
+                # shrink: survivors are a lazy filter over the flagged
+                # checkpoint (no separate node materialization); edges
+                # still re-checkpoint (every later pass/round re-reads
+                # them). The old rem_n blocks are owned either by the
+                # peel bookkeeping or by `done` — release only the
+                # former.
+                m = trivial.select("node")
+                new_e, new_e_ids = _checkpoint_tracked(
+                    rem_e.join(
+                        m.select(F.col("node").alias("s")), "s", "left_anti"
+                    ).join(
+                        m.select(F.col("node").alias("d")), "d", "left_anti"
+                    ),
+                    sc,
+                )
+                _unpersist_ids(sc, rem_e_ids)
+                _unpersist_ids(sc, rem_n_ids)
+                rem_e, rem_e_ids = new_e, new_e_ids
+                rem_n, rem_n_ids = (
+                    flagged.where(~F.col("_t")).select("node"),
+                    set(),  # blocks owned by done_ids now
+                )
             if not rem_n.head(1):
                 break
 
-            # 2. FORWARD COLOR to fixpoint (min over ancestors + self)
+            # 2. FORWARD COLOR to fixpoint (min over ancestors + self).
+            # Two r12 job-count cuts, both semantics-free: (a) rounds
+            # run in 2-round spans before each materialization (each
+            # round references the previous color plan twice, so
+            # in-span lineage growth is bounded at 2 rounds — the
+            # _cc_loop span discipline); (b) every round carries the
+            # PRE-round color as `_mid`, so the convergence probe
+            # ("the last round changed nothing" — exactly the old
+            # per-round criterion, same round accounting) is a cached-
+            # scan filter on the fresh checkpoint, not a shuffle join
+            # of old vs new. Bowtie's 12-round coloring was ~84 of its
+            # 179 per-rep jobs before this.
             colors, c_ids = _checkpoint_tracked(
                 rem_n.select("node", F.col("node").alias("color")), sc
             )
-            for _r in range(max_rounds):
-                incoming = (
-                    rem_e.join(
-                        colors.select(
-                            F.col("node").alias("s"),
-                            F.col("color").alias("c_in"),
-                        ),
-                        "s",
+            rounds_left = max_rounds
+            converged = False
+            while rounds_left > 0:
+                span = min(2, rounds_left)
+                rounds_left -= span
+                plan = colors.select("node", "color")
+                for _r in range(span):
+                    incoming = (
+                        rem_e.join(
+                            plan.select(
+                                F.col("node").alias("s"),
+                                F.col("color").alias("c_in"),
+                            ),
+                            "s",
+                        )
+                        .groupBy(F.col("d").alias("node"))
+                        .agg(F.min("c_in").alias("c_min"))
                     )
-                    .groupBy(F.col("d").alias("node"))
-                    .agg(F.min("c_in").alias("c_min"))
-                )
-                stepped = colors.join(incoming, "node", "left").select(
-                    "node",
-                    F.least(
-                        F.col("color"), F.coalesce("c_min", F.col("color"))
-                    ).alias("color"),
-                )
-                new_c, new_c_ids = _checkpoint_tracked(stepped, sc)
-                changed = (
-                    new_c.join(
-                        colors.select("node", F.col("color").alias("old")),
+                    plan = plan.join(incoming, "node", "left").select(
                         "node",
+                        F.least(
+                            F.col("color"), F.coalesce("c_min", F.col("color"))
+                        ).alias("color"),
+                        F.col("color").alias("_mid"),
                     )
-                    .where(F.col("color") != F.col("old"))
-                    .head(1)
-                )
+                new_c, new_c_ids = _checkpoint_tracked(plan, sc)
+                changed = new_c.where(
+                    F.col("color") != F.col("_mid")
+                ).head(1)
                 _unpersist_ids(sc, c_ids)
                 colors, c_ids = new_c, new_c_ids
                 if not changed:
+                    converged = True
                     break
-            else:
+            if not converged:
                 _unpersist_ids(sc, c_ids)
                 raise RuntimeError(
                     f"scc: forward coloring did not converge in {max_rounds} rounds"
                 )
+            colors = colors.select("node", "color")
 
             # 3. BACKWARD SWEEP from the roots within same color
             member, m_ids = _checkpoint_tracked(
@@ -575,16 +642,25 @@ def strongly_connected_components(
                     .join(member.select("node"), "node", "left_anti")
                     .distinct()
                 )
-                g_ck, g_ids = _checkpoint_tracked(grown, sc)
-                if not g_ck.head(1):
-                    _unpersist_ids(sc, g_ids)
-                    break
-                new_m, new_m_ids = _checkpoint_tracked(
-                    member.unionByName(g_ck), sc
+                # r12 job-count cut: materialize member ∪ grown ONCE
+                # with a `_new` marker — the growth probe reads the
+                # fresh checkpoint (cached scan), and the grown rows
+                # are already unioned in, so a growing round costs one
+                # checkpoint instead of two. A no-growth final round
+                # re-materializes member once — cheaper than the old
+                # per-round extra checkpoint whenever the sweep grows
+                # at least twice, and equal otherwise.
+                combined, new_m_ids = _checkpoint_tracked(
+                    member.select("node", "scc")
+                    .withColumn("_new", F.lit(False))
+                    .unionByName(grown.withColumn("_new", F.lit(True))),
+                    sc,
                 )
-                _unpersist_ids(sc, g_ids)
+                grew = combined.where("_new").head(1)
                 _unpersist_ids(sc, m_ids)
-                member, m_ids = new_m, new_m_ids
+                member, m_ids = combined.select("node", "scc"), new_m_ids
+                if not grew:
+                    break
             else:
                 _unpersist_ids(sc, c_ids)
                 _unpersist_ids(sc, m_ids)

@@ -123,6 +123,21 @@ _CENTER_CACHE: dict[tuple, list[list[float]]] = {}
 _INDEX_CACHE: dict[tuple, "DataFrame"] = {}
 
 
+def release_ivf_caches() -> None:
+    """Drop the memoized IVF centroids and unpersist the inverted-list
+    index. The bench calls this after every timed rep so each measured
+    execution recomputes from the parquet inputs (the amortization is a
+    deployment property, not a benchmark one); tests may call it for
+    isolation."""
+    _CENTER_CACHE.clear()
+    for df in _INDEX_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # a dead session's blocks are already gone
+    _INDEX_CACHE.clear()
+
+
 def fit_ivf_centers(
     corpus: DataFrame,
     n_cells: int = 8,

@@ -280,8 +280,18 @@ def ts_motif_pairs(spark, sf_dir):
     win = daily.select(*cols).where(
         F.col("x_end") == F.col("x") + (_MOTIF_W - 1)
     )
-    a = win.alias("a")
-    b = win.alias("b")
+    # The global-window LEAD pass necessarily emits ONE partition, so
+    # without intervention the ~|days|^2/2 pair sweep (3M decimal128
+    # distance sums at 7 TPC-H years) streams through a single task
+    # (measured r12: the whole 4.5 s of this query). The day grid is
+    # calendar-bounded at ANY scale factor, so: spread the probe side
+    # across the session's shuffle partitions (a trivial exchange of
+    # <=~2500 rows) and pin the other side as the broadcast build it
+    # already was — the quadratic sweep then runs at full parallelism.
+    from tvbigdataproject_spark.operators.skew import shuffle_partition_count
+
+    a = win.repartition(shuffle_partition_count(win), "x").alias("a")
+    b = F.broadcast(win.alias("b"))
     dist = None
     for i in range(_MOTIF_W):
         d = (

@@ -37,7 +37,7 @@ from tvbigdataproject_spark.functions.portable import (
     sql_wrap_stages,
 )
 from tvbigdataproject_spark.queries.registry import query
-from tvbigdataproject_spark.sources import read_table
+from tvbigdataproject_spark.sources import read_table, read_table_spread
 
 # ---------------------------------------------------------------- Q1
 
@@ -94,7 +94,7 @@ def token_entropy_by_source(spark, sf_dir):
     Scale: one explode + two keyed aggregates (map-side combined); the
     per-(source, token) table is vocabulary-sized. No window, no UDF.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents", "doc_id")
     cnt = (
         docs.select(
             "source", F.explode(F.split(F.lower("text"), " ")).alias("w")

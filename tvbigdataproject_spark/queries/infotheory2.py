@@ -34,7 +34,7 @@ from tvbigdataproject_spark.functions.portable import (
     sql_wrap_stages,
 )
 from tvbigdataproject_spark.queries.registry import query
-from tvbigdataproject_spark.sources import read_table
+from tvbigdataproject_spark.sources import read_table, read_table_spread
 
 # ---------------------------------------------------------------- Q4
 
@@ -245,7 +245,7 @@ def dsir_importance_topk(spark, sf_dir):
     """
     from tvbigdataproject_spark.functions.hashing import hex16_hash
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
         "doc_id",
         "lang",
@@ -373,7 +373,7 @@ def doc_log_perplexity_bigram(spark, sf_dir):
     join keys on (w1, w2) — the same equi-join shape as the
     substituted query — and the per-doc agg is one keyed shuffle.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents", "doc_id")
     t = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("t")
     ).where(F.size("t") >= 2)

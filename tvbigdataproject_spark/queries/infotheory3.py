@@ -24,7 +24,7 @@ from tvbigdataproject_spark.functions.portable import (
     sql_wrap_stages,
 )
 from tvbigdataproject_spark.queries.registry import query
-from tvbigdataproject_spark.sources import read_table
+from tvbigdataproject_spark.sources import read_table, read_table_spread
 
 # ---------------------------------------------------------------- Q11
 
@@ -108,7 +108,7 @@ def js_divergence_by_source(spark, sf_dir):
     the only data-sized join is the tf-idf-shaped equi-join on the
     token key.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )

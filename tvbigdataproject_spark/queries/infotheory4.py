@@ -38,7 +38,7 @@ from tvbigdataproject_spark.functions.portable import (
     sql_wrap_stages,
 )
 from tvbigdataproject_spark.queries.registry import query
-from tvbigdataproject_spark.sources import read_table
+from tvbigdataproject_spark.sources import read_table, read_table_spread
 
 # ---------------------------------------------------------------- Q13
 
@@ -90,7 +90,7 @@ def tfidf_log_topk(spark, sf_dir):
     """
     from pyspark.sql import Window as W
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )

@@ -119,15 +119,27 @@ def poisson_bootstrap_ci(spark, sf_dir):
 
     orders = read_table(spark, sf_dir, "orders")
     from tvbigdataproject_spark.functions.hashing import hex16_hash
+    from tvbigdataproject_spark.sources import scan_spread
 
-    rows_b = orders.crossJoin(
+    # project to the two needed columns, then restore row parallelism
+    # BEFORE the x39 md5 fan-out: the single-row-group input makes the
+    # scan one task, and the fan-out's 39 * |orders| hashes ran inside
+    # it (measured r12: ~5 of this query's 6.4 s in that one task).
+    # scan_spread is a no-op whenever the scan is already parallel.
+    base = scan_spread(
+        orders.select(
+            F.col("o_orderkey").cast("string").alias("ok"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ),
+        "ok",
+    )
+    rows_b = base.crossJoin(
         spark.range(_B).select(F.col("id").alias("b"))
     ).select(
         "b",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "cents",
         hex16_hash(
-            F.concat_ws(":", F.col("o_orderkey").cast("string"),
-                        F.col("b").cast("string"))
+            F.concat_ws(":", F.col("ok"), F.col("b").cast("string"))
         ).alias("hb"),
     )
     w = _pois_w("hb")

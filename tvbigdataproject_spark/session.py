@@ -62,6 +62,22 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def release_session_caches(spark: SparkSession) -> None:
+    """Release every session-scoped derived-table cache the engine keeps
+    (shared trade-edge checkpoints, IVF centroid/index memos).
+
+    The library memoizes these because a deployment amortizes an index
+    or edge-table build across many queries — but a BENCHMARK rep must
+    compute from the parquet inputs, so bench.py calls this after every
+    timed rep. Cheap (a few unpersist RPCs) when nothing is cached.
+    """
+    from tvbigdataproject_spark.operators.similarity import release_ivf_caches
+    from tvbigdataproject_spark.operators.trade_edges import release_trade_pairs
+
+    release_trade_pairs(spark)
+    release_ivf_caches()
+
+
 def tune_for_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply engine runtime confs to an externally-provided session.
 

@@ -102,6 +102,51 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(read_table(spark, sf_dir, n) for n in names)
 
 
+def read_table_spread(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """read_table + scan_spread: the reader for queries whose per-row
+    scan-side work (tokenize/explode/hash fan-outs) dominates — restores
+    row parallelism over the single-row-group TESTDATA files, no-op when
+    the scan is already parallel (see scan_spread)."""
+    return scan_spread(read_table(spark, sf_dir, name), *keys)
+
+
+def scan_spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive remedy for under-parallel scans (optimization
+    guide §2.5 "input skew: one huge unsplittable file ... repartition
+    immediately after the read").
+
+    The TESTDATA tables are single parquet files with a SINGLE row
+    group, so every scan stage runs as ONE task no matter what
+    maxPartitionBytes / minPartitionNum say — and any heavy scan-side
+    work (hash fan-outs, shingle explodes, per-vector distance sweeps)
+    is single-threaded until the first exchange. Measured r12: the x39
+    Poisson-bootstrap fan-out spent ~5 s in one scan task on a 32-core
+    session.
+
+    This helper restores row parallelism ONLY when the scan is actually
+    under-parallel: if the plan already yields >= half the session's
+    default parallelism it returns ``df`` unchanged (no added Exchange)
+    — at production scale, many files / row groups make that the common
+    case, so the repartition is strictly a small-input adaptation, not
+    a local[32] constant. Callers project to the needed columns BEFORE
+    calling (the exchange then carries only those bytes, guide §2.3).
+
+    Pass ``keys`` (a unique or near-unique column set) to spread by
+    hash — deterministic per row, no sort-before-repartition pass.
+    Without keys, round-robin repartition is used (pays the local
+    sort-for-retry-determinism of SPARK-23207 on the scan task).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
+
 def read_tweets(spark: SparkSession, path: str) -> DataFrame:
     """Tweet JSON-lines scan with the explicit schema (no inference job).
 
