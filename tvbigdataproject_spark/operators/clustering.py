@@ -161,28 +161,46 @@ def _lloyd_loop(
     try:
         for _ in range(iters):
             assigned = _assign(quant, packed, id_col)
-            sums = assigned.groupBy("cell").agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+            # (cell, pos)-keyed update instead of `dim` explicit sum
+            # columns: the wide form built a 64-sum + 64-floor-div
+            # expression tree whose per-round ANALYSIS dominated the
+            # query (r12 measurement: kmeans_lloyd_assign spent 1.4 s
+            # in jobs and ~2.8 s in driver planning gaps). The keyed
+            # form is 3 expressions; the per-dimension BIGINT sums and
+            # the floor(sum/n) division are bit-identical, and the
+            # posexplode fan-out (rows x dim) partial-aggregates
+            # map-side to k*dim rows before the shuffle.
+            sums = (
+                assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
             )
-            new_cv = F.array(
-                *[
-                    F.floor(F.col(f"s{i}").cast("double") / F.col("n"))
-                    .cast("long")
-                    for i in range(dim)
-                ]
+            upd = sums.groupBy("cell").agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                F.floor(
+                                    F.col("s").cast("double") / F.col("n")
+                                )
+                                .cast("long")
+                                .alias("val"),
+                            )
+                        )
+                    ),
+                    lambda st: st["val"],
+                ).alias("new_cv")
             )
             spine = packed.select(F.explode("cents").alias("c")).select(
                 F.col("c.cell").alias("cell"),
                 F.col("c.cv").alias("prev_cv"),
             )
-            # k-row spine LEFT JOIN k-row sums: broadcast the build
+            # k-row spine LEFT JOIN k-row update: broadcast the build
             # (right) side — a left join cannot broadcast-build left
-            stepped = spine.join(F.broadcast(sums), "cell", "left").select(
+            stepped = spine.join(F.broadcast(upd), "cell", "left").select(
                 "cell",
-                F.when(F.col("n").isNull(), F.col("prev_cv"))
-                .otherwise(new_cv)
-                .alias("cv"),
+                F.coalesce("new_cv", "prev_cv").alias("cv"),
             )
             packed, new_ids = _checkpoint_tracked(_pack_centroids(stepped), sc)
             # the new pack is materialized; the previous round's is done

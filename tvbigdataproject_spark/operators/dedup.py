@@ -54,6 +54,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # restore row parallelism before the per-document shingling work:
+    # on the single-row-group TESTDATA files the scan is ONE task, and
+    # shingles() (split + n-gram zip + array_distinct per document) ran
+    # single-threaded for the whole ngram/prefix/bcubed family. No-op
+    # whenever the scan is already parallel (production many-file case).
+    from tvbigdataproject_spark.sources import scan_spread
+
+    df = scan_spread(df.select(id_col, text_col), id_col)
     return df.select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("shs")
     ).where(F.size("shs") > 0)
@@ -394,6 +402,11 @@ def simhash_pairs(
       scale); shuffle-hash on (band, chunk) is the strategy that is
       right at every scale, with AQE still handling skewed chunks.
     """
+    # spread before the per-document token-hash folds in simhash_values
+    # (single-task scans otherwise — the _shingled rationale)
+    from tvbigdataproject_spark.sources import scan_spread
+
+    df = scan_spread(df.select(id_col, text_col), id_col)
     sim = simhash_values(
         df.where(F.col(text_col).isNotNull()), text_col, id_col
     ).select("doc_id", F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash"))

@@ -380,6 +380,16 @@ def ipf_raking_weights(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    # the 3 unrolled rounds reference the cell grid through six
+    # broadcast-aggregate subtrees — materialize the 25-row grid ONCE so
+    # every round's margin aggregate reads cached rows instead of
+    # replaying the customer join+aggregate (r12: 21 jobs -> the grid
+    # build + bounded-row algebra)
+    from tvbigdataproject_spark.operators.components import (
+        _checkpoint_tracked,
+    )
+
+    cells, _ = _checkpoint_tracked(cells, spark.sparkContext)
     cur = cells.select(
         "segment", "region", "n", F.lit(_IPF_S).cast("long").alias("w")
     )

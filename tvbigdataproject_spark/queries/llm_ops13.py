@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from tvbigdataproject_spark.functions.hashing import hex_bits_hash
 from tvbigdataproject_spark.queries.registry import query
-from tvbigdataproject_spark.sources import read_table
+from tvbigdataproject_spark.sources import read_table, read_table_spread
 
 _RRF_TERMS = ("vector", "hash", "scan")  # the bm25_topk query terms
 _RRF_K = 60  # the canonical RRF smoothing constant
@@ -400,7 +400,7 @@ def winnowing_passage_pairs(spark, sf_dir):
     candidate join shuffles the SELECTED fingerprint set (a ~1/w
     sample of grams) keyed by fp; the cap bounds per-key fanout.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents", "doc_id")
     ws = F.split(F.lower("text"), " ")
     toks = docs.select("doc_id", ws.alias("ws"))
     n = F.size("ws")
@@ -604,7 +604,7 @@ def source_dup_overlap(spark, sf_dir):
     """
     from tvbigdataproject_spark.functions import shingles
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents", "doc_id")
     d = (
         docs.select(
             "source", F.explode(shingles(F.lower("text"), 3)).alias("s")

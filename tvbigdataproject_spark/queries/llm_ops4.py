@@ -35,7 +35,7 @@ from tvbigdataproject_spark.functions.hashing import hex16_hash
 from tvbigdataproject_spark.functions.text import shingles, simple_tokens
 from tvbigdataproject_spark.queries._stable import sql_stable_sum, stable_sum
 from tvbigdataproject_spark.queries.registry import query
-from tvbigdataproject_spark.sources import read_table
+from tvbigdataproject_spark.sources import read_table, read_table_spread
 
 
 @query(
@@ -304,7 +304,7 @@ def dup_span_coverage(spark, sf_dir):
     to fold per-doc numerators. Both heavy stages key on the gram
     string, so the exchange is reused; no all-pairs anything.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents", "doc_id")
     sh = docs.select(
         "doc_id",
         F.explode(shingles(F.col("text"), n=8, distinct=True)).alias("s"),
@@ -383,7 +383,7 @@ def dedup_max_spans(spark, sf_dir):
     """
     from tvbigdataproject_spark.operators.dedup import max_dup_spans
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents", "doc_id")
     return max_dup_spans(docs, text_col="text", id_col="doc_id", n=8)
 
 
@@ -466,7 +466,7 @@ def dedup_spans_applied(spark, sf_dir):
         max_dup_spans,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents", "doc_id")
     spans = max_dup_spans(docs, text_col="text", id_col="doc_id", n=8)
     clean = apply_span_removal(docs, spans, text_col="text", id_col="doc_id")
     return clean.select(
