@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from _querycache import registry_df
+
 from tvbigdataproject_spark.queries import REGISTRY
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -13,8 +15,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_runs(spark, name):
-    rq = REGISTRY[name]
-    df = rq.fn(spark, SF_DIR)
+    # shared with the plan audits via the session memo — an iterative
+    # query's fn() executes real jobs at call time, so each duplicate
+    # build costs a full loop replay (tests/_querycache.py)
+    df = registry_df(spark, name, SF_DIR)
     assert df.columns, f"{name} has no columns"
     assert df.count() >= 0
 

@@ -23,7 +23,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-OUT_DIR = os.path.join(REPO, "plans", "r12")
+OUT_DIR = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 

@@ -128,12 +128,60 @@ def _checkpoint_tracked(df: DataFrame, sc) -> tuple[DataFrame, set[int]]:
     return out, _persistent_ids(sc) - before
 
 
+_CC_LOCAL_EDGES_DEFAULT = 1_000_000
+
+
+def _cc_local(spark, sym: DataFrame) -> DataFrame:
+    """Exact connected components of a sub-threshold edge set, solved on
+    the driver: union-find with path compression over the collected
+    (a, b) rows, then component label = min member id — identical to
+    the distributed min-propagation fixpoint. See _scc_local for the
+    size-gate rationale (the caller bounds the collect)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    label: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in label or n < label[r]:
+            label[r] = n
+    a_field = sym.schema[0]
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", a_field.dataType, False),
+            StructField("label", a_field.dataType, False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n, label[find(n)]) for n in parent], schema=schema
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     checkpoint_interval: int = 2,
+    local_edge_threshold: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component is the
     minimum node id reachable from the node (undirected).
@@ -164,6 +212,20 @@ def connected_components(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))), sc
     )
     try:
+        # r13 size-gated driver-local endgame (see _scc_local): once the
+        # (already materialized) pair set is below the threshold, the
+        # whole propagation loop — 2 jobs per span at best — collapses
+        # to one cached count + one bounded collect + serial union-find.
+        # Same labels; the count reads the fresh checkpoint, not the
+        # expensive upstream.
+        if local_edge_threshold is None:
+            local_edge_threshold = _local_threshold(
+                "SPARK_GRAFT_CC_LOCAL_EDGES", _CC_LOCAL_EDGES_DEFAULT
+            )
+        if local_edge_threshold > 0 and (
+            sym.count() <= 2 * local_edge_threshold
+        ):
+            return _cc_local(edges.sparkSession, sym)
         return _cc_loop(sym, sc, max_iter, checkpoint_interval)
     finally:
         # the returned labels are materialized (checkpointed) — the edge
@@ -425,12 +487,110 @@ def best_of_cluster_survivors(
     ).select(id_col, "component", quality_col, "keep")
 
 
+def _local_threshold(env_var: str, default: int) -> int:
+    """Edge-count gate for the driver-local solvers below, env-tunable
+    per deployment (0 disables). Mirrors the size-gated SHUFFLE_HASH
+    hint (operators/trade_edges.py): a constant that *bounds driver
+    memory*, not one tuned to the local bench — 1M edges of two longs
+    is ~16 MB collected, the same order as a routine broadcast build."""
+    import os
+
+    try:
+        return int(os.environ.get(env_var, str(default)))
+    except ValueError:
+        return default
+
+
+_SCC_LOCAL_EDGES_DEFAULT = 1_000_000
+
+
+def _scc_local(spark, rem_e: DataFrame, rem_n: DataFrame) -> DataFrame:
+    """Exact SCC of the (sub-threshold) remainder, solved on the driver:
+    iterative Tarjan over the collected edge list, labels = min member
+    id per SCC — identical output to the distributed FW-BW-Trim peel,
+    in O(V+E) single-core time instead of O(condensation depth) full
+    cluster barriers. The standard endgame of multistep SCC methods
+    (Slota et al. 2014 switch to a serial algorithm once the remainder
+    is small); the caller gates entry on the collected size."""
+    edge_rows = rem_e.select("s", "d").collect()
+    node_rows = rem_n.select("node").collect()
+    adj: dict = {}
+    for r in node_rows:
+        adj[r[0]] = []
+    for r in edge_rows:
+        adj.setdefault(r[0], []).append(r[1])
+        adj.setdefault(r[1], [])
+    # Tarjan, iterative (no recursion-depth limit)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    comp_of: dict = {}
+    counter = 0
+    for root in adj:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            nbrs = adj[v]
+            while pi < len(nbrs):
+                w = nbrs[pi]
+                pi += 1
+                if w not in index:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    if index[w] < low[v]:
+                        low[v] = index[w]
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                label = min(members)
+                for w in members:
+                    comp_of[w] = label
+            if work:
+                parent, _ = work[-1]
+                if low[v] < low[parent]:
+                    low[parent] = low[v]
+    node_field = rem_n.schema["node"]
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", node_field.dataType, False),
+            StructField("scc", node_field.dataType, False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n, comp_of[n]) for n in adj], schema=schema
+    )
+
+
 def strongly_connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_peels: int = 30,
     max_rounds: int = 50,
+    input_materialized: bool = False,
+    local_edge_threshold: int | None = None,
 ) -> DataFrame:
     """(node, scc) for every node of the DIRECTED graph; scc is the
     minimum node id of the node's strongly connected component —
@@ -469,10 +629,22 @@ def strongly_connected_components(
     ``max_rounds`` raise rather than return a wrong fixpoint.
     """
     sc = edges.sparkSession.sparkContext
+    spark = edges.sparkSession
+    if local_edge_threshold is None:
+        local_edge_threshold = _local_threshold(
+            "SPARK_GRAFT_SCC_LOCAL_EDGES", _SCC_LOCAL_EDGES_DEFAULT
+        )
     e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
         F.col(src) != F.col(dst)
-    ).distinct()
-    rem_e, rem_e_ids = _checkpoint_tracked(e0, sc)
+    )
+    if input_materialized:
+        # caller declares the edge set distinct + materialized (see
+        # traversal._input_edges): the self-edge filter stays (narrow,
+        # over cached rows), the dedup exchange and duplicate
+        # checkpoint go
+        rem_e, rem_e_ids = e0, set()
+    else:
+        rem_e, rem_e_ids = _checkpoint_tracked(e0.distinct(), sc)
     rem_n, rem_n_ids = _checkpoint_tracked(
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -503,6 +675,20 @@ def strongly_connected_components(
     try:
         for _ in range(max_peels):
             if not rem_n.head(1):
+                break
+            # r13: size-gated driver-local endgame. Once the remainder
+            # is below the edge threshold, the FW-BW-Trim phase
+            # structure (O(condensation depth) full-barrier rounds, the
+            # dominant job count of the SCC family at bench scale —
+            # bowtie was 159 jobs/rep) collapses to one count + one
+            # bounded collect + one exact serial Tarjan. Same labels by
+            # construction; the gate bounds driver memory the way the
+            # broadcast threshold does.
+            if local_edge_threshold > 0 and (
+                rem_e.count() <= local_edge_threshold
+            ):
+                done.append(_scc_local(spark, rem_e, rem_n))
+                done_ids.append(set())
                 break
             # 1. TRIM to fixpoint: no in-edge or no out-edge ->
             # singleton SCC; each inner pass exposes the next layer,

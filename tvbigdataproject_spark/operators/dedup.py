@@ -53,15 +53,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
-def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _shingled(
+    df: DataFrame, text_col: str, id_col: str, n: int, spread: bool = True
+) -> DataFrame:
     # restore row parallelism before the per-document shingling work:
     # on the single-row-group TESTDATA files the scan is ONE task, and
     # shingles() (split + n-gram zip + array_distinct per document) ran
-    # single-threaded for the whole ngram/prefix/bcubed family. No-op
+    # single-threaded for the whole prefix/minhash family. No-op
     # whenever the scan is already parallel (production many-file case).
-    from tvbigdataproject_spark.sources import scan_spread
+    #
+    # ``spread`` is caller-gated (r12 driver finding): the exchange
+    # carries full document text, which pays off only when per-row
+    # scan-side work DOMINATES (signature folds, array attaches). The
+    # count-based jaccard/containment path is join-bound — its shingle
+    # explode feeds straight into a shuffle that restores parallelism
+    # anyway, so the extra full-text exchange made dedup_containment
+    # 40% slower (PERF_r12) and is skipped there.
+    if spread:
+        from tvbigdataproject_spark.sources import scan_spread
 
-    df = scan_spread(df.select(id_col, text_col), id_col)
+        df = scan_spread(df.select(id_col, text_col), id_col)
     return df.select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("shs")
     ).where(F.size("shs") > 0)
@@ -260,7 +271,9 @@ def _ngram_pair_counts(
 ) -> DataFrame:
     """Candidate pairs with (na, nb, i) set-size/intersection counts —
     the shared core of the Jaccard and containment scorers."""
-    with_sh = _shingled(df, text_col, id_col, n)
+    # spread=False: this path is join-bound (the explode feeds the
+    # shingle self-join's own exchange); see _shingled.
+    with_sh = _shingled(df, text_col, id_col, n, spread=False)
     sh = with_sh.select(
         "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("s")
     )

@@ -184,10 +184,29 @@ def fit_ivf_centers(
         "__raw", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     feats = Normalizer(inputCol="__raw", outputCol="__features", p=2.0).transform(raw)
-    model = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter,
-        featuresCol="__features", predictionCol="__cell",
-    ).fit(feats)
+    # r13: materialize the ≤~sample_target-row normalized sample ONCE
+    # (eager localCheckpoint, tracked release) before handing it to the
+    # fit — the ml KMeans init/iteration passes then read a tiny cached
+    # table instead of replaying the parquet scan + sample + normalize
+    # chain per internal job. Projection to the features column only;
+    # same rows, same partitioning/order, so the seeded fit returns
+    # bit-identical centroids.
+    from tvbigdataproject_spark.operators.components import (
+        _checkpoint_tracked,
+        _unpersist_ids,
+    )
+
+    sc = corpus.sparkSession.sparkContext
+    feats_ck, feats_ids = _checkpoint_tracked(
+        feats.select("__features"), sc
+    )
+    try:
+        model = KMeans(
+            k=n_cells, seed=seed, maxIter=max_iter,
+            featuresCol="__features", predictionCol="__cell",
+        ).fit(feats_ck)
+    finally:
+        _unpersist_ids(sc, feats_ids)
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
     if cache_key is not None:
         _CENTER_CACHE[key] = centers

@@ -39,6 +39,27 @@ from tvbigdataproject_spark.operators.components import (
 )
 
 
+def _input_edges(
+    edges: DataFrame, src: str, dst: str, sc, input_materialized: bool
+) -> tuple[DataFrame, set[int]]:
+    """The static edge set every round re-reads. By default it is
+    defensively deduped and eagerly checkpointed (the upstream plan may
+    be an expensive join chain that must not replay per round).
+
+    ``input_materialized=True`` is the caller's declaration that the
+    edges are ALREADY distinct and backed by materialized rows (e.g. a
+    projection over the session's checkpointed trade-pair table,
+    operators/trade_edges.py) — the per-round scan then reads the
+    existing blocks directly and the operator skips one exchange + one
+    checkpoint job + a duplicate copy of the edge blocks (r12 verdict
+    item 7: every trade-graph query paid a second checkpoint of rows
+    the session had already checkpointed)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if input_materialized:
+        return e, set()
+    return _checkpoint_tracked(e.distinct(), sc)
+
+
 def bfs_levels(
     edges: DataFrame,
     source: int,
@@ -46,6 +67,7 @@ def bfs_levels(
     src: str = "src",
     dst: str = "dst",
     checkpoint_interval: int = 2,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """Minimum hop count from `source` to every node reachable within
     `max_hops` directed hops. Returns (node, hop) with hop in
@@ -66,10 +88,7 @@ def bfs_levels(
     sc = edges.sparkSession.sparkContext
     # materialize the (static) edge set once — every hop's frontier join
     # re-reads it, and the upstream plan may be an expensive join chain
-    e, e_ids = _checkpoint_tracked(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
-        sc,
-    )
+    e, e_ids = _input_edges(edges, src, dst, sc, input_materialized)
     spark = edges.sparkSession
     start = spark.createDataFrame(
         [(int(source), 0)], schema="node long, hop int"
@@ -115,6 +134,7 @@ def bfs_levels_multi(
     src: str = "src",
     dst: str = "dst",
     checkpoint_interval: int = 2,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """Multi-source BFS: minimum hop count from EVERY node in `sources`
     (a one-column DataFrame of node ids, column `node`) to every node
@@ -130,10 +150,7 @@ def bfs_levels_multi(
     and fixed, which is how landmark methods are used.
     """
     sc = edges.sparkSession.sparkContext
-    e, e_ids = _checkpoint_tracked(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
-        sc,
-    )
+    e, e_ids = _input_edges(edges, src, dst, sc, input_materialized)
     start = sources.select(
         F.col("node").alias("landmark"),
         F.col("node"),
@@ -180,6 +197,7 @@ def kcore_peel(
     src: str = "src",
     dst: str = "dst",
     checkpoint_interval: int = 2,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """Bounded-round k-core peel: `rounds` iterations of "drop every
     node with degree < k, recompute degrees". Returns (node, deg) for
@@ -200,8 +218,7 @@ def kcore_peel(
     operators/components.py.
     """
     sc = edges.sparkSession.sparkContext
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e, e_ids = _checkpoint_tracked(e, sc)
+    e, e_ids = _input_edges(edges, src, dst, sc, input_materialized)
     try:
         rounds_done = 0
         while rounds_done < rounds:
@@ -337,6 +354,7 @@ def sssp_bounded(
     dst: str = "dst",
     weight: str = "w",
     checkpoint_interval: int = 2,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """Single-source shortest path bounded to ``rounds`` relaxation
     rounds (Bellman-Ford): (node, dist) where dist is the minimum total
@@ -355,16 +373,19 @@ def sssp_bounded(
     count.
     """
     sc = edges.sparkSession.sparkContext
-    e, e_ids = _checkpoint_tracked(
-        edges.select(
-            F.col(src).alias("src"),
-            F.col(dst).alias("dst"),
-            F.col(weight).cast("long").alias("w"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.min("w").alias("w")),
-        sc,
+    e_sel = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
     )
+    if input_materialized:
+        # caller declares (src, dst) already unique (parallel edges
+        # pre-collapsed) and the rows materialized — see _input_edges
+        e, e_ids = e_sel, set()
+    else:
+        e, e_ids = _checkpoint_tracked(
+            e_sel.groupBy("src", "dst").agg(F.min("w").alias("w")), sc
+        )
     spark = edges.sparkSession
     dist = spark.createDataFrame([(int(source), 0)], schema="node long, dist long")
     try:
@@ -405,6 +426,7 @@ def luby_mis(
     src: str = "src",
     dst: str = "dst",
     checkpoint_interval: int = 1,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """Bounded-round Luby maximal-independent-set over an undirected
     graph (feed a bidirectional edge list). Returns (node, round) for
@@ -429,10 +451,7 @@ def luby_mis(
     from tvbigdataproject_spark.functions.hashing import hex16_hash
 
     sc = edges.sparkSession.sparkContext
-    e, e_ids = _checkpoint_tracked(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
-        sc,
-    )
+    e, e_ids = _input_edges(edges, src, dst, sc, input_materialized)
     # priority key: 16-bit hash in the high bits, the (shifted) node id
     # in the low bits -> unique, positive, portable to SQL arithmetic
     pkey = (
@@ -505,6 +524,7 @@ def dag_longest_path_levels(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """(node, level) for a DAG: level = length of the LONGEST path from
     any source to the node (sources are level 0) — the topological
@@ -523,10 +543,11 @@ def dag_longest_path_levels(
     eager tracked checkpointing (the connected_components discipline).
     """
     sc = edges.sparkSession.sparkContext
-    e, e_ids = _checkpoint_tracked(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct(),
-        sc,
-    )
+    e_sel = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if input_materialized:
+        e, e_ids = e_sel, set()
+    else:
+        e, e_ids = _checkpoint_tracked(e_sel.distinct(), sc)
     lvl, lvl_ids = _checkpoint_tracked(
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
@@ -581,6 +602,7 @@ def reachable_set(
     max_rounds: int = 50,
     src: str = "src",
     dst: str = "dst",
+    input_materialized: bool = False,
 ) -> DataFrame:
     """All nodes reachable from ANY node of ``sources`` (a one-column
     DataFrame, column ``node``), sources included — the plain
@@ -597,11 +619,7 @@ def reachable_set(
     than return a silently truncated set.
     """
     sc = edges.sparkSession.sparkContext
-    e, e_ids = _checkpoint_tracked(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct(),
-        sc,
-    )
+    e, e_ids = _input_edges(edges, src, dst, sc, input_materialized)
     try:
         visited, visited_ids = _checkpoint_tracked(
             sources.select("node").distinct(), sc
@@ -647,6 +665,7 @@ def reachable_masks(
     max_rounds: int = 50,
     src: str = "src",
     dst: str = "dst",
+    input_materialized: bool = False,
 ) -> DataFrame:
     """(node, mask) for every node reachable from ``sources`` in either
     edge direction, in ONE frontier loop: mask bit 1 = reachable FROM
@@ -672,16 +691,20 @@ def reachable_masks(
     """
     sc = edges.sparkSession.sparkContext
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e2, e_ids = _checkpoint_tracked(
-        fwd.withColumn("b", F.lit(1))
-        .unionByName(
-            fwd.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            ).withColumn("b", F.lit(2))
-        )
-        .distinct(),
-        sc,
+    tagged = fwd.withColumn("b", F.lit(1)).unionByName(
+        fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ).withColumn("b", F.lit(2))
     )
+    if input_materialized:
+        # the tagged union of an already-distinct edge set is distinct
+        # by construction (the b column differs between the branches),
+        # and each round's re-derivation of it from the caller's
+        # materialized rows is two narrow cached scans — skip both the
+        # dedup exchange and the duplicate checkpoint (see _input_edges)
+        e2, e_ids = tagged, set()
+    else:
+        e2, e_ids = _checkpoint_tracked(tagged.distinct(), sc)
     try:
         visited, visited_ids = _checkpoint_tracked(
             sources.select("node").distinct().withColumn("mask", F.lit(3)),

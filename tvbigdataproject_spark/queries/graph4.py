@@ -84,7 +84,9 @@ def sssp_trade_graph(spark, sf_dir):
     bi = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w"))
     )
-    return sssp_bounded(bi, source=_SSSP_SOURCE, rounds=_SSSP_ROUNDS)
+    return sssp_bounded(
+        bi, source=_SSSP_SOURCE, rounds=_SSSP_ROUNDS, input_materialized=True
+    )
 
 
 _LANDMARK_K = 3
@@ -141,7 +143,9 @@ def landmark_distances(spark, sf_dir):
         .orderBy("node")
         .limit(_LANDMARK_K)
     )
-    return bfs_levels_multi(bi, landmarks, max_hops=_LANDMARK_HOPS)
+    return bfs_levels_multi(
+        bi, landmarks, max_hops=_LANDMARK_HOPS, input_materialized=True
+    )
 
 
 @query(
@@ -199,7 +203,9 @@ def harmonic_closeness_landmarks(spark, sf_dir):
         .orderBy("node")
         .limit(_LANDMARK_K)
     )
-    dist = bfs_levels_multi(bi, landmarks, max_hops=_LANDMARK_HOPS)
+    dist = bfs_levels_multi(
+        bi, landmarks, max_hops=_LANDMARK_HOPS, input_materialized=True
+    )
     return (
         dist.where(F.col("hop") > 0)
         .groupBy("node")
@@ -281,7 +287,7 @@ def mis_trade_graph(spark, sf_dir):
     with the iterative tier's checkpoint-release discipline.
     """
     bi = trade_edges_bi(spark, sf_dir)
-    return luby_mis(bi, rounds=_MIS_ROUNDS)
+    return luby_mis(bi, rounds=_MIS_ROUNDS, input_materialized=True)
 
 
 _LPA_ROUNDS = 2
@@ -601,7 +607,9 @@ def effective_diameter_landmarks(spark, sf_dir):
         .orderBy("node")
         .limit(_LANDMARK_K)
     )
-    dist = bfs_levels_multi(bi, landmarks, max_hops=_ED_HOPS)
+    dist = bfs_levels_multi(
+        bi, landmarks, max_hops=_ED_HOPS, input_materialized=True
+    )
     hops = dist.groupBy("hop").agg(F.count(F.lit(1)).alias("c"))
     from pyspark.sql import Window
 

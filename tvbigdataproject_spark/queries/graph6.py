@@ -115,13 +115,13 @@ def graph_diameter_sweep(spark, sf_dir):
         .limit(1)
         .select("node")
     )
-    d1 = bfs_levels_multi(bi, seed, max_hops=_DS_HOPS)
+    d1 = bfs_levels_multi(bi, seed, max_hops=_DS_HOPS, input_materialized=True)
     far = (
         d1.orderBy(F.col("hop").desc(), F.col("node").asc())
         .limit(1)
         .select("node")
     )
-    d2 = bfs_levels_multi(bi, far, max_hops=_DS_HOPS)
+    d2 = bfs_levels_multi(bi, far, max_hops=_DS_HOPS, input_materialized=True)
     ecc = d2.agg(F.max("hop").alias("ecc_lb"))
     tail = (
         d2.join(F.broadcast(ecc), F.col("hop") == F.col("ecc_lb"))

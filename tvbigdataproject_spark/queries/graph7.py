@@ -365,8 +365,10 @@ def condensation_levels_trade(spark, sf_dir):
     )
     try:
         # isolated components (no condensation edge) never enter the
-        # level table — they are level 0 by definition
-        lvl = dag_longest_path_levels(cond)
+        # level table — they are level 0 by definition. cond is already
+        # distinct + checkpointed above, so the operator skips its
+        # defensive dedup/re-checkpoint (r13).
+        lvl = dag_longest_path_levels(cond, input_materialized=True)
     finally:
         from tvbigdataproject_spark.operators.components import _unpersist_ids
 
@@ -441,23 +443,41 @@ def bowtie_trade_returns(spark, sf_dir):
     the operator side is general).
     """
     from tvbigdataproject_spark.operators.components import (
+        _checkpoint_tracked,
+        _unpersist_ids,
         strongly_connected_components,
     )
     from tvbigdataproject_spark.operators.traversal import reachable_masks
 
-    edges = _trade_returns_edges(spark, sf_dir)
-    labels = strongly_connected_components(edges)
-    core_label = (
-        labels.groupBy("scc")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "scc")
-        .limit(1)
-        .select("scc")
+    # r13: the thresholded edge derivation (li⋈orders⋈cust + two aggs)
+    # feeds BOTH the SCC and the reachability sweep — materialize it
+    # once here and let the operators skip their defensive
+    # distinct+checkpoint (the edge set is distinct by construction:
+    # groupBy-derived rows, sign-disjoint orientations). Both consumers
+    # return checkpointed tables, so the blocks die with this frame.
+    sc = spark.sparkContext
+    edges, edge_ids = _checkpoint_tracked(
+        _trade_returns_edges(spark, sf_dir), sc
     )
-    core_nodes = labels.join(F.broadcast(core_label), "scc").select("node")
-    # mask bit 1 = reached FROM the core (OUT side), bit 2 = reaches
-    # the core via reversed edges (IN side); core itself carries 3.
-    masks = reachable_masks(edges, core_nodes)
+    try:
+        labels = strongly_connected_components(
+            edges, input_materialized=True
+        )
+        core_label = (
+            labels.groupBy("scc")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "scc")
+            .limit(1)
+            .select("scc")
+        )
+        core_nodes = labels.join(F.broadcast(core_label), "scc").select(
+            "node"
+        )
+        # mask bit 1 = reached FROM the core (OUT side), bit 2 = reaches
+        # the core via reversed edges (IN side); core itself carries 3.
+        masks = reachable_masks(edges, core_nodes, input_materialized=True)
+    finally:
+        _unpersist_ids(sc, edge_ids)
     nodes = labels.select("node")
     return (
         nodes.join(
