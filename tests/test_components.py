@@ -46,7 +46,14 @@ def test_self_loops_and_duplicate_edges_are_harmless(spark):
 
 def test_nonconvergence_raises(spark):
     try:
-        connected_components(_edges(spark, [(i, i + 1) for i in range(1, 40)]), max_iter=1)
+        # local_edge_threshold=0 pins the distributed path: the
+        # size-gated local union-find endgame (r13) solves any
+        # sub-threshold graph exactly and never hits max_iter
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(1, 40)]),
+            max_iter=1,
+            local_edge_threshold=0,
+        )
     except RuntimeError as e:
         assert "converge" in str(e)
     else:
@@ -274,10 +281,36 @@ def test_probe_columns_never_leak_and_spans_equal_per_round(spark):
     )
     outs = []
     for interval in (1, 2, 5):
-        df = connected_components(edges, checkpoint_interval=interval)
+        # threshold 0: this test targets the DISTRIBUTED loop's probe
+        # internals; the default would take the r13 local endgame
+        df = connected_components(
+            edges, checkpoint_interval=interval, local_edge_threshold=0
+        )
         assert df.columns == ["node", "label"], df.columns
         outs.append(sorted(map(tuple, df.collect())))
     assert outs[0] == outs[1] == outs[2]
     assert outs[0] == [
         (1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20),
+    ]
+
+
+def test_local_endgame_matches_distributed_loop(spark):
+    # r13 size-gated driver-local union-find endgame: identical labels
+    # to the distributed min-propagation fixpoint on a mixed graph
+    # (two components, a chain, a self-loop, an isolated pair).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20), (7, 8), (8, 7)],
+        "src long, dst long",
+    )
+    local = sorted(map(tuple, connected_components(edges).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            connected_components(edges, local_edge_threshold=0).collect(),
+        )
+    )
+    assert local == dist
+    assert local == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (8, 7), (10, 10),
+        (11, 10), (20, 20),
     ]

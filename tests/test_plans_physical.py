@@ -393,6 +393,18 @@ def test_no_forced_broadcast_on_per_entity_tables(spark):
     # auto-broadcast threshold disabled, only a hint can still produce a
     # broadcast join; these plans must then contain none (AQE remains
     # free to broadcast at runtime when the side is actually small).
+    # NOTE: plans must be built FRESH under the flipped threshold — the
+    # session-scoped _PLAN_CACHE/_querycache memos hold plans rendered
+    # under the default conf (where an auto-broadcast BHJ is expected
+    # and fine), and a DataFrame's physical plan is computed once per
+    # QueryExecution, so cached objects would not re-plan either.
+    def fresh_plan(name: str) -> str:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
     threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -403,7 +415,7 @@ def test_no_forced_broadcast_on_per_entity_tables(spark):
             "join_inner_agg",                # customer is linear in SF
             "small_quantity_parts",          # part_avg: one row per partkey
         ):
-            plan = _plan(spark, name)
+            plan = fresh_plan(name)
             assert "BroadcastHashJoin" not in plan, name
             assert "BroadcastExchange" not in plan, name
         # regional_revenue keeps exactly two hinted broadcasts — nation
@@ -411,7 +423,7 @@ def test_no_forced_broadcast_on_per_entity_tables(spark):
         # exchange would mean the customer hint crept back in. Count the
         # formatted-explain node headers ("(n) BroadcastExchange") since
         # every node is printed twice (tree + detail section).
-        plan = _plan(spark, "regional_revenue")
+        plan = fresh_plan("regional_revenue")
         n_bx = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
         assert n_bx == 2, plan
     finally:

@@ -146,7 +146,11 @@ def test_nonconvergence_raises_and_leaks_nothing(spark):
     for max_rounds, phase in ((1, "forward coloring"), (2, "backward sweep")):
         before = _persistent_ids(sc)
         with pytest.raises(RuntimeError, match=phase):
-            strongly_connected_components(e, max_rounds=max_rounds)
+            # threshold 0: the r13 local-Tarjan endgame would solve
+            # this sub-threshold graph without entering the phases
+            strongly_connected_components(
+                e, max_rounds=max_rounds, local_edge_threshold=0
+            )
         leaked = _persistent_ids(sc) - before
         assert not leaked, (phase, leaked)
 
@@ -223,8 +227,32 @@ def test_forward_color_span_probe_matches_old_round_accounting(spark):
     e = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
     )
-    out = strongly_connected_components(e, max_rounds=3)
+    out = strongly_connected_components(e, max_rounds=3, local_edge_threshold=0)
     assert out.columns == ["node", "scc"]
     assert sorted(map(tuple, out.collect())) == [(1, 1), (2, 1), (3, 1)]
     with pytest.raises(RuntimeError, match="forward coloring"):
-        strongly_connected_components(e, max_rounds=1)
+        strongly_connected_components(e, max_rounds=1, local_edge_threshold=0)
+
+
+def test_local_endgame_matches_distributed_phases(spark):
+    # r13 size-gated local-Tarjan endgame vs the distributed
+    # FW-BW-Trim phases: identical (node, scc) on a graph that
+    # exercises trim (the tail 4->5), coloring and the sweep
+    # (two disjoint cycles, a bridge).
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 7), (7, 6), (5, 6)],
+        "src long, dst long",
+    )
+    local = sorted(map(tuple, strongly_connected_components(e).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            strongly_connected_components(
+                e, local_edge_threshold=0
+            ).collect(),
+        )
+    )
+    assert local == dist
+    assert local == [
+        (1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 6), (7, 6),
+    ]

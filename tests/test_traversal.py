@@ -260,7 +260,9 @@ def test_reachable_set_max_rounds_raises(spark):
     )
     srcs = spark.createDataFrame([(0,)], "node long")
     with pytest.raises(RuntimeError, match="reachable_set"):
-        reachable_set(chain, srcs, max_rounds=3)
+        # threshold 0 pins the distributed loop (the r13 local BFS
+        # endgame runs to the exact fixpoint, nothing to truncate)
+        reachable_set(chain, srcs, max_rounds=3, local_edge_threshold=0)
 
 
 def test_reachable_masks_fused_equals_two_sweeps(spark):
@@ -314,6 +316,29 @@ def test_reachable_masks_fused_equals_two_sweeps(spark):
     )
     before = len(sc._jsc.getPersistentRDDs().keySet().toArray())
     with pytest.raises(RuntimeError, match="reachable_masks"):
-        reachable_masks(chain, srcs, max_rounds=2)
+        reachable_masks(chain, srcs, max_rounds=2, local_edge_threshold=0)
     after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
     assert after <= before
+
+
+def test_reachable_masks_local_matches_distributed(spark):
+    # r13 size-gated local two-bit BFS endgame vs the distributed fused
+    # sweep: identical (node, mask) on the two-sweep fixture.
+    from tvbigdataproject_spark.operators.traversal import reachable_masks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 1), (3, 2), (6, 5)],
+        "src long, dst long",
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    local = {
+        r.node: r.mask for r in reachable_masks(edges, srcs).collect()
+    }
+    dist = {
+        r.node: r.mask
+        for r in reachable_masks(
+            edges, srcs, local_edge_threshold=0
+        ).collect()
+    }
+    assert local == dist
+    assert local == {1: 3, 2: 1, 3: 1, 4: 1, 5: 2, 6: 2}

@@ -359,6 +359,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     checkpoint_interval: int = 2,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """Bounded-round synchronous label-propagation community detection
     (Raghavan et al. 2007) over an undirected graph (feed a
@@ -394,10 +395,14 @@ def label_propagation(
     from pyspark.sql import Window
 
     sc = edges.sparkSession.sparkContext
-    e, e_ids = _checkpoint_tracked(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
-        sc,
-    )
+    e_sel = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if input_materialized:
+        # caller declares the edge set distinct + materialized (see
+        # traversal._input_edges) — per-round scans read the existing
+        # blocks, no dedup exchange, no duplicate checkpoint (r13)
+        e, e_ids = e_sel, set()
+    else:
+        e, e_ids = _checkpoint_tracked(e_sel.distinct(), sc)
     try:
         labels, labels_ids = _checkpoint_tracked(
             e.select(F.col("src").alias("node"))

@@ -62,6 +62,7 @@ def pagerank(
     checkpoint_interval: int = 3,
     salt_buckets: int | None = None,
     sources: DataFrame | None = None,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """Ranks for every node appearing as a source in `edges` (feed a
     bidirectional edge list for undirected semantics — then the src set
@@ -113,14 +114,20 @@ def pagerank(
     # reference to the derived static tables (nodes in each round's left
     # join, shares, the node count) replays the upstream plan: at sf0.1
     # that recompute, not per-round job overhead, dominated the query.
-    e, e_ids = _checkpoint_tracked(
-        edges.select(
-            F.col(src).alias("src"),
-            F.col(dst).alias("dst"),
-            F.col(weight).cast("double").alias("w"),
-        ),
-        sc,
+    # ``input_materialized``: the caller declares the edges already
+    # backed by materialized rows (session trade tables) — e is then a
+    # narrow cast projection over the existing blocks and only the
+    # derived outw/shares tables materialize (r13, traversal's
+    # _input_edges contract).
+    e_sel = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("w"),
     )
+    if input_materialized:
+        e, e_ids = e_sel, set()
+    else:
+        e, e_ids = _checkpoint_tracked(e_sel, sc)
     try:
         # out-weights double as the node set (the node set IS the src
         # set — see docstring), so one grouped materialization serves

@@ -596,6 +596,44 @@ def dag_longest_path_levels(
         _unpersist_ids(sc, e_ids)
 
 
+def _collect_graph(e: DataFrame, sources: DataFrame):
+    """Driver-side (edges, source-nodes) of a sub-threshold graph; the
+    caller gates entry on the edge count (see components._scc_local)."""
+    edge_rows = [(r[0], r[1]) for r in e.collect()]
+    src_rows = [r[0] for r in sources.select("node").distinct().collect()]
+    return edge_rows, src_rows
+
+
+def _bfs_masks_local(edge_rows, src_rows) -> dict:
+    """(node -> mask) fixpoint of the fused bidirectional sweep, serial:
+    bit 1 propagates along the edges, bit 2 along their reverses,
+    sources start (and stay) at 3 — exactly reachable_masks' invariant
+    (per-bit-per-node visitation, OR-accumulated)."""
+    fwd: dict = {}
+    rev: dict = {}
+    for s, d in edge_rows:
+        fwd.setdefault(s, []).append(d)
+        rev.setdefault(d, []).append(s)
+    mask: dict = {n: 3 for n in src_rows}
+    frontier = list(mask)
+    while frontier:
+        nxt: dict = {}
+        for v in frontier:
+            m = mask[v]
+            if m & 1:
+                for w in fwd.get(v, ()):
+                    if not (mask.get(w, 0) | nxt.get(w, 0)) & 1:
+                        nxt[w] = nxt.get(w, 0) | 1
+            if m & 2:
+                for w in rev.get(v, ()):
+                    if not (mask.get(w, 0) | nxt.get(w, 0)) & 2:
+                        nxt[w] = nxt.get(w, 0) | 2
+        for w, b in nxt.items():
+            mask[w] = mask.get(w, 0) | b
+        frontier = list(nxt)
+    return mask
+
+
 def reachable_set(
     edges: DataFrame,
     sources: DataFrame,
@@ -603,6 +641,7 @@ def reachable_set(
     src: str = "src",
     dst: str = "dst",
     input_materialized: bool = False,
+    local_edge_threshold: int | None = None,
 ) -> DataFrame:
     """All nodes reachable from ANY node of ``sources`` (a one-column
     DataFrame, column ``node``), sources included — the plain
@@ -620,6 +659,45 @@ def reachable_set(
     """
     sc = edges.sparkSession.sparkContext
     e, e_ids = _input_edges(edges, src, dst, sc, input_materialized)
+    # r13 size-gated driver-local endgame (components._scc_local
+    # rationale): a sub-threshold graph's whole frontier loop —
+    # O(eccentricity) full-barrier rounds of 3 jobs each — collapses
+    # to one count + one bounded collect + a serial BFS. Same visited
+    # set by construction.
+    from tvbigdataproject_spark.operators.components import (
+        _local_threshold,
+        _SCC_LOCAL_EDGES_DEFAULT,
+    )
+
+    if local_edge_threshold is None:
+        local_edge_threshold = _local_threshold(
+            "SPARK_GRAFT_REACH_LOCAL_EDGES", _SCC_LOCAL_EDGES_DEFAULT
+        )
+    if local_edge_threshold > 0 and e.count() <= local_edge_threshold:
+        try:
+            edge_rows, src_rows = _collect_graph(e, sources)
+        finally:
+            _unpersist_ids(sc, e_ids)
+        reached = set(src_rows)
+        adj: dict = {}
+        for s_, d_ in edge_rows:
+            adj.setdefault(s_, []).append(d_)
+        frontier = list(reached)
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for w in adj.get(v, ()):
+                    if w not in reached:
+                        reached.add(w)
+                        nxt.append(w)
+            frontier = nxt
+        from pyspark.sql.types import StructField, StructType
+
+        node_field = sources.select("node").schema[0]
+        return edges.sparkSession.createDataFrame(
+            [(n,) for n in reached],
+            StructType([StructField("node", node_field.dataType, False)]),
+        )
     try:
         visited, visited_ids = _checkpoint_tracked(
             sources.select("node").distinct(), sc
@@ -666,6 +744,7 @@ def reachable_masks(
     src: str = "src",
     dst: str = "dst",
     input_materialized: bool = False,
+    local_edge_threshold: int | None = None,
 ) -> DataFrame:
     """(node, mask) for every node reachable from ``sources`` in either
     edge direction, in ONE frontier loop: mask bit 1 = reachable FROM
@@ -690,21 +769,58 @@ def reachable_masks(
     rather than return a truncated set.
     """
     sc = edges.sparkSession.sparkContext
-    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    tagged = fwd.withColumn("b", F.lit(1)).unionByName(
-        fwd.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
-        ).withColumn("b", F.lit(2))
+    # base edge set, one orientation: materialized by the caller's
+    # declaration, or defensively deduped + checkpointed here (half the
+    # blocks of the pre-r13 shape, which checkpointed the DOUBLED
+    # direction-tagged table; the tagged union below is distinct by
+    # construction over a distinct base — the b column separates the
+    # branches — and re-deriving it per round is two narrow cached
+    # scans).
+    base, base_ids = _input_edges(edges, src, dst, sc, input_materialized)
+    # r13 size-gated driver-local endgame (components._scc_local
+    # rationale): below the edge threshold the fused two-wave frontier
+    # loop — max(ecc_fwd, ecc_rev) rounds x (checkpoint + probe +
+    # checkpoint) jobs — collapses to one count + one bounded collect
+    # + a serial two-bit BFS. Identical (node, mask) fixpoint.
+    from tvbigdataproject_spark.operators.components import (
+        _local_threshold,
+        _SCC_LOCAL_EDGES_DEFAULT,
     )
-    if input_materialized:
-        # the tagged union of an already-distinct edge set is distinct
-        # by construction (the b column differs between the branches),
-        # and each round's re-derivation of it from the caller's
-        # materialized rows is two narrow cached scans — skip both the
-        # dedup exchange and the duplicate checkpoint (see _input_edges)
-        e2, e_ids = tagged, set()
-    else:
-        e2, e_ids = _checkpoint_tracked(tagged.distinct(), sc)
+
+    if local_edge_threshold is None:
+        local_edge_threshold = _local_threshold(
+            "SPARK_GRAFT_REACH_LOCAL_EDGES", _SCC_LOCAL_EDGES_DEFAULT
+        )
+    if local_edge_threshold > 0 and base.count() <= local_edge_threshold:
+        try:
+            edge_rows, src_rows = _collect_graph(base, sources)
+        finally:
+            _unpersist_ids(sc, base_ids)
+        mask = _bfs_masks_local(edge_rows, src_rows)
+        from pyspark.sql.types import (
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        node_field = sources.select("node").schema[0]
+        return edges.sparkSession.createDataFrame(
+            sorted(mask.items()),
+            StructType(
+                [
+                    StructField("node", node_field.dataType, False),
+                    StructField("mask", IntegerType(), False),
+                ]
+            ),
+        )
+    e2, e_ids = (
+        base.withColumn("b", F.lit(1)).unionByName(
+            base.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).withColumn("b", F.lit(2))
+        ),
+        base_ids,
+    )
     try:
         visited, visited_ids = _checkpoint_tracked(
             sources.select("node").distinct().withColumn("mask", F.lit(3)),

@@ -101,7 +101,7 @@ def community_conductance(spark, sf_dir):
     # shared session-scoped edge table (operators/trade_edges.py, r12)
     bi = trade_edges_bi(spark, sf_dir)
     before_lpa = _persistent_ids(sc)
-    lab = label_propagation(bi, rounds=_LPA_ROUNDS)
+    lab = label_propagation(bi, rounds=_LPA_ROUNDS, input_materialized=True)
     lpa_ids = _persistent_ids(sc) - before_lpa
 
     ls = lab.select(F.col("node").alias("src"), F.col("community").alias("cs"))

@@ -91,7 +91,10 @@ def pagerank_trade_graph(spark, sf_dir):
             F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
         )
     )
-    return pagerank(bi, n_iter=_N_ITER, damping=0.85, base_num=0.15)
+    return pagerank(
+        bi, n_iter=_N_ITER, damping=0.85, base_num=0.15,
+        input_materialized=True,
+    )
 
 
 _PPR_K = 3  # landmark count (the 3 lowest-id customers)
@@ -190,4 +193,4 @@ def ppr_from_landmarks(spark, sf_dir):
         .orderBy("node")
         .limit(_PPR_K)
     )
-    return pagerank(bi, n_iter=_N_ITER, sources=seeds)
+    return pagerank(bi, n_iter=_N_ITER, sources=seeds, input_materialized=True)

@@ -416,7 +416,7 @@ def lpa_communities(spark, sf_dir):
     from tvbigdataproject_spark.operators.components import label_propagation
 
     bi = trade_edges_bi(spark, sf_dir)
-    return label_propagation(bi, rounds=_LPA_ROUNDS)
+    return label_propagation(bi, rounds=_LPA_ROUNDS, input_materialized=True)
 
 
 @query(
@@ -467,7 +467,7 @@ def community_modularity(spark, sf_dir):
     # state, which on a shared session would sweep up (and release)
     # caches concurrent queries or user persist() calls created
     before_lpa = _persistent_ids(sc)
-    lab = label_propagation(bi, rounds=_LPA_ROUNDS)
+    lab = label_propagation(bi, rounds=_LPA_ROUNDS, input_materialized=True)
     lpa_ids = _persistent_ids(sc) - before_lpa
 
     deg = bi.groupBy(F.col("src").alias("node")).agg(
